@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+result materialization on the driver) after a session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan, agg, joins incl. as-of,
+# windows, resample, top-k). Extended as phases land.
+HEADLINE = [
+    "ts_range_scan",
+    "agg_pricing_summary",
+    "join_shuffle",
+    "join_broadcast",
+    "join_asof",
+    "ts_resample_ohlc",
+    "win_rolling",
+    "topk_per_group",
+    "sort_limit",
+]
+
+
+def main() -> None:
+    from tstables_spark import get_spark
+    import tstables_spark.plans  # noqa: F401
+    from tstables_spark.plans.registry import QUERIES
+
+    spark = get_spark("tstables_spark_bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warm up the JVM / parquet footers once.
+    QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

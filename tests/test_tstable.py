@@ -1,0 +1,163 @@
+"""Reference-semantics tests for TimeSeriesTable (SURVEY.md §5: the
+reference's unittest categories — create/append/read_range roundtrip,
+multi-day partitions, boundary inclusivity, UTC handling, min/max,
+invalid appends, empty range, partition pruning)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tstables_spark.tstable import TimeSeriesTable, TimeSeriesTableError
+
+UTC = timezone.utc
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("symbol", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tstable_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _ticks(spark, start: datetime, n: int, step_s: int = 3600):
+    rows = [
+        (start + timedelta(seconds=i * step_s), "EURUSD", 1.0 + i * 0.001) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_append_read_roundtrip(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "eurusd", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 72))  # 3 UTC days
+    got = ts.read_range(start, start + timedelta(hours=71))
+    assert got.count() == 72
+    # partition layout: one date=... dir per UTC day
+    days = sorted(d for d in os.listdir(os.path.join(root, "eurusd")) if d.startswith("date="))
+    assert days == ["date=2024-03-01", "date=2024-03-02", "date=2024-03-03"]
+
+
+def test_range_bounds_inclusive_both_ends(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 10))
+    lo, hi = start + timedelta(hours=2), start + timedelta(hours=5)
+    got = ts.read_range(lo, hi).select("ts").collect()
+    assert len(got) == 4  # hours 2,3,4,5 — inclusive both ends
+    assert min(r.ts for r in got) == lo.replace(tzinfo=None)
+    assert max(r.ts for r in got) == hi.replace(tzinfo=None)
+
+
+def test_empty_range_and_inverted_range(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 5))
+    far = datetime(2030, 1, 1, tzinfo=UTC)
+    assert ts.read_range(far, far + timedelta(days=1)).count() == 0
+    assert ts.read_range(far, start).count() == 0  # end < start
+
+
+def test_min_max_dt(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    assert ts.min_dt() is None and ts.max_dt() is None
+    start = datetime(2024, 3, 1, 12, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 48))
+    assert ts.min_dt() == start.replace(tzinfo=None)
+    assert ts.max_dt() == (start + timedelta(hours=47)).replace(tzinfo=None)
+
+
+def test_timezone_normalization(spark, root):
+    """tz-aware non-UTC bounds are normalized to UTC (reference converts
+    via pytz; naive input is treated as UTC here)."""
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 24))
+    est = timezone(timedelta(hours=-5))
+    got = ts.read_range(
+        datetime(2024, 2, 29, 19, tzinfo=est),  # == 2024-03-01T00:00Z
+        datetime(2024, 3, 1, 4, tzinfo=est),  # == 2024-03-01T09:00Z
+    )
+    assert got.count() == 10
+
+
+def test_strict_order_append_rejected(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    start = datetime(2024, 3, 2, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 4), strict_order=True)
+    with pytest.raises(TimeSeriesTableError, match="append-only order"):
+        ts.append(_ticks(spark, start - timedelta(days=1), 2), strict_order=True)
+    # non-strict accepts out-of-order (documented divergence)
+    ts.append(_ticks(spark, start - timedelta(days=1), 2))
+    assert ts.min_dt() == (start - timedelta(days=1)).replace(tzinfo=None)
+
+
+def test_schema_enforced(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    bad = spark.createDataFrame(
+        [(datetime(2024, 3, 1), 1.0)],
+        T.StructType(
+            [
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("price", T.DoubleType(), True),
+            ]
+        ),
+    )
+    with pytest.raises(TimeSeriesTableError, match="schema mismatch"):
+        ts.append(bad)
+    with pytest.raises(TimeSeriesTableError, match="must contain"):
+        TimeSeriesTable.create(
+            spark, root, "nots", T.StructType([T.StructField("x", T.LongType())])
+        )
+
+
+def test_partition_pruning_in_plan(spark, root):
+    """read_range must touch only the date partitions overlapping the
+    range — the reference's day-partition walk (SURVEY.md §4)."""
+    ts = TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 24 * 10))  # 10 days
+    one_day = ts.read_range(
+        datetime(2024, 3, 4, tzinfo=UTC), datetime(2024, 3, 4, 23, tzinfo=UTC)
+    )
+    assert one_day.count() == 24
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the derived date predicate must reach the scan as a partition filter
+    # and the ts predicate as a pushed parquet filter
+    assert "PartitionFilters: [isnotnull(date" in plan, plan
+    assert "(date" in plan and ">= 2024-03-04" in plan, plan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
+    # and only the one overlapping partition contributes any data
+    from pyspark.sql import functions as F2
+
+    files = [r.f for r in one_day.select(F2.input_file_name().alias("f")).distinct().collect()]
+    assert files and all("date=2024-03-04" in f for f in files), files
+
+
+def test_open_roundtrip_and_property_union(spark, root):
+    """read_range(a,b) ∪ read_range(b+ε,c) == read_range(a,c)."""
+    TimeSeriesTable.create(spark, root, "s", SCHEMA)
+    ts = TimeSeriesTable.open(spark, root, "s")
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 50))
+    a, b, c = start, start + timedelta(hours=20), start + timedelta(hours=49)
+    eps = timedelta(microseconds=1)
+    left = ts.read_range(a, b)
+    right = ts.read_range(b + eps, c)
+    both = ts.read_range(a, c)
+    assert left.count() + right.count() == both.count() == 50
+    assert left.unionByName(right).exceptAll(both).count() == 0

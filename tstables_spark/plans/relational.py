@@ -1,0 +1,404 @@
+"""Relational core plans (SURVEY.md §2 Table B: scans, filters, joins,
+aggregations, sorts, set ops). All declarative DataFrame/SQL — Catalyst
+handles pushdown, pruning, join selection, and partial aggregation.
+
+Typing discipline for the DuckDB oracle: DuckDB SUM over integers is
+HUGEINT and ranking functions are BIGINT, so integer-valued aggregates
+are cast to BIGINT on both sides; double-typed sums/averages are rounded
+identically on both sides (floating-point summation order is engine- and
+partitioning-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tstables_spark.plans._exact import (
+    exact_sum,
+    exact_sum_distinct,
+    sql_sum,
+    sql_sum_distinct,
+)
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load, register_views
+
+
+# -- scans ------------------------------------------------------------------
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan. With a projection/filter on top, Catalyst pushes both
+    into the Parquet reader (ReadSchema / PushedFilters)."""
+    return load(spark, sf_dir, "lineitem")
+
+
+@query(
+    "project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND (l_returnflag = 'R' OR l_discount > 0.07)
+      AND l_quantity IN (5, 10, 15, 20, 25, 30)
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + conjunctive/disjunctive predicates + IN-list +
+    null check — all pushed to the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & ((F.col("l_returnflag") == "R") | (F.col("l_discount") > 0.07))
+        & F.col("l_quantity").isin(5, 10, 15, 20, 25, 30)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate", "l_returnflag")
+
+
+# -- joins ------------------------------------------------------------------
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension equi-join with an explicit broadcast hint — no
+    shuffle of the big side; the dim ships to every executor."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_shuffle",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large fact-fact equi-join: both sides shuffle on the key;
+    AQE picks sort-merge vs shuffled-hash and splits skewed keys."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "inner").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority",
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full",
+    oracle=f"""
+    WITH co AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0),
+         oo AS (SELECT o_custkey, {sql_sum('o_totalprice')} AS spend
+                FROM orders GROUP BY o_custkey)
+    SELECT co.c_custkey, co.c_acctbal, oo.o_custkey, oo.spend
+    FROM co FULL OUTER JOIN oo ON co.c_custkey = oo.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides (positive-balance
+    customers vs per-customer spend)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(exact_sum("o_totalprice").alias("spend"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_custkey", "spend"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join — only the key ships, no row
+    multiplication."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# -- aggregations -----------------------------------------------------------
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum('l_quantity')} AS sum_qty,
+           {sql_sum('l_extendedprice')} AS sum_base_price,
+           {sql_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_sum('l_quantity')} / count(*) AS avg_qty,
+           {sql_sum('l_extendedprice')} / count(*) AS avg_price,
+           {sql_sum('l_discount')} / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: hash aggregate with map-side
+    partial aggregation — the shuffle carries one row per (group x task),
+    not per input row. Sums run in decimal (order-independent; see
+    _exact.py) so results are bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            (exact_sum("l_quantity") / n).alias("avg_qty"),
+            (exact_sum("l_extendedprice") / n).alias("avg_price"),
+            (exact_sum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+           {sql_sum_distinct('l_quantity')} AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM DISTINCT — Spark expands to a two-phase aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        exact_sum_distinct("l_quantity").alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts. Rows-only check: approximate results
+    are engine-specific by design; the exact twin is agg_distinct."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {sql_sum('c_acctbal')} AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region -> nation -> grand total."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), exact_sum("c_acctbal").alias("sum_bal")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum('l_quantity')} AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL (same Catalyst Expand plan as
+    rollup/cube). The decimal-sum is the same order-independence trick as
+    _exact.py, spelled in SQL."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_sum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# -- sorts / top-k / set ops ------------------------------------------------
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, never a full global sort. Tie-broken on the
+    full key so the top-100 SET is deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ranked window + filter; Spark pushes a
+    per-partition rank limit (WindowGroupLimit) before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS key, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT o_custkey AS key, 'orders' AS src FROM orders
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) — a zero-shuffle concatenation."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.lit("orders").alias("src")
+    )
+    return c.unionByName(o)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    INTERSECT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never placed a >300k order.
+    (The unfiltered variant is empty at every sf — every customer has
+    an order — which would make the parity check vacuous.)"""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.subtract(o)  # EXCEPT (distinct) semantics

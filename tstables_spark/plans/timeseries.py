@@ -1,0 +1,341 @@
+"""Time-series query plans (SURVEY.md §2: ts_*, win_*, join_asof/range).
+
+These generalize the reference's single query surface — the inclusive
+time-range scan of ``TsTable.read_range`` (upstream
+``tstables/tstable.py``) — to the full tick-data toolkit: resampling,
+rolling windows, gap-fill, as-of and interval joins.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from tstables_spark.operators.asof import asof_join
+from tstables_spark.operators.resample import resample_ohlc
+from tstables_spark.plans._exact import exact_wsum, sql_sum, sql_wsum
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+from tstables_spark.tstable import TimeSeriesTable
+
+# Events span 2024-01-01 .. 2024-01-30 (all scale factors).
+RANGE_START = "2024-01-10 00:00:00"
+RANGE_END = "2024-01-12 00:00:00"
+
+
+# -- A4: the reference's flagship query -------------------------------------
+@query(
+    "ts_range_scan",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{RANGE_START}' AND TIMESTAMP '{RANGE_END}'
+    """,
+)
+def ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive time-range scan (``TsTable.read_range`` semantics: both
+    bounds inclusive). The BETWEEN predicate reaches the Parquet scan as
+    pushed filters; on a date-partitioned series (TimeSeriesTable) the
+    derived date predicate additionally prunes partitions."""
+    ev = load(spark, sf_dir, "events")
+    return ev.where(
+        F.col("ts").between(F.lit(RANGE_START).cast("timestamp"), F.lit(RANGE_END).cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# -- A5/A6 ------------------------------------------------------------------
+@query(
+    "ts_min_max",
+    oracle="SELECT min(ts) AS min_ts, max(ts) AS max_ts, CAST(count(*) AS BIGINT) AS n FROM events",
+)
+def ts_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max timestamp (``TsTable.min_dt``/``max_dt``). On Parquet this
+    is answerable from row-group footer stats; Spark's aggregate scan
+    reads only the ts column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count("*").alias("n")
+    )
+
+
+# -- A1+A3: create/append/read-back round-trip (rows-only) ------------------
+@query("ts_create_append")
+def ts_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create a series, append the events fixture, read a range back.
+
+    Exercises the reference's full lifecycle (create_ts -> append ->
+    read_range) on the Spark-native layout: date-partitioned parquet,
+    ts-sorted within files. Rows-only check (side-effecting op)."""
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tstable_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+    from datetime import datetime, timezone
+
+    return ts.read_range(
+        datetime(2024, 1, 5, tzinfo=timezone.utc), datetime(2024, 1, 20, tzinfo=timezone.utc)
+    )
+
+
+@query("sink_parquet_partitioned")
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned, ts-sorted parquet sink + read-back (A3's write
+    discipline in isolation). Rows-only."""
+    ev = load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sink_") + "/events"
+    (
+        ev.withColumn("date", F.to_date("ts"))
+        .repartition("date")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*ev.columns)
+
+
+# -- resample ---------------------------------------------------------------
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+    WITH w AS (
+      SELECT date_trunc('minute', ts) AS bucket, value,
+             first_value(value) OVER (PARTITION BY date_trunc('minute', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+             last_value(value) OVER (PARTITION BY date_trunc('minute', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+      FROM events
+    )
+    SELECT bucket, max(open_v) AS open, max(value) AS high, min(value) AS low,
+           max(close_v) AS close, CAST(count(*) AS BIGINT) AS volume,
+           {sql_sum('value')} AS sum_value
+    FROM w GROUP BY bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the tick stream to 1-minute OHLC bars — the canonical
+    derived query over the reference's data model."""
+    return resample_ohlc(load(spark, sf_dir, "events"), "1 minute")
+
+
+# -- window functions -------------------------------------------------------
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-event deltas per user (lag/lead). Single shuffle on
+    user_id; within-partition sort only."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "win_rolling",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {sql_wsum('value', 'w')} AS roll_sum,
+           {sql_wsum('value', 'w')} / (count(*) OVER w) AS roll_avg,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row sum/avg per user (row frame)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        exact_wsum("value", w).alias("roll_sum"),
+        (exact_wsum("value", w) / F.count("*").over(w)).alias("roll_avg"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {sql_wsum('value', '''(PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)''')} AS sum_5m,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5m
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window: per-user trailing 5-minute sum/count
+    (RANGE frame over epoch seconds) — the reference's "last N minutes of
+    ticks" access pattern as a windowed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(secs.cast("long")).rangeBetween(-300, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        exact_wsum("value", w).alias("sum_5m"),
+        F.count("*").over(w).alias("n_5m"),
+    )
+
+
+@query(
+    "ts_fill_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: last-observation-carried-forward per user ('error' events
+    treated as missing observations)."""
+    ev = load(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "win_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           {sql_wsum('o_totalprice', '''(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_spend,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history."""
+    od = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        exact_wsum(
+            "o_totalprice", w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# -- as-of join -------------------------------------------------------------
+@query(
+    "join_asof",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before it for
+    the same key — the canonical tick-data join the reference's data model
+    exists to serve. Implemented with the union+window pattern
+    (tstables_spark.operators.asof); validated against DuckDB ASOF JOIN.
+
+    Orders are first collapsed to one row per (key, time) — max orderkey
+    wins — to make the at-same-timestamp case deterministic in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        od,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+# -- interval (range) join --------------------------------------------------
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+           a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: pairs of events of the same user within a 30-minute
+    forward horizon. Expressed as an equi-join on user_id with a range
+    predicate — Catalyst plans the equi part as a hash/sort-merge join and
+    applies the interval as a post-join filter, so there is no cartesian
+    explosion. At 100 TB scale the equi key bounds the work; for keyless
+    range joins, bucketize time (see operators/rangejoin.py)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("left_id"), F.col("user_id"), F.col("ts").alias("left_ts")
+    )
+    b = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("ts").alias("right_ts"),
+    )
+    joined = a.join(
+        b,
+        (a.user_id == b.user_id_b)
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    return joined.select("left_id", "right_id", "user_id", "left_ts", "right_ts")

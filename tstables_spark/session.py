@@ -1,0 +1,59 @@
+"""SparkSession factory with engine defaults.
+
+UTC session timezone is load-bearing: the reference engine
+(afiedler/tstables, ``tstables/tstable.py`` — int64 ms-since-epoch UTC
+timestamps) pins everything to UTC; we mirror that via
+``spark.sql.session.timeZone=UTC`` so TimestampType round-trips are
+unambiguous.
+
+Local-mode knobs are sized for the test harness (local[N], single JVM).
+On a real cluster the same builder is used with ``master`` unset (taken
+from spark-submit) and shuffle partitions sized to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tstables_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for scale (they matter at 100 TB, and are harmless
+    locally):
+
+    - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+      and broadcast-join demotion/promotion based on observed sizes.
+    - Arrow on: vectorized JVM<->Python transfer for the pandas-UDF path.
+    - Parquet pushdown/pruning left at their (on) defaults; zstd output.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

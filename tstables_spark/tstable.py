@@ -1,0 +1,218 @@
+"""TimeSeriesTable — the reference's core data model, Spark-native.
+
+Capability parity with afiedler/tstables (SURVEY.md §2 Table A; upstream
+``tstables/tstable.py`` + ``tstables/__init__.py``, cited by path because
+the local reference mirror was empty — SURVEY.md §0):
+
+==========================  ====================================================
+reference (tstables)        this class
+==========================  ====================================================
+``File.create_ts``          ``TimeSeriesTable.create`` (A1)
+``File.get_timeseries``     ``TimeSeriesTable.open`` (A2)
+``TsTable.append(df)``      ``append`` (A3) — date-partitioned sorted write
+``TsTable.read_range``      ``read_range`` (A4) — inclusive both ends,
+                            pruned to overlapping date partitions
+``TsTable.min_dt/max_dt``   ``min_dt`` / ``max_dt`` (A5/A6)
+dt<->int64-ms helpers       UTC session TZ + TimestampType (A7)
+y/m/d group enumeration     Spark partition discovery + pruning (A8)
+PyTables Filters/chunking   Parquet codec + row-group sizing (A9)
+==========================  ====================================================
+
+Physical layout: ``<root>/<series>/date=YYYY-MM-DD/part-*.parquet`` with
+rows sorted by ``ts`` *within* every file. The reference prunes to the
+day-groups overlapping a requested range and binary-searches the sorted
+timestamp column of the edge partitions; here Hive-style partition
+pruning on ``date`` plays the first role and Parquet row-group min/max
+statistics (tight, because of the in-file sort) play the second — so
+read latency is proportional to the size of the requested range, not the
+size of the table, which is the reference's core performance contract
+(BASELINE.md). This holds unchanged on a 1000-executor cluster over
+100 TB: pruning happens at planning time against partition metadata and
+row-group footers, never by scanning data.
+
+Semantic divergences from the reference (deliberate, documented):
+
+- timestamps are microsecond TimestampType, not int64 milliseconds
+  (lossless widening);
+- strings are unbounded, not fixed-width ``StringCol(n)``;
+- out-of-order appends are accepted by default (each batch is re-sorted
+  into its date partitions; Parquet stats stay tight per file).
+  ``strict_order=True`` restores the reference's append-only-in-order
+  rejection; the streaming ingest path (tstables_spark.streaming) instead
+  handles late data with watermarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META_FILE = "_ts_meta.json"
+TS_COL = "ts"
+DATE_COL = "date"
+
+
+class TimeSeriesTableError(ValueError):
+    pass
+
+
+def _series_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+class TimeSeriesTable:
+    """Handle over one date-partitioned, ts-sorted Parquet series."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+
+    # -- A1: create ---------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: T.StructType,
+        ts_col: str = TS_COL,
+    ) -> "TimeSeriesTable":
+        """Create an empty series with a declared schema.
+
+        Mirrors ``File.create_ts(where, name, description)``: the schema
+        is fixed up front and must contain a timestamp column (the
+        reference requires ``timestamp = Int64Col(pos=0)``; we require a
+        TimestampType column named ``ts_col``).
+        """
+        if ts_col not in schema.fieldNames():
+            raise TimeSeriesTableError(f"schema must contain a '{ts_col}' column")
+        field = schema[ts_col]
+        if not isinstance(field.dataType, T.TimestampType):
+            raise TimeSeriesTableError(f"'{ts_col}' must be TimestampType, got {field.dataType}")
+        path = _series_path(root, name)
+        if os.path.exists(os.path.join(path, _META_FILE)):
+            raise TimeSeriesTableError(f"series already exists at {path}")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump({"schema": schema.jsonValue(), "ts_col": ts_col, "version": 1}, f)
+        return cls(spark, path, schema)
+
+    # -- A2: open -----------------------------------------------------------
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, name: str) -> "TimeSeriesTable":
+        """Open an existing series (``File.get_timeseries`` analog)."""
+        path = _series_path(root, name)
+        meta_path = os.path.join(path, _META_FILE)
+        if not os.path.exists(meta_path):
+            raise TimeSeriesTableError(f"no series at {path}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        schema = T.StructType.fromJson(meta["schema"])
+        return cls(spark, path, schema)
+
+    # -- A3: append ---------------------------------------------------------
+    def append(self, df: DataFrame, strict_order: bool = False) -> None:
+        """Append a batch, split into UTC-day partitions, sorted by ts.
+
+        Reference behavior (``TsTable.append``): convert the pandas
+        DatetimeIndex to int64 ms, verify the batch starts at-or-after the
+        current max timestamp, group rows by UTC day, append each group to
+        its day table. Spark-first translation: derive ``date``,
+        repartition by it (each day's rows land in one task → one file per
+        day per batch), sort by ``ts`` within partitions so Parquet
+        row-group stats are tight, and append via dynamic partition
+        overwrite-free ``mode("append")``.
+
+        At 100 TB the same plan holds: the repartition is a single shuffle
+        keyed on the (low-cardinality, time-ordered) date, and each
+        executor writes only the partitions it owns. For heavy single-day
+        backfills, pass more partitions via ``repartition(N, date, bucket)``
+        upstream — the layout contract is only "sorted by ts within each
+        file", which any file count satisfies.
+        """
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in self.schema.fields}
+        if got != want:
+            raise TimeSeriesTableError(f"schema mismatch: got {got}, want {want}")
+        if df.filter(F.col(TS_COL).isNull()).limit(1).count() > 0:
+            raise TimeSeriesTableError("null timestamps not allowed")
+        if strict_order:
+            cur = self.max_dt()
+            if cur is not None:
+                new_min = df.agg(F.min(TS_COL)).collect()[0][0]
+                if new_min is not None and new_min < cur:
+                    raise TimeSeriesTableError(
+                        f"append-only order violated: batch min {new_min} < current max {cur}"
+                    )
+        (
+            df.withColumn(DATE_COL, F.to_date(F.col(TS_COL)))
+            .repartition(DATE_COL)
+            .sortWithinPartitions(TS_COL)
+            .write.mode("append")
+            .partitionBy(DATE_COL)
+            .parquet(self.path)
+        )
+
+    # -- internal: read with pruning ---------------------------------------
+    def _df(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(
+                T.StructType(
+                    list(self.schema.fields) + [T.StructField(DATE_COL, T.DateType())]
+                )
+            ).parquet(self.path)
+        except Exception:
+            # empty series: no parquet files yet
+            return self.spark.createDataFrame([], self.schema).withColumn(
+                DATE_COL, F.lit(None).cast(T.DateType())
+            )
+
+    def to_df(self) -> DataFrame:
+        """Whole series as a DataFrame (without the derived date column)."""
+        return self._df().select(*self.schema.fieldNames())
+
+    # -- A4: read_range -----------------------------------------------------
+    def read_range(self, start: datetime, end: datetime) -> DataFrame:
+        """All rows with ``start <= ts <= end`` — inclusive both ends,
+        exactly like ``TsTable.read_range`` (SURVEY.md §2 A4).
+
+        The explicit ``date BETWEEN`` predicate guarantees static
+        partition pruning (the reference's manual day-group walk); the
+        ``ts BETWEEN`` predicate is pushed to the Parquet reader where
+        row-group min/max stats — tight, thanks to the write-time sort —
+        skip non-overlapping row groups (the reference's binary search).
+        """
+        start, end = _as_utc(start), _as_utc(end)
+        if end < start:
+            return self.to_df().limit(0)
+        df = self._df()
+        pruned = df.where(
+            (F.col(DATE_COL) >= F.lit(start.date()))
+            & (F.col(DATE_COL) <= F.lit(end.date()))
+            & (F.col(TS_COL) >= F.lit(start))
+            & (F.col(TS_COL) <= F.lit(end))
+        )
+        return pruned.select(*self.schema.fieldNames())
+
+    # -- A5/A6: min/max -----------------------------------------------------
+    def min_dt(self) -> datetime | None:
+        """Earliest timestamp (footer-stats-only aggregate scan)."""
+        return self.to_df().agg(F.min(TS_COL)).collect()[0][0]
+
+    def max_dt(self) -> datetime | None:
+        return self.to_df().agg(F.max(TS_COL)).collect()[0][0]
+
+
+def _as_utc(dt: datetime) -> datetime:
+    """Naive datetimes are rejected by the reference; we interpret them as
+    UTC but tz-aware input is normalized to UTC, matching the pytz-based
+    converters in ``tstables/tstable.py``."""
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
