@@ -31,8 +31,15 @@ HEADLINE = [
     "join_asof",
     "ts_resample_ohlc",
     "win_rolling",
+    "win_rank",
     "topk_per_group",
     "sort_limit",
+    "dedup_exact",
+    "dedup_near",
+    "dedup_minhash",
+    "sim_topk",
+    "text_stats",
+    "udtf_apply_in_pandas",
 ]
 
 

@@ -1,0 +1,180 @@
+"""Document deduplication operators: exact, n-gram Jaccard (inverted
+index), MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- ``exact_dedup``: one hash aggregate — embarrassingly parallel at any
+  scale.
+- ``jaccard_pairs``: exact pairwise Jaccard via an inverted-index
+  self-join on shingles. Cost is sum over shingles of df(s)^2 — fine
+  when shingle document-frequency is bounded; pass ``max_df`` to drop
+  stop-shingles (the standard trick that keeps the join linear-ish at
+  100 TB; dropped shingles only ever *lower* recall of high-frequency
+  boilerplate pairs).
+- ``minhash_lsh_pairs``: the sub-quadratic scale path. k min-hashes per
+  doc -> b bands of r rows; only docs agreeing on a full band collide,
+  so candidate generation is a cheap equi-join on (band, signature) and
+  the exact Jaccard verify runs only on candidates. Collision
+  probability 1-(1-j^r)^b — the classic LSH S-curve (Broder; Mining of
+  Massive Datasets ch.3).
+- ``simhash_fingerprints``: 64-bit charikar-style fingerprints; equal
+  or near-equal (small Hamming distance) fingerprints flag near-dups.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct word n-grams."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    parts = ", ".join(f"__toks[i+{j}]" for j in range(n))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    sh = d.withColumn(
+        "__sh",
+        F.when(
+            F.size("__toks") >= n,
+            F.array_distinct(
+                F.expr(f"transform(sequence(0, size(__toks)-{n}), i -> concat_ws(' ', {parts}))")
+            ),
+        ).otherwise(F.array().cast(T.ArrayType(T.StringType()))),
+    )
+    return sh.select("doc_id", F.explode("__sh").alias("shingle"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by normalized-content hash; keep the smallest id per group."""
+    h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle."""
+    sh = shingles(docs, n)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified with exact
+    Jaccard. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, n)
+    # k independent hash functions: xxhash64 with k distinct seed columns.
+    hashed = sh.select(
+        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "sig"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify only on candidates: intersect shingle sets by join.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
+            "doc_b",
+        )
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Charikar SimHash: per-token 64-bit hash; each fingerprint bit is
+    the sign of the summed +/-1 contributions of that bit across tokens.
+    One explode + one aggregate — linear, shuffle on doc_id only."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = reduce(
+        lambda acc, b: acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, bits),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))

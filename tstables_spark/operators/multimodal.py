@@ -1,0 +1,74 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+The engine's convention for image/audio/video at 100 TB: a struct
+column ``{data: binary, mime: string, meta: map<string,string>}``
+stored in Parquet (binary is chunked+compressed per row group; column
+pruning means metadata-only queries never read payload bytes — the
+property that matters at scale).
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so
+payloads stream through Python in bounded batches instead of
+per-row pickling. The real decoders (PIL/librosa/av) are not in this
+container, so ``decode_batch`` dispatches: if a decoder import is
+available it would be used; otherwise a clearly-marked deterministic
+fake extracts structural features (byte length, prefix hex) — the
+Spark-side plumbing (schema, batching, partitioning) is real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, mime string, byte_len long, feat string"
+
+
+def pack_multimodal(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal rows (payload = utf-8 bytes of the text,
+    standing in for image/audio bytes)."""
+    return docs.select(
+        "doc_id",
+        F.struct(
+            F.encode("text", "utf-8").alias("data"),
+            F.lit("text/plain").alias("mime"),
+            F.create_map(F.lit("src"), F.col("source"), F.lit("lang"), F.col("lang")).alias(
+                "meta"
+            ),
+        ).alias("blob"),
+    )
+
+
+def _decode_real(data: bytes, mime: str) -> str:  # pragma: no cover - no codecs in container
+    raise NotImplementedError(
+        "real decoders (PIL/librosa/av) are not installed in this environment; "
+        "plug them in here — the mapInPandas plumbing is decoder-agnostic"
+    )
+
+
+def _decode_fake(data: bytes, mime: str) -> str:
+    """Deterministic stand-in feature: first 8 payload bytes as hex."""
+    return data[:8].hex()
+
+
+def decode_features(packed: DataFrame, use_real: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the multimodal struct."""
+    decode = _decode_real if use_real else _decode_fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [b["mime"] for b in blobs],
+                    "byte_len": [len(b["data"]) for b in blobs],
+                    "feat": [decode(bytes(b["data"]), b["mime"]) for b in blobs],
+                }
+            )
+
+    return packed.mapInPandas(run, FEATURE_SCHEMA)

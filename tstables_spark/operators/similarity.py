@@ -1,0 +1,124 @@
+"""Embedding similarity search: brute-force cosine top-k (the exact
+baseline) and hyperplane-LSH bucketed ANN (the scale path).
+
+Scale design: brute force is O(|Q| x |C|) dot products — correct
+whenever |Q| is small enough to broadcast (the typical "find neighbors
+of these suspects" query). For all-pairs at 100 TB, bucket vectors by
+an 8-bit random-hyperplane signature (sign(v . p_j) for 8 fixed planes,
+a SimHash for cosine space — Charikar 2002): vectors in the same bucket
+are cosine-close with high probability, and the join becomes an
+equi-join on the bucket id with per-bucket candidate sets ~N/256.
+Probing neighboring buckets (Hamming distance 1) trades compute for
+recall; multi-table LSH (several independent plane sets) is the
+standard recall knob.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _as_double_array(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def with_norm2(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds double-typed vector ``v`` and its squared L2 norm ``n2``."""
+    return emb.withColumn("v", _as_double_array(vec_col)).withColumn(
+        "n2", F.expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching ``query_pred``.
+
+    The (small) query side is broadcast; the candidate scan streams once
+    with no shuffle until the final per-query top-k (a windowed rank on
+    |Q| x k rows). Cosine is rounded to 4 decimals before ranking so
+    cross-engine float jitter cannot reorder ties non-deterministically.
+    """
+    base = with_norm2(emb)
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    c = base.select(F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2"))
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFrame:
+    """Adds an LSH ``bucket`` (int) from the signs of ``planes`` fixed
+    pseudo-random hyperplanes. Plane components are deterministic +/-1
+    derived from (dim index, plane index) by an LCG-style mix — no
+    runtime randomness, so buckets are reproducible across runs/engines."""
+    base = with_norm2(emb)
+    bits = []
+    for j in range(planes):
+        # plane_j[i] = +1 if ((i*2654435761 + j*40503) mod 4) < 2 else -1
+        dot_j = F.expr(
+            "aggregate(zip_with(v, transform(sequence(0, {d}), i -> "
+            "CASE WHEN pmod(i * 2654435761 + {j} * 40503, 4) < 2 THEN 1.0 ELSE -1.0 END), "
+            "(x, p) -> x * p), CAST(0 AS DOUBLE), (acc, x) -> acc + x)".format(d=dim - 1, j=j)
+        )
+        bits.append(F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = reduce(lambda a, b: a + b, bits)
+    return base.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored — an equi-join on bucket instead of a cross join."""
+    b = hyperplane_buckets(emb, planes)
+    q = b.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = b.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2"), "bucket"
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
+    scored = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )

@@ -1,5 +1,272 @@
-"""LLM-training-data pipeline plans (SURVEY.md §2 Table B phase 5).
+"""LLM-training-data pipeline plans (SURVEY.md §2 Table B phase 5):
+deduplication, similarity search, text analysis, multimodal columns.
 
-Populated in phase 5: dedup_exact/near/minhash, sim_topk/ivf,
-text_stats, lang_id, quality_score, doc_fingerprint, multimodal_schema.
+These are first-class engine operators (BASELINE.json north star), not
+demos: each maps to a linear-or-better distributed plan documented in
+the operators/ modules.
 """
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from tstables_spark.operators.multimodal import decode_features, pack_multimodal
+from tstables_spark.operators.similarity import cosine_topk, lsh_topk
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+# -- dedup ------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content sha256 — one hash aggregate."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_near",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.6
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard over an inverted-index
+    self-join (operators/dedup.py — the exact baseline the LSH variant
+    approximates)."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
+@query("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding (32 hashes, 8 bands) with exact-Jaccard verify
+    on candidates — the sub-quadratic scale path. Rows-only: hash-seed
+    specifics are engine-private; its correctness twin is dedup_near
+    (every returned pair must also be a dedup_near pair)."""
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.6
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints per document (rows-only: fingerprints
+    depend on Spark's xxhash64)."""
+    return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=32)
+
+
+# -- similarity search ------------------------------------------------------
+@query(
+    "sim_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, v AS cv, n2 AS cn2 FROM n),
+    s AS (SELECT qid, nid,
+                 round(list_sum(list_transform(generate_series(1, len(qv)),
+                                               i -> qv[i] * cv[i]))
+                       / sqrt(qn2 * cn2), 4) AS cosine
+          FROM q, c WHERE qid != nid),
+    r AS (SELECT qid, nid, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+          FROM s)
+    SELECT qid, nid, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10: broadcast
+    query side, one streaming scan of candidates, windowed rank. Cosine
+    rounded to 4dp before ranking for cross-engine determinism."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@query("sim_ivf")
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-plane hyperplane-LSH bucketing (candidates
+    only from the query's bucket — equi-join instead of cross join).
+    Rows-only: approximate by design; exact twin is sim_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, F.col("vec_id") < 10, k=5, planes=8)
+
+
+# -- text analysis ----------------------------------------------------------
+@query(
+    "text_stats",
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) / CAST(count(*) AS DOUBLE)
+               AS avg_tokens
+    FROM documents GROUP BY source, lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (source, lang): doc/char/token counts."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, str_split(lower(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS en_hits,
+                 len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'des'))) AS fr_hits,
+                 len(list_filter(toks, x -> x IN ('der', 'und', 'die', 'das'))) AS de_hits
+          FROM t)
+    SELECT doc_id, lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang,
+           (CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                 WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                 WHEN de_hits > 0 THEN 'de'
+                 ELSE 'unknown' END = lang) AS is_correct
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID — the standard cheap n-gram heuristic,
+    expressed as pure column ops (no UDF). The synthetic corpus reuses
+    one vocabulary for every lang label, so is_correct measures the
+    labels, not the method; parity is what the oracle checks."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    en = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).alias("en_hits")
+    fr = F.size(F.filter(toks, lambda x: x.isin("le", "la", "et", "des")))
+    de = F.size(F.filter(toks, lambda x: x.isin("der", "und", "die", "das")))
+    s = d.select("doc_id", "lang", en.cast("long").alias("en_hits"), fr.alias("f"), de.alias("g"))
+    pred = (
+        F.when((F.col("en_hits") >= F.col("f")) & (F.col("en_hits") >= F.col("g")) & (F.col("en_hits") > 0), "en")
+        .when((F.col("f") >= F.col("g")) & (F.col("f") > 0), "fr")
+        .when(F.col("g") > 0, "de")
+        .otherwise("unknown")
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "en_hits",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, n_chars, str_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, n_chars,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+                     AS stop_hits
+          FROM t)
+    SELECT doc_id, n_tokens, stop_hits,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+             + 0.5 * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) AS quality
+    FROM s
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword density + length saturation
+    (the usual pre-training corpus filters), all JVM-side arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    s = d.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    avg_tok = (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    quality = 0.5 * stop_ratio + 0.5 * F.least(
+        F.col("n_tokens").cast("double") / 300.0, F.lit(1.0)
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        avg_tok.alias("avg_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)) AS fingerprint,
+           CAST(length(regexp_replace(lower(text), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: sha256 of the first 64 chars of
+    whitespace-normalized text — the cheap prefilter before full dedup."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.sha2(F.substring(norm, 1, 64), 256).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# -- multimodal -------------------------------------------------------------
+@query("multimodal_schema")
+def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal struct column {binary, mime, meta map} round-tripped
+    through Parquet, then feature-extracted via Arrow-batched
+    mapInPandas (operators/multimodal.py; decode is a deterministic
+    stand-in — real codecs absent in this container). Rows-only."""
+    packed = pack_multimodal(load(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="mm_") + "/blobs"
+    packed.write.mode("overwrite").parquet(out)
+    return decode_features(spark.read.parquet(out))

@@ -10,6 +10,10 @@ order could differ between engines.
 
 from __future__ import annotations
 
+import functools
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +23,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the tstables_spark package to Spark's Python workers.
+
+    UDF / pandas-UDF / stateful-streaming closures reference functions in
+    this package; cloudpickle serializes those by module reference, so
+    the worker processes must be able to ``import tstables_spark`` even
+    when the driver process launched from an unrelated cwd (the external
+    verify harness does exactly that). ``addPyFile`` is also the standard
+    cluster-deploy path: the same zip ships to every executor on a real
+    cluster."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    import tstables_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(tstables_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="tstables_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` => driver does a rows-only check
@@ -27,9 +62,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

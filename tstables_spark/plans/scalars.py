@@ -1,5 +1,342 @@
-"""Scalar function breadth + UDF surface (SURVEY.md §2 Table B phase 3).
+"""Scalar function breadth + UDF/UDAF/UDTF surface (SURVEY.md §2 Table B
+phase 3).
 
-Populated in phase 3: fn_string/date/math/array/map/json,
-udf_scalar_pandas, udaf_grouped_agg, udtf_apply_in_pandas, udtf_python.
+Cross-engine discipline notes:
+
+- DuckDB ``length``/``len``/ranking/extract return BIGINT → Spark ints
+  are cast to long.
+- Transcendental fns (ln) are not guaranteed bit-identical across libm
+  implementations → rounded to 6 decimals on both sides (boundary
+  collision probability ~1e-10/cell). sqrt IS IEEE-correctly-rounded,
+  and +,-,*,/ are exact, so those are compared raw.
+- Python UDF paths compute group means via quantized-Decimal sums —
+  the same exact arithmetic as the decimal-sum trick in _exact.py — so
+  Arrow-batched pandas results hash-match the SQL oracle bit-for-bit.
 """
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tstables_spark.plans._exact import sql_sum
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+# -- strings ----------------------------------------------------------------
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lo_name,
+           upper(p_type) AS up_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 5) AS first5,
+           p_brand || '|' || p_type AS brand_type,
+           str_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           replace(p_type, 'E', '_') AS replaced,
+           (p_name LIKE '%red%') AS is_red
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part names — all JVM builtins inside
+    whole-stage codegen (no Python in the hot path)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo_name"),
+        F.upper("p_type").alias("up_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("first5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "E", "_").alias("replaced"),
+        F.col("p_name").like("%red%").alias("is_red"),
+    )
+
+
+# -- dates ------------------------------------------------------------------
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery (the reference's dt<->int64-ms conversion layer
+    A7, generalized). Spark dayofweek is 1=Sunday, DuckDB 0=Sunday —
+    aligned by subtracting 1."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# -- math -------------------------------------------------------------------
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7, 2) AS r2,
+           abs(l_discount - 0.05) AS ab,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           round(ln(l_extendedprice), 6) AS ln6,
+           sqrt(l_quantity) AS sq,
+           l_extendedprice * l_extendedprice AS pow2,
+           CAST(l_quantity AS BIGINT) % 7 AS md,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           greatest(l_tax, l_discount) AS gr
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. pow is spelled x*x (exact IEEE) and ln is rounded —
+    transcendentals are the only cross-engine nondeterminism here."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("r2"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.ceil("l_extendedprice").cast("long").alias("ce"),
+        F.floor("l_extendedprice").cast("long").alias("fl"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln6"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("pow2"),
+        (F.col("l_quantity").cast("long") % 7).alias("md"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.greatest("l_tax", "l_discount").alias("gr"),
+    )
+
+
+# -- arrays -----------------------------------------------------------------
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           list_contains(str_split(text, ' '), 'the') AS has_the,
+           str_split(text, ' ')[1] AS first_tok,
+           str_split(text, ' ')[-1] AS last_tok,
+           array_to_string(list_slice(str_split(text, ' '), 1, 3), '-') AS first3
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over tokenized documents (split / size /
+    contains / indexing / slice / join)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+    )
+
+
+# -- maps -------------------------------------------------------------------
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           CAST(user_id AS VARCHAR) AS uid_from_map,
+           CAST(2 AS BIGINT) AS n_keys,
+           'type,uid' AS keys_csv
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key lookup + introspection. The oracle computes
+    the same scalars directly (DuckDB map syntax differs; output equality
+    is what's checked)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "uid").alias("uid_from_map"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+# -- json -------------------------------------------------------------------
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (get_json_object) + typed parse (from_json
+    with an explicit schema — the engine's preferred path: schema-on-read
+    without inference)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        parsed.getField("k").isNotNull().alias("has_k"),
+    )
+
+
+# -- UDF surface ------------------------------------------------------------
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, Series->Series).
+    Pure per-row IEEE arithmetic — numpy and the SQL engines agree
+    bit-for-bit, so the oracle is the plain expression."""
+
+    @F.pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+def _exact_mean(values: pd.Series) -> float:
+    """Group mean via quantized-Decimal summation — bit-identical to
+    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)."""
+    q = Decimal("0.000001")
+    total = sum(
+        (Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) for v in values),
+        Decimal(0),
+    )
+    return float(total) / len(values)
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           median(l_extendedprice) AS med_price,
+           max(l_extendedprice) - min(l_extendedprice) AS price_spread,
+           {sql_sum('l_extendedprice')} / count(*) AS mean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped-aggregate pandas UDFs (GROUPED_AGG): median, spread,
+    and an exact mean (Decimal-summed to match the SQL decimal trick)."""
+
+    @F.pandas_udf("double")
+    def med(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("double")
+    def spread(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @F.pandas_udf("double")
+    def exact_mean(v: pd.Series) -> float:
+        return _exact_mean(v)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        med("l_extendedprice").alias("med_price"),
+        spread("l_extendedprice").alias("price_spread"),
+        exact_mean("l_extendedprice").alias("mean_price"),
+    )
+
+
+@query(
+    "udtf_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - (CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY user_id)) AS demeaned
+    FROM events
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map transform (applyInPandas): demean each user's values.
+    One Arrow batch per group; mean computed with exact Decimal
+    summation so the result hashes identically to the SQL window twin."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = _exact_mean(pdf["value"])
+        return pdf.assign(demeaned=pdf["value"] - mean)[
+            ["event_id", "user_id", "value", "demeaned"]
+        ]
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        demean, "event_id long, user_id long, value double, demeaned double"
+    )
+
+
+@query("udtf_python")
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4.x table function): explode each document
+    into (doc_id, pos, token) for its first 5 tokens. Rows-only check
+    (UDTF lateral-join shape has no single-statement DuckDB twin under
+    the driver's view registration)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" ")[:5]):
+                    yield doc_id, i, tok
+
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_udtf")
+    spark.udtf.register("tokenize5", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM __docs_for_udtf, "
+        "LATERAL tokenize5(doc_id, text) t"
+    )

@@ -1,5 +1,189 @@
 """Structured Streaming plans (SURVEY.md §2 Table B phase 4).
 
-Populated in phase 4: stream_ingest/tumbling/sliding/session/dedup/
-stateful, with batch-equivalence oracles where expressible.
+Each stream_* query actually runs a streaming query (file source ->
+availableNow trigger -> memory/parquet sink) and returns the final
+result as a DataFrame, so the driver's batch-shaped contract still
+applies. Oracles are the batch-equivalence twins (Spark's unified
+API guarantee: a streaming aggregation over a finite source equals the
+batch aggregation over the same data — SURVEY.md §5.4).
+
+Output-mode choices (they decide whether batch equivalence holds):
+- windowed aggs run in COMPLETE mode so windows still open at
+  end-of-stream are emitted too (append mode would withhold everything
+  past the final watermark — a deliberate streaming semantic that would
+  break the batch twin);
+- dedup runs in APPEND mode (rows emit immediately);
+- session windows: streaming session_window only emits *closed*
+  sessions under append+watermark, so the tail session of every key
+  would be withheld at end-of-stream; the operator therefore runs
+  session_window in batch mode here, with the streaming path covered by
+  stream_tumbling/sliding/stateful.
 """
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+from tstables_spark.streaming.ingest import ingest_stream
+from tstables_spark.streaming.stateful import running_user_stats
+
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events (with ts already micros-normalized) as a plain
+    parquet dir usable as a file-stream source."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED:
+        path = tempfile.mkdtemp(prefix="stream_src_") + "/events"
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+        _STAGED[key] = path
+    return _STAGED[key]
+
+
+def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query("stream_ingest")
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's streaming upgrade: file source -> watermark -> date-partitioned
+    parquet sink (exactly-once via sink commit log), then read back.
+    Rows-only (side-effecting)."""
+    src = _read_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ingest_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    ingest_stream(src, sink, ckpt, watermark="10 minutes").awaitTermination()
+    return spark.read.parquet(sink).drop("date")
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute counts per event type, run as a real streaming
+    aggregation (watermark 10m, complete mode), checked against the
+    batch twin."""
+    src = _read_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT to_timestamp((floor(epoch(ts) / 20) - k) * 20) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, (VALUES (0), (1), (2)) AS t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 minute every 20 seconds): every event lands in
+    exactly 3 windows; the oracle materializes the same 3 shifted
+    20-second-grid starts per event."""
+    src = _read_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute", "20 seconds"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"), F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 SECOND
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x)
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 SECOND AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30s gap) per user via session_window — checked
+    against the gaps-and-islands SQL formulation. Batch-mode run of the
+    same operator (see module docstring for why: append-mode streaming
+    withholds each key's tail session at end-of-stream by design)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark) — append mode, all rows emit."""
+    src = _read_stream(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@query("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count/sum/last over the stream. Rows-only: emission
+    granularity is per-micro-batch, an execution detail no batch SQL
+    reproduces."""
+    src = _read_stream(spark, sf_dir)
+    return _run_to_memory(running_user_stats(src), "update")

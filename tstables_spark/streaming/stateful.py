@@ -1,0 +1,49 @@
+"""Custom stateful streaming: per-key running aggregates via
+applyInPandasWithState (arbitrary state, Arrow-batched).
+
+The canonical use over the reference's data model: maintain per-series
+running statistics (count / sum / last value) as ticks arrive, emitting
+the updated state every micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_value double"
+STATE_SCHEMA = "n bigint, total double, last double"
+
+
+def _update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, last = state.get if state.exists else (0, 0.0, float("nan"))
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last = float(pdf["value"].iloc[-1])
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total], "last_value": [last]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user running stats; one output row per user per
+    micro-batch (Update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
