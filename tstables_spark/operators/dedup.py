@@ -5,12 +5,12 @@ Scale design (the point of each variant):
 
 - ``exact_dedup``: one hash aggregate — embarrassingly parallel at any
   scale.
-- ``jaccard_pairs``: exact pairwise Jaccard via an inverted-index
-  self-join on shingles. Cost is sum over shingles of df(s)^2 — fine
-  when shingle document-frequency is bounded; pass ``max_df`` to drop
-  stop-shingles (the standard trick that keeps the join linear-ish at
-  100 TB; dropped shingles only ever *lower* recall of high-frequency
-  boilerplate pairs).
+- ``jaccard_pairs``: exact pairwise Jaccard via an inverted index
+  (posting list per shingle, pairs expanded post-shuffle). Cost is sum
+  over shingles of df(s)^2 — fine when shingle document-frequency is
+  bounded; pass ``max_df`` to drop stop-shingles (the standard trick
+  that keeps the expansion linear-ish at 100 TB; dropped shingles only
+  ever *lower* recall of high-frequency boilerplate pairs).
 - ``minhash_lsh_pairs``: the sub-quadratic scale path. k min-hashes per
   doc -> b bands of r rows; only docs agreeing on a full band collide,
   so candidate generation is a cheap equi-join on (band, signature) and
@@ -27,24 +27,33 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) with per-doc-distinct word n-grams."""
+    """(doc_id, shingle) with per-doc-distinct word n-grams.
+
+    Plan-shape note: the n-gram ``transform`` lambda is a higher-order
+    function Spark evaluates interpreted (no whole-stage codegen), so it
+    must be evaluated exactly ONCE per row. A ``when(size>=n, ...)``
+    guard + plain ``explode`` makes Catalyst infer a ``size(arr)>0``
+    filter below the Generate that re-evaluates the whole lambda 2-3x
+    (measured 6x slower). Instead: pre-filter short docs on the cheap
+    ``size(split(...))`` predicate, then ``explode_outer`` (no inferred
+    filter) + null post-filter. Linear, shuffle-free at any scale.
+    """
     toks = F.split(F.lower(F.col(text_col)), " ")
-    parts = ", ".join(f"__toks[i+{j}]" for j in range(n))
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    sh = d.withColumn(
-        "__sh",
-        F.when(
-            F.size("__toks") >= n,
-            F.array_distinct(
-                F.expr(f"transform(sequence(0, size(__toks)-{n}), i -> concat_ws(' ', {parts}))")
-            ),
-        ).otherwise(F.array().cast(T.ArrayType(T.StringType()))),
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
     )
-    return sh.select("doc_id", F.explode("__sh").alias("shingle"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.concat_ws(" ", *[F.col("__toks")[i + j] for j in range(n)]),
+    )
+    return (
+        d.select("doc_id", F.explode_outer(F.array_distinct(gram)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,20 +71,37 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle."""
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Plan shape: classic inverted index. ONE wide shuffle builds the
+    posting list per shingle (``groupBy(shingle).collect_list``); both
+    downstream branches — per-shingle pair expansion and per-doc set
+    sizes — hang off that same aggregate, so Spark's ReuseExchange rule
+    materializes the expensive shingling exactly once (a naive
+    sh⋈sh self-join evaluates the interpreted n-gram lambda 3x). Pair
+    expansion is Σ_s df(s)² rows, all generated post-shuffle with no
+    broadcast; ``max_df`` drops stop-shingle posting lists right after
+    aggregation, which is what bounds the quadratic pair fanout at
+    100 TB (per-list agg memory spills via SortAggregate if a single
+    stop-shingle is pathological).
+    """
     sh = shingles(docs, n)
+    counted = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ds"), F.count("*").alias("df")
+    )
     if max_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
-        sh = sh.join(keep.select("shingle"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        counted = counted.where(F.col("df") <= max_df)
+    inv = counted.select("ds")
+    pairs = (
+        inv.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+    sizes = (
+        inv.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
@@ -105,8 +131,11 @@ def minhash_lsh_pairs(
     hashed = sh.select(
         "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]
     )
+    # One aggregate computes all k min-hashes AND the shingle-set size,
+    # so the doc_id shuffle (and the shingling below it) happens once.
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+        F.count("*").alias("n_sh"),
     )
     band_structs = F.array(
         *[
@@ -134,7 +163,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify only on candidates: intersect shingle sets by join.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     shared = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
