@@ -69,6 +69,44 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking-key groups.
+
+    Scale shape: the equi-join on ``block_col`` (shard/source/cluster id
+    in a real corpus; an LSH bucket from ``hyperplane_buckets`` when no
+    natural key exists) bounds the pairwise expansion to Σ_b n_b² — the
+    same blocked-verify pattern as MinHash candidate checking. One
+    shuffle on the block key; cosine rounded to 4dp for cross-engine
+    determinism.
+    """
+    base = with_norm2(emb)
+    a = base.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = base.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    cos = F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, "blk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFrame:
     """Adds an LSH ``bucket`` (int) from the signs of ``planes`` fixed
     pseudo-random hyperplanes. Plane components are deterministic +/-1

@@ -20,7 +20,11 @@ from tstables_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from tstables_spark.operators.multimodal import decode_features, pack_multimodal
-from tstables_spark.operators.similarity import cosine_topk, lsh_topk
+from tstables_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -83,6 +87,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=32)
 
 
+@query(
+    "dedup_embed",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM e),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                               i -> a.v[i] * b.v[i]))
+                       / sqrt(a.n2 * b.n2), 4) AS cosine
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking
+    key bounds the pairwise expansion — operators/similarity.py)."""
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
 # -- similarity search ------------------------------------------------------
 @query(
     "sim_topk",
@@ -141,6 +166,33 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(n_tok).alias("total_tokens"),
         (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS DOUBLE) / len(str_split(text, ' ')) AS tok_ratio
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single punctuation — the pre-tokenizer
+    shape real BPE vocabularies start from). Pure JVM regex, linear."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
+    ws = F.size(F.split("text", " ")).cast("long")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / ws).alias("tok_ratio"),
     )
 
 
