@@ -77,8 +77,8 @@ def test_min_max_dt(spark, root):
     assert ts.min_dt() is None and ts.max_dt() is None
     start = datetime(2024, 3, 1, 12, tzinfo=UTC)
     ts.append(_ticks(spark, start, 48))
-    assert ts.min_dt() == start.replace(tzinfo=None)
-    assert ts.max_dt() == (start + timedelta(hours=47)).replace(tzinfo=None)
+    assert ts.min_dt() == start  # tz-aware UTC, like the reference
+    assert ts.max_dt() == start + timedelta(hours=47)
 
 
 def test_timezone_normalization(spark, root):
@@ -103,7 +103,7 @@ def test_strict_order_append_rejected(spark, root):
         ts.append(_ticks(spark, start - timedelta(days=1), 2), strict_order=True)
     # non-strict accepts out-of-order (documented divergence)
     ts.append(_ticks(spark, start - timedelta(days=1), 2))
-    assert ts.min_dt() == (start - timedelta(days=1)).replace(tzinfo=None)
+    assert ts.min_dt() == start - timedelta(days=1)
 
 
 def test_schema_enforced(spark, root):

@@ -72,6 +72,12 @@ class TimeSeriesTable:
         self.spark = spark
         self.path = path
         self.schema = schema
+        # UTC is load-bearing, not cosmetic: to_date(ts) decides which
+        # day partition a row lands in, and read_range's literals are
+        # interpreted in session TZ. The reference pins everything to
+        # UTC (pytz-based converters); so do we, even on a caller's
+        # un-configured session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     # -- A1: create ---------------------------------------------------------
     @classmethod
@@ -146,6 +152,8 @@ class TimeSeriesTable:
             cur = self.max_dt()
             if cur is not None:
                 new_min = df.agg(F.min(TS_COL)).collect()[0][0]
+                if new_min is not None and new_min.tzinfo is None:
+                    new_min = new_min.replace(tzinfo=timezone.utc)
                 if new_min is not None and new_min < cur:
                     raise TimeSeriesTableError(
                         f"append-only order violated: batch min {new_min} < current max {cur}"
@@ -201,12 +209,56 @@ class TimeSeriesTable:
         return pruned.select(*self.schema.fieldNames())
 
     # -- A5/A6: min/max -----------------------------------------------------
+    def _partition_dates(self) -> list:
+        """Sorted list of date partition values, from partition-directory
+        names only — a pure metadata operation at any scale (the
+        reference's y/m/d group enumeration). Uses the Hadoop FileSystem
+        API so the same code works on HDFS/S3 on a real cluster."""
+        from datetime import date as _date
+
+        try:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+        except Exception:
+            try:
+                names = os.listdir(self.path)
+            except OSError:
+                return []
+        out = []
+        for n in names:
+            if n.startswith(f"{DATE_COL}="):
+                try:
+                    out.append(_date.fromisoformat(n.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _edge_dt(self, reverse: bool) -> datetime | None:
+        """Reference semantics (``TsTable.min_dt``/``max_dt``): walk day
+        partitions from the edge inward until one holds data. Each probe
+        scans ONE date partition — with parquet aggregate pushdown the
+        min/max is answered from row-group footers — so the cost is
+        independent of total table size."""
+        agg = F.max(TS_COL) if reverse else F.min(TS_COL)
+        df = self._df()
+        for d in sorted(self._partition_dates(), reverse=reverse):
+            val = df.where(F.col(DATE_COL) == F.lit(d)).agg(agg).collect()[0][0]
+            if val is not None:
+                # collect() yields naive datetimes in session TZ (UTC,
+                # pinned in __init__); return tz-aware UTC like the
+                # reference's pytz-localized min_dt/max_dt.
+                return val.replace(tzinfo=timezone.utc)
+        return None
+
     def min_dt(self) -> datetime | None:
-        """Earliest timestamp (footer-stats-only aggregate scan)."""
-        return self.to_df().agg(F.min(TS_COL)).collect()[0][0]
+        """Earliest timestamp (edge-partition walk, not a full scan)."""
+        return self._edge_dt(reverse=False)
 
     def max_dt(self) -> datetime | None:
-        return self.to_df().agg(F.max(TS_COL)).collect()[0][0]
+        """Latest timestamp (edge-partition walk, not a full scan)."""
+        return self._edge_dt(reverse=True)
 
 
 def _as_utc(dt: datetime) -> datetime:
