@@ -1,0 +1,65 @@
+"""Streaming ingest path: watermarked file-sink write into the engine
+layout, then OPTIMIZE-style compaction (SURVEY.md §2 stream_ingest /
+§4 file-layout compactor)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from tstables_spark.streaming.ingest import compact_series, ingest_stream
+
+UTC = timezone.utc
+
+
+def _make_source_files(spark, src_dir: str, n_batches: int = 4) -> int:
+    """Write several small parquet batches to simulate micro-batch arrivals."""
+    base = datetime(2024, 5, 1, 22, tzinfo=UTC)
+    total = 0
+    for b in range(n_batches):
+        rows = [
+            (base + timedelta(hours=b, minutes=10 * i), float(b * 100 + i))
+            for i in range(6)
+        ]
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        total += len(rows)
+    return total
+
+
+def test_ingest_then_compact(spark):
+    work = tempfile.mkdtemp(prefix="ts_stream_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    n = _make_source_files(spark, src)
+
+    stream_src = spark.readStream.schema("ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = ingest_stream(stream_src, sink, ckpt, watermark="1 hour", available_now=True)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == n
+    # spans the UTC-midnight boundary -> two date partitions
+    days = sorted(d.strftime("%Y-%m-%d") for (d,) in out.select("date").distinct().collect())
+    assert days == ["2024-05-01", "2024-05-02"]
+    files_before = len(glob.glob(os.path.join(sink, "date=*", "*.parquet")))
+
+    compact_series(spark, sink, files_per_day=1)
+    after = spark.read.parquet(sink)
+    assert after.count() == n
+    files_after = len(glob.glob(os.path.join(sink, "date=*", "*.parquet")))
+    assert files_after == 2 <= files_before
+    # in-file ts sort restored (tight row-group stats contract)
+    for day in days:
+        part = spark.read.parquet(os.path.join(sink, f"date={day}"))
+        rows = [r[0] for r in part.select("ts").collect()]
+        assert rows == sorted(rows)
+    # exactly-once bookkeeping survives: sums match the source
+    src_sum = spark.read.parquet(src).agg(F.sum("value")).collect()[0][0]
+    assert after.agg(F.sum("value")).collect()[0][0] == src_sum

@@ -39,15 +39,32 @@ def ingest_stream(
     return writer.start()
 
 
-def compact_series(spark: SparkSession, path: str, target_files_per_day: int = 1) -> None:
-    """Rewrite a series directory to coalesce small files and restore the
-    ts sort within each date partition (streaming ingest produces one
-    file per partition per micro-batch)."""
+def compact_series(spark: SparkSession, path: str, files_per_day: int = 1) -> None:
+    """OPTIMIZE-style rewrite: coalesce each date partition's micro-batch
+    files down to ``files_per_day`` and restore the in-file ts sort.
+
+    The shuffle key is (date, hash-bucket of ts): each (day, bucket)
+    pair lands wholly in one task, so every day produces at most
+    ``files_per_day`` sorted files regardless of day count — and the
+    rewrite parallelizes across days x buckets on a cluster. The
+    compacted tree is written to the side, then swapped in with two
+    renames (the same move a table-format OPTIMIZE hides behind a
+    metadata commit; readers mid-swap are the documented gap that
+    motivates a transactional table format at 100 TB)."""
     df = spark.read.parquet(path)
+    tmp = path + "__compacting"
     (
-        df.repartition(target_files_per_day, "date")
-        .sortWithinPartitions("ts")
+        df.repartition(F.col("date"), F.pmod(F.xxhash64("ts"), F.lit(files_per_day)))
+        .sortWithinPartitions("date", "ts")
         .write.mode("overwrite")
         .partitionBy("date")
-        .parquet(path + "__compacted")
+        .parquet(tmp)
     )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.rename(jpath, jold)
+    fs.rename(jtmp, jpath)
+    fs.delete(jold, True)
