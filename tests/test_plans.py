@@ -1,0 +1,89 @@
+"""Physical plan-shape assertions: the scale contracts SCALE.md claims
+(broadcast where expected, partial aggregation, window-group-limit
+pushdown, partition pruning, zero-exchange bucketed joins) must be
+visible in the executed plan, not just hoped for."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import tstables_spark.plans  # noqa: F401 — registers all queries
+from tstables_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,pattern",
+    [
+        ("join_broadcast", r"BroadcastHashJoin"),
+        ("join_semi", r"LeftSemi"),
+        ("join_anti", r"LeftAnti"),
+        ("agg_pricing_summary", r"partial_"),  # map-side combine
+        ("topk_per_group", r"WindowGroupLimit"),  # rank pushdown
+        ("sort_limit", r"TakeOrderedAndProject"),  # top-k, no global sort
+        ("scan_parquet", r"FileScan parquet"),
+    ],
+)
+def test_plan_contains(spark, sf_dir, name, pattern):
+    assert re.search(pattern, _plan(spark, sf_dir, name))
+
+
+@pytest.mark.parametrize(
+    "name,pattern",
+    [
+        # no cartesian/nested-loop anywhere in the core join family
+        ("join_shuffle", r"CartesianProduct|BroadcastNestedLoop"),
+        ("join_range", r"CartesianProduct"),
+        ("join_asof", r"CartesianProduct|BroadcastNestedLoop"),
+        ("dedup_near", r"CartesianProduct|BroadcastNestedLoop"),
+    ],
+)
+def test_plan_not_contains(spark, sf_dir, name, pattern):
+    assert not re.search(pattern, _plan(spark, sf_dir, name))
+
+
+def test_project_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "project_filter")
+    assert re.search(r"PushedFilters: \[\w", plan)  # non-empty pushdown
+    # column pruning reached the reader: only the referenced columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 7
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketing pays the shuffle at write time; the join + same-key
+    groupBy must then plan with zero Exchange operators."""
+    plan = _plan(spark, sf_dir, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_range_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """ts_range_scan on a TimeSeriesTable only lists the date partitions
+    overlapping the range (the reference's day-group walk)."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import types as T
+
+    from tstables_spark.tstable import TimeSeriesTable
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+    t = TimeSeriesTable.create(spark, str(tmp_path), "s", schema)
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [(base + timedelta(hours=h), float(h)) for h in range(10 * 24)]
+    t.append(spark.createDataFrame(rows, schema))
+    one_day = t.read_range(base + timedelta(days=4), base + timedelta(days=4, hours=23))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # partition count reported by the file index
+        assert int(m.group(1)) == 1
+    assert one_day.count() == 24

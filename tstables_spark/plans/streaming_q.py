@@ -179,6 +179,54 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
+@query(
+    "stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a click by
+    the same user. Both sides watermarked; the explicit time-range
+    condition is what lets Spark bound the join state (clicks older than
+    the watermark + 1h horizon are evicted) — the canonical
+    stream-stream join shape. Inner join in append mode emits every
+    match exactly once, so the batch twin is exact."""
+    clicks = (
+        _read_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _read_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
+
+
 @query("stream_stateful")
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
