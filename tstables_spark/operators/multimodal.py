@@ -72,3 +72,55 @@ def decode_features(packed: DataFrame, use_real: bool = False) -> DataFrame:
             )
 
     return packed.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+
+
+def image_resize(packed: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Thumbnail/resize over the multimodal struct (1 row in -> 1 row
+    out). Real path: PIL decode + resize inside the batch loop; here the
+    deterministic stand-in emits the first width*height payload bytes as
+    the 'thumbnail'. Batch shape and output schema are what a real
+    decoder would use; payload bytes never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [bytes(b["data"])[:n] for b in blobs],
+                }
+            )
+
+    return packed.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_feat string"
+
+
+def frame_sample(packed: DataFrame, every_n: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Video frame sampling (1 row in -> many rows out): mapInPandas is
+    also the fan-out shape — each yielded batch may hold more rows than
+    its input. Real path: av/ffmpeg keyframe iteration; the stand-in
+    treats every ``frame_bytes`` slice of the payload as one frame and
+    samples every ``every_n``-th, emitting its first-4-bytes hex as the
+    frame feature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob["data"])
+                n_frames = max(len(data) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    feats.append(data[fi * frame_bytes : fi * frame_bytes + 4].hex())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_feat": feats})
+
+    return packed.mapInPandas(run, FRAME_SCHEMA)

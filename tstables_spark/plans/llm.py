@@ -19,7 +19,12 @@ from tstables_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
-from tstables_spark.operators.multimodal import decode_features, pack_multimodal
+from tstables_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    image_resize,
+    pack_multimodal,
+)
 from tstables_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -322,3 +327,19 @@ def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mm_") + "/blobs"
     packed.write.mode("overwrite").parquet(out)
     return decode_features(spark.read.parquet(out))
+
+
+@query("multimodal_frames")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + thumbnail resize over multimodal structs: the
+    1->N fan-out and 1->1 transform shapes of mapInPandas (decode is the
+    documented deterministic stand-in — operators/multimodal.py).
+    Rows-only."""
+    packed = pack_multimodal(load(spark, sf_dir, "documents"))
+    frames = frame_sample(packed, every_n=4)
+    thumbs = image_resize(packed, 8, 8).select(
+        "doc_id", F.length("thumb").alias("thumb_bytes")
+    )
+    return frames.join(thumbs, "doc_id").select(
+        "doc_id", "frame_idx", "frame_feat", "thumb_bytes"
+    )
