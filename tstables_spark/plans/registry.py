@@ -65,6 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver calls with its own un-configured session; UTC is
+            # load-bearing for every timestamp comparison and the DuckDB
+            # oracle twin (which runs with TimeZone='UTC').
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             ensure_shipped(spark)
             return fn(spark, sf_dir)
 
