@@ -300,6 +300,61 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type. With the value list given explicitly the pivot is a single
+    hash aggregate over conditional counts — no extra pass to discover
+    distinct values, which is the form that scales."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "view", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return p.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           round(min(l_extendedprice), 6) AS p_min,
+           round(max(l_extendedprice), 6) AS p_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (JVM `percentile`, the
+    sort-based exact path; `approx_count_distinct`'s quantile sibling
+    `approx_percentile` is the constant-memory variant covered under
+    agg_approx_distinct's family). Rounded to 6dp: both engines
+    interpolate (1-f)*a + f*b over the sorted values but may order the
+    arithmetic differently."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = lambda q: F.round(F.percentile("l_extendedprice", F.lit(q)), 6)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+        F.round(F.min("l_extendedprice"), 6).alias("p_min"),
+        F.round(F.max("l_extendedprice"), 6).alias("p_max"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
     SELECT r_name, n_name,
