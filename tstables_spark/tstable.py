@@ -123,7 +123,7 @@ class TimeSeriesTable:
         return cls(spark, path, schema)
 
     # -- A3: append ---------------------------------------------------------
-    def append(self, df: DataFrame, strict_order: bool = False) -> None:
+    def append(self, df: DataFrame, strict_order: bool = False, files_per_day: int = 1) -> None:
         """Append a batch, split into UTC-day partitions, sorted by ts.
 
         Reference behavior (``TsTable.append``): convert the pandas
@@ -138,8 +138,9 @@ class TimeSeriesTable:
         At 100 TB the same plan holds: the repartition is a single shuffle
         keyed on the (low-cardinality, time-ordered) date, and each
         executor writes only the partitions it owns. For heavy single-day
-        backfills, pass more partitions via ``repartition(N, date, bucket)``
-        upstream — the layout contract is only "sorted by ts within each
+        backfills pass ``files_per_day > 1``: the shuffle key becomes
+        (date, ts-hash-bucket) so one day's rows spread over N writer
+        tasks — the layout contract is only "sorted by ts within each
         file", which any file count satisfies.
         """
         got = {f.name: f.dataType for f in df.schema.fields}
@@ -158,10 +159,21 @@ class TimeSeriesTable:
                     raise TimeSeriesTableError(
                         f"append-only order violated: batch min {new_min} < current max {cur}"
                     )
+        dated = df.withColumn(DATE_COL, F.to_date(F.col(TS_COL)))
+        if files_per_day > 1:
+            dated = dated.repartition(
+                F.col(DATE_COL), F.pmod(F.xxhash64(TS_COL), F.lit(files_per_day))
+            )
+        else:
+            dated = dated.repartition(DATE_COL)
         (
-            df.withColumn(DATE_COL, F.to_date(F.col(TS_COL)))
-            .repartition(DATE_COL)
-            .sortWithinPartitions(TS_COL)
+            # Sort by (date, ts), not just ts: the dynamic-partition
+            # writer requires task rows ordered by the partition column
+            # and inserts its own UNSTABLE sort on `date` when they are
+            # not — which silently destroys the in-file ts order the
+            # whole layout contract rests on. Sorting by the full prefix
+            # satisfies the writer's requirement so no extra sort runs.
+            dated.sortWithinPartitions(DATE_COL, TS_COL)
             .write.mode("append")
             .partitionBy(DATE_COL)
             .parquet(self.path)
