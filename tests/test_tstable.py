@@ -161,3 +161,22 @@ def test_open_roundtrip_and_property_union(spark, root):
     both = ts.read_range(a, c)
     assert left.count() + right.count() == both.count() == 50
     assert left.unionByName(right).exceptAll(both).count() == 0
+
+
+def test_appended_files_are_ts_sorted_within(spark, root):
+    """The layout contract (tight row-group stats) requires every data
+    file internally sorted by ts. Regression: the dynamic-partition
+    writer re-sorts task rows by the partition column with an UNSTABLE
+    sort unless the data already arrives ordered by it — append must
+    therefore sort by (date, ts), not ts alone."""
+    import glob
+    import os
+
+    ts = TimeSeriesTable.create(spark, root, "sorted_check", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 48), files_per_day=2)
+    files = glob.glob(os.path.join(root, "sorted_check", "date=*", "*.parquet"))
+    assert files
+    for f in files:
+        vals = [r[0] for r in spark.read.parquet(f).select("ts").collect()]
+        assert vals == sorted(vals), f

@@ -89,7 +89,9 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         ev.withColumn("date", F.to_date("ts"))
         .repartition("date")
-        .sortWithinPartitions("ts")
+        # (date, ts): pre-satisfies the dynamic-partition writer's
+        # ordering requirement so it can't re-sort unstably (tstable.py)
+        .sortWithinPartitions("date", "ts")
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(out)
