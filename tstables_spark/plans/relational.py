@@ -33,6 +33,44 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem")
 
 
+_INTERCHANGE: dict[tuple[str, str, str], str] = {}
+
+
+def _staged_interchange(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Stage the nation fixture as CSV / JSON-lines once per (app, sf)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    if key not in _INTERCHANGE:
+        path = tempfile.mkdtemp(prefix=f"src_{fmt}_") + "/nation"
+        df = load(spark, sf_dir, "nation")
+        if fmt == "csv":
+            df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        else:
+            df.coalesce(1).write.mode("overwrite").json(path)
+        _INTERCHANGE[key] = path
+    return _INTERCHANGE[key]
+
+
+@query("scan_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with a mandatory schema, FAILFAST malformed-row policy
+    (tstables_spark.sources — no inference pass at any scale)."""
+    from tstables_spark.sources import read_csv
+
+    schema = load(spark, sf_dir, "nation").schema
+    return read_csv(spark, _staged_interchange(spark, sf_dir, "csv"), schema)
+
+
+@query("scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with a mandatory schema (sources.read_json)."""
+    from tstables_spark.sources import read_json
+
+    schema = load(spark, sf_dir, "nation").schema
+    return read_json(spark, _staged_interchange(spark, sf_dir, "json"), schema)
+
+
 @query(
     "project_filter",
     oracle="""
