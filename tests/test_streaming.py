@@ -32,6 +32,44 @@ def _make_source_files(spark, src_dir: str, n_batches: int = 4) -> int:
     return total
 
 
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state(spark):
+    """transformWithStateInPandas twin of stream_stateful — runs only
+    where the python protobuf dependency its driver worker needs is
+    importable (broken in this container; see plans/streaming_q.py)."""
+    import pytest
+
+    if not _protobuf_usable():
+        pytest.skip("google.protobuf unusable; transformWithStateInPandas gated")
+    from tstables_spark.streaming.stateful import running_user_stats_tws
+
+    work = tempfile.mkdtemp(prefix="tws_")
+    base = datetime(2024, 5, 1, tzinfo=UTC)
+    rows = [(i, base + timedelta(seconds=i), i % 3, float(i)) for i in range(30)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).write.parquet(work + "/src")
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(work + "/src")
+    out = running_user_stats_tws(src)
+    q = (
+        out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.n_events for r in spark.table("tws_out").collect()}
+    assert got == {0: 10, 1: 10, 2: 10}
+
+
 def test_ingest_then_compact(spark):
     work = tempfile.mkdtemp(prefix="ts_stream_")
     src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))

@@ -235,3 +235,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces."""
     src = _read_stream(spark, sf_dir)
     return _run_to_memory(running_user_stats(src), "update")
+
+
+# NOTE: running_user_stats_tws (transformWithStateInPandas, the Spark
+# 4.x forward path for custom stateful ops) is implemented in
+# streaming/stateful.py but NOT registered: the API's driver-side
+# worker needs the python protobuf package, which is broken in this
+# container (ImportError on google.protobuf.descriptor). The
+# applyInPandasWithState twin above covers the semantics; the tws
+# variant is covered by a test that skips when protobuf is unusable.

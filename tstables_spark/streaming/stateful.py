@@ -47,3 +47,43 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Same per-user running stats on the Spark 4.x
+    ``transformWithStateInPandas`` API (typed state variables on a
+    StatefulProcessor instead of a raw state tuple; state is stored in
+    the RocksDB-backed state store on a real cluster, so per-key state
+    scales past executor memory — the forward path for custom stateful
+    ops)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last = self._state.get() if self._state.exists() else (0, 0.0, float("nan"))
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    last = float(pdf["value"].iloc[-1])
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_value": [last]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
