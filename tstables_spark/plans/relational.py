@@ -191,6 +191,37 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_multi",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           {sql_sum} / count(*) AS avg_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """.format(sql_sum=sql_sum("s.s_acctbal")),
+)
+def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way dim chain (region -> nation -> supplier) + aggregate.
+    Declared as plain inner joins: Catalyst reorders and broadcasts the
+    two tiny dims, so the fact side streams through two broadcast hash
+    joins with zero shuffles before the aggregate."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (exact_sum("s_acctbal") / F.count("*")).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
     "join_left",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
