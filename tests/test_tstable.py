@@ -180,3 +180,32 @@ def test_appended_files_are_ts_sorted_within(spark, root):
     for f in files:
         vals = [r[0] for r in spark.read.parquet(f).select("ts").collect()]
         assert vals == sorted(vals), f
+
+
+def test_pandas_edge_roundtrip(spark, root):
+    """The reference's native interface: append a pandas DataFrame with a
+    tz-aware DatetimeIndex, read a range back as a tz-aware-indexed
+    pandas DataFrame; naive indexes are rejected."""
+    import pandas as pd
+
+    ts = TimeSeriesTable.create(spark, root, "pd_edge", SCHEMA)
+    idx = pd.date_range("2024-03-01", periods=48, freq="h", tz="UTC")
+    pdf = pd.DataFrame(
+        {"symbol": "EURUSD", "price": [float(i) for i in range(48)]}, index=idx
+    )
+    ts.append_pandas(pdf)
+
+    got = ts.read_range_pandas(
+        datetime(2024, 3, 1, 10, tzinfo=UTC), datetime(2024, 3, 2, 5, tzinfo=UTC)
+    )
+    assert len(got) == 20
+    assert str(got.index.tz) == "UTC" and got.index.name == "ts"
+    assert got["price"].iloc[0] == 10.0 and got["price"].iloc[-1] == 29.0
+    assert got.index.is_monotonic_increasing
+
+    naive = pdf.copy()
+    naive.index = naive.index.tz_localize(None)
+    with pytest.raises(TimeSeriesTableError, match="tz-aware"):
+        ts.append_pandas(naive)
+    with pytest.raises(TimeSeriesTableError, match="DatetimeIndex"):
+        ts.append_pandas(pdf.reset_index(drop=True))

@@ -220,6 +220,40 @@ class TimeSeriesTable:
         )
         return pruned.select(*self.schema.fieldNames())
 
+    # -- pandas edge (the reference's native interface) ---------------------
+    def append_pandas(self, pdf, strict_order: bool = False, files_per_day: int = 1) -> None:
+        """Append a pandas DataFrame with a tz-aware DatetimeIndex — the
+        reference's exact input shape (``TsTable.append(dataframe)``).
+        Naive indexes are rejected like the reference's pytz validation;
+        the index becomes the ``ts`` column (µs precision, UTC)."""
+        import pandas as pd
+
+        if not isinstance(pdf.index, pd.DatetimeIndex):
+            raise TimeSeriesTableError("append_pandas requires a DatetimeIndex")
+        if pdf.index.tz is None:
+            raise TimeSeriesTableError(
+                "DatetimeIndex must be tz-aware (the reference rejects naive timestamps)"
+            )
+        out = pdf.copy()
+        out.insert(0, TS_COL, pdf.index.tz_convert("UTC").tz_localize(None))
+        out = out.reset_index(drop=True)
+        sdf = self.spark.createDataFrame(out, schema=self.schema)
+        self.append(sdf, strict_order=strict_order, files_per_day=files_per_day)
+
+    def read_range_pandas(self, start: datetime, end: datetime):
+        """``read_range`` returning the reference's output shape: a pandas
+        DataFrame indexed by a tz-aware UTC DatetimeIndex (Arrow-backed
+        collect; only the requested range crosses the driver)."""
+        pdf = self.read_range(start, end).toPandas()
+        idx = pdf[TS_COL]
+        try:
+            idx = idx.dt.tz_localize("UTC")
+        except TypeError:  # already tz-aware
+            idx = idx.dt.tz_convert("UTC")
+        out = pdf.drop(columns=[TS_COL])
+        out.index = idx.rename(TS_COL)
+        return out.sort_index()
+
     # -- A5/A6: min/max -----------------------------------------------------
     def _partition_dates(self) -> list:
         """Sorted list of date partition values, from partition-directory
