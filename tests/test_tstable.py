@@ -209,3 +209,13 @@ def test_pandas_edge_roundtrip(spark, root):
         ts.append_pandas(naive)
     with pytest.raises(TimeSeriesTableError, match="DatetimeIndex"):
         ts.append_pandas(pdf.reset_index(drop=True))
+
+
+def test_list_series(spark, root):
+    from tstables_spark.tstable import list_series
+
+    assert list_series(root) == []
+    TimeSeriesTable.create(spark, root, "a_series", SCHEMA)
+    TimeSeriesTable.create(spark, root, "b_series", SCHEMA)
+    assert list_series(root) == ["a_series", "b_series"]
+    assert list_series(root + "/does_not_exist") == []

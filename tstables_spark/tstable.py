@@ -307,6 +307,18 @@ class TimeSeriesTable:
         return self._edge_dt(reverse=True)
 
 
+def list_series(root: str) -> list[str]:
+    """Names of all series under a catalog root (the reference's File
+    holds many series groups; this is the directory-level analog)."""
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return []
+    return sorted(
+        n for n in names if os.path.exists(os.path.join(root, n, _META_FILE))
+    )
+
+
 def _as_utc(dt: datetime) -> datetime:
     """Naive datetimes are rejected by the reference; we interpret them as
     UTC but tz-aware input is normalized to UTC, matching the pytz-based
