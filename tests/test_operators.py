@@ -1,0 +1,116 @@
+"""Unit tests for standalone operators (rangejoin, dedup internals,
+tstable name validation) not otherwise covered by the oracle registry."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from tstables_spark.operators.dedup import jaccard_pairs
+from tstables_spark.operators.rangejoin import banded_range_join, interval_join
+from tstables_spark.tstable import TimeSeriesTable, TimeSeriesTableError
+
+
+def _ts(s):
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "id long, ts timestamp")
+
+
+def test_banded_range_join_matches_bruteforce(spark):
+    rows = [(i, _ts(f"2024-01-01 00:{m:02d}:{s:02d}")) for i, (m, s) in enumerate(
+        [(0, 0), (0, 30), (1, 0), (2, 15), (10, 0), (10, 59), (11, 1), (59, 59)]
+    )]
+    df = _events(spark, rows)
+    got = banded_range_join(
+        df, df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts", "rts", horizon_seconds=90,
+    )
+    got_pairs = {(r.id, r.rid) for r in got.collect()}
+    brute = {
+        (a, ra) for a, ta in rows for ra, tb in rows
+        if 0 < (tb - ta).total_seconds() <= 90
+    }
+    assert got_pairs == brute and len(brute) > 0
+
+
+def test_banded_range_join_negative_epoch(spark):
+    """Pre-1970 timestamps: cast('long') truncation toward zero used to
+    mis-band rows around the epoch and drop matching pairs."""
+    rows = [
+        (0, _ts("1969-12-31 23:59:30")),
+        (1, _ts("1969-12-31 23:59:55")),
+        (2, _ts("1970-01-01 00:00:20")),
+        (3, _ts("1970-01-01 00:01:30")),
+    ]
+    df = _events(spark, rows)
+    got = banded_range_join(
+        df, df.select(F.col("id").alias("rid"), F.col("ts").alias("rts")),
+        "ts", "rts", horizon_seconds=60,
+    )
+    got_pairs = {(r.id, r.rid) for r in got.collect()}
+    brute = {
+        (a, b) for a, ta in rows for b, tb in rows
+        if 0 < (tb - ta).total_seconds() <= 60
+    }
+    # crosses the epoch boundary both ways: (0,1), (0,2), (1,2)
+    assert got_pairs == brute == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_interval_join_basic(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k long, lo long")
+    right = spark.createDataFrame([(1, 12), (1, 99), (2, 25)], "k long, x long")
+    out = interval_join(
+        left.alias("l"), right.alias("r"),
+        on=F.col("l.k") == F.col("r.k"),
+        lower=F.col("r.x") >= F.col("l.lo"),
+        upper=F.col("r.x") <= F.col("l.lo") + 10,
+    )
+    assert {(r["lo"], r["x"]) for r in out.collect()} == {(10, 12), (20, 25)}
+
+
+def test_jaccard_max_df_only_lowers_recall(spark):
+    """max_df must never ADD pairs: denominators come from unfiltered
+    shingle sets, so filtering stop-shingles only removes evidence."""
+    docs = spark.createDataFrame(
+        [
+            # a/b: near-dups sharing most shingles
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy cat today"),
+            # c/d share ONLY a high-frequency boilerplate phrase
+            (3, "common header phrase one unique tail alpha beta gamma"),
+            (4, "common header phrase two other tail delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    filtered = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, n=3, threshold=0.3, max_df=3).collect()
+    }
+    assert filtered <= base  # never creates pairs
+
+
+@pytest.mark.parametrize("bad", ["../escape", "a/b", "/abs", "..", "x y"])
+def test_series_name_validation(spark, tmp_path, bad):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    with pytest.raises(TimeSeriesTableError):
+        TimeSeriesTable.create(spark, str(tmp_path), bad, schema)
+
+
+def test_create_is_exclusive(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    TimeSeriesTable.create(spark, str(tmp_path), "s1", schema)
+    with pytest.raises(TimeSeriesTableError):
+        TimeSeriesTable.create(spark, str(tmp_path), "s1", schema)

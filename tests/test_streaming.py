@@ -101,3 +101,42 @@ def test_ingest_then_compact(spark):
     # exactly-once bookkeeping survives: sums match the source
     src_sum = spark.read.parquet(src).agg(F.sum("value")).collect()[0][0]
     assert after.agg(F.sum("value")).collect()[0][0] == src_sum
+
+
+def test_compact_single_partition(spark):
+    """dates=[...] compacts only the named day and leaves others alone."""
+    work = tempfile.mkdtemp(prefix="ts_compact1_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    n = _make_source_files(spark, src)
+    stream_src = spark.readStream.schema("ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    ingest_stream(stream_src, sink, ckpt, watermark="1 hour", available_now=True).awaitTermination(120)
+
+    files_d2_before = len(glob.glob(os.path.join(sink, "date=2024-05-02", "*.parquet")))
+    compact_series(spark, sink, files_per_day=1, dates=["2024-05-01"])
+    out = spark.read.parquet(sink)
+    assert out.count() == n
+    assert len(glob.glob(os.path.join(sink, "date=2024-05-01", "*.parquet"))) == 1
+    # untouched partition keeps its original file count
+    assert len(glob.glob(os.path.join(sink, "date=2024-05-02", "*.parquet"))) == files_d2_before
+    rows = [r[0] for r in spark.read.parquet(os.path.join(sink, "date=2024-05-01")).select("ts").collect()]
+    assert rows == sorted(rows)
+
+
+def test_compact_refuses_leftover_precompact(spark):
+    work = tempfile.mkdtemp(prefix="ts_compact2_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    _make_source_files(spark, src)
+    stream_src = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    ingest_stream(stream_src, sink, ckpt, watermark="1 hour", available_now=True).awaitTermination(120)
+
+    os.makedirs(sink + "__precompact", exist_ok=True)
+    before = spark.read.parquet(sink).count()
+    try:
+        compact_series(spark, sink, files_per_day=1)
+        assert False, "expected IOError on leftover __precompact"
+    except Exception:
+        pass
+    # original data untouched by the aborted run
+    assert spark.read.parquet(sink).count() == before

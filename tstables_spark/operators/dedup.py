@@ -83,15 +83,18 @@ def jaccard_pairs(
     broadcast; ``max_df`` drops stop-shingle posting lists right after
     aggregation, which is what bounds the quadratic pair fanout at
     100 TB (per-list agg memory spills via SortAggregate if a single
-    stop-shingle is pathological).
+    stop-shingle is pathological). Per-doc set sizes (the Jaccard
+    denominator) come from the UNFILTERED posting lists, so max_df only
+    removes shared-shingle evidence — it can only lower recall, never
+    create false positives.
     """
     sh = shingles(docs, n)
     counted = sh.groupBy("shingle").agg(
         F.collect_list("doc_id").alias("ds"), F.count("*").alias("df")
     )
-    if max_df is not None:
-        counted = counted.where(F.col("df") <= max_df)
     inv = counted.select("ds")
+    if max_df is not None:
+        inv = counted.where(F.col("df") <= max_df).select("ds")
     pairs = (
         inv.select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
@@ -99,7 +102,7 @@ def jaccard_pairs(
     )
     shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
     sizes = (
-        inv.select(F.explode("ds").alias("doc_id"))
+        counted.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"))
     )

@@ -51,8 +51,11 @@ def banded_range_join(
     """
     band = band_seconds or horizon_seconds
     n_bands = -(-horizon_seconds // band) + 1  # ceil + own band
-    l_band = (F.unix_timestamp(F.col(left_ts)) / band).cast("long")
-    r_band = (F.unix_timestamp(F.col(right_ts)) / band).cast("long")
+    # floor, not cast: cast('long') truncates toward zero, which for
+    # pre-1970 (negative-epoch) timestamps shifts band ids by one around
+    # the epoch boundary and silently drops matching pairs.
+    l_band = F.floor(F.unix_timestamp(F.col(left_ts)) / band).cast("long")
+    r_band = F.floor(F.unix_timestamp(F.col(right_ts)) / band).cast("long")
     l = left.withColumn(
         "__band", F.explode(F.sequence(l_band, l_band + F.lit(n_bands - 1)))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from tstables_spark.operators.asof import asof_join
+from tstables_spark.operators.rangejoin import banded_range_join
 from tstables_spark.operators.resample import resample_ohlc
 from tstables_spark.plans._exact import exact_wsum, sql_sum, sql_wsum
 from tstables_spark.plans.registry import query
@@ -369,3 +370,31 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join via time-band bucketing
+    (operators/rangejoin.py::banded_range_join): every event pair within
+    a 2-minute forward horizon, with no equi key at all. A naive plan is
+    a cartesian product with a filter — O(n^2), dead at 100 TB. Banding
+    assigns each row to floor(ts/band) buckets and explodes the left
+    side into the 2 candidate bands, making the band id a synthetic
+    equi key: the join becomes a shuffle hash join whose work is bounded
+    by rows-per-band^2 per band, independent of total table size. The
+    oracle is the brute-force self-join (DuckDB plans it as an IEJoin,
+    exact by construction)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    left = ev.select(F.col("event_id").alias("left_id"), F.col("ts").alias("left_ts"))
+    right = ev.select(F.col("event_id").alias("right_id"), F.col("ts").alias("right_ts"))
+    return banded_range_join(
+        left, right, "left_ts", "right_ts", horizon_seconds=120
+    ).select("left_id", "right_id", "left_ts", "right_ts")

@@ -25,7 +25,17 @@ def ingest_stream(
     watermark: str = "10 minutes",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Start a watermarked streaming write into the engine's layout."""
+    """Start a watermarked streaming write into the engine's layout.
+
+    Read-performance caveat (correctness is unaffected): streaming
+    DataFrames cannot ``sortWithinPartitions``, so freshly ingested files
+    are NOT ts-sorted and ``read_range`` loses parquet row-group min/max
+    skipping on them until ``compact_series`` rewrites the partition.
+    The degraded window is bounded only by compaction cadence — run
+    ``compact_series(..., dates=[<hot days>])`` frequently on the days a
+    stream is actively appending to (cheap: it rewrites only those
+    partitions), and the full-table variant on a slower schedule.
+    """
     out = src.withWatermark(ts_col, watermark).withColumn("date", F.to_date(F.col(ts_col)))
     writer = (
         out.writeStream.format("parquet")
@@ -39,19 +49,54 @@ def ingest_stream(
     return writer.start()
 
 
-def compact_series(spark: SparkSession, path: str, files_per_day: int = 1) -> None:
+def _checked_rename(fs, src, dst) -> None:
+    """fs.rename reports failure by RETURNING false (not raising) — e.g.
+    renaming onto an existing path, which RawLocalFileSystem 'handles' by
+    nesting the source inside the destination. Raise so a failed swap can
+    never cascade into deleting the original data."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def compact_series(
+    spark: SparkSession,
+    path: str,
+    files_per_day: int = 1,
+    dates: list | None = None,
+) -> None:
     """OPTIMIZE-style rewrite: coalesce each date partition's micro-batch
     files down to ``files_per_day`` and restore the in-file ts sort.
 
     The shuffle key is (date, hash-bucket of ts): each (day, bucket)
     pair lands wholly in one task, so every day produces at most
     ``files_per_day`` sorted files regardless of day count — and the
-    rewrite parallelizes across days x buckets on a cluster. The
-    compacted tree is written to the side, then swapped in with two
-    renames (the same move a table-format OPTIMIZE hides behind a
-    metadata commit; readers mid-swap are the documented gap that
-    motivates a transactional table format at 100 TB)."""
+    rewrite parallelizes across days x buckets on a cluster.
+
+    ``dates=None`` compacts the whole table: the compacted tree is
+    written to the side and swapped in with two renames. Readers in the
+    brief window between them see a missing path — the documented gap
+    that motivates a transactional table format at 100 TB. Every rename's
+    boolean return is checked (Hadoop fs.rename reports failure by
+    returning false), and a leftover ``__precompact`` dir from a crashed
+    prior run aborts the swap before any destructive step.
+
+    ``dates=[...]`` compacts only those date partitions (partition
+    pruning keeps the read to just them) and swaps each ``date=`` dir
+    individually — the cheap path to run frequently on the hot days a
+    stream is appending to, with a per-partition (not whole-table)
+    reader-visible window.
+
+    Either way the streaming file-sink's ``_spark_metadata`` commit log
+    is dropped: it enumerates the pre-compaction files, and a reader
+    that trusts it would look for files the rewrite replaced. After the
+    first compaction the table is a plain parquet tree (batch readers
+    list the directory; the stream's own exactly-once bookkeeping lives
+    in its checkpoint, not the sink log) — the same trade a table-format
+    OPTIMIZE makes explicit."""
     df = spark.read.parquet(path)
+    if dates is not None:
+        date_strs = [str(d) for d in dates]
+        df = df.where(F.col("date").cast("string").isin(date_strs))
     tmp = path + "__compacting"
     (
         df.repartition(F.col("date"), F.pmod(F.xxhash64("ts"), F.lit(files_per_day)))
@@ -61,10 +106,41 @@ def compact_series(spark: SparkSession, path: str, files_per_day: int = 1) -> No
         .parquet(tmp)
     )
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    jold = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(path)
+    jtmp = hpath(tmp)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.rename(jpath, jold)
-    fs.rename(jtmp, jpath)
-    fs.delete(jold, True)
+    try:
+        if dates is not None:
+            fs.delete(hpath(f"{path}/_spark_metadata"), True)
+            for d in date_strs:
+                part, tpart = f"{path}/date={d}", f"{tmp}/date={d}"
+                jpart, jtpart = hpath(part), hpath(tpart)
+                jold = hpath(part + "__precompact")
+                if not fs.exists(jtpart):
+                    continue  # no rows for this date — nothing to swap
+                if fs.exists(jold):
+                    raise IOError(
+                        f"leftover {part}__precompact from a crashed compaction; "
+                        "resolve it manually before re-running"
+                    )
+                if fs.exists(jpart):
+                    _checked_rename(fs, jpart, jold)
+                _checked_rename(fs, jtpart, jpart)
+                fs.delete(jold, True)
+        else:
+            jold = hpath(path + "__precompact")
+            if fs.exists(jold):
+                raise IOError(
+                    f"leftover {path}__precompact from a crashed compaction; "
+                    "resolve it manually before re-running"
+                )
+            _checked_rename(fs, jpath, jold)
+            try:
+                _checked_rename(fs, jtmp, jpath)
+            except Exception:
+                _checked_rename(fs, jold, jpath)  # roll back, keep original visible
+                raise
+            fs.delete(jold, True)
+    finally:
+        fs.delete(jtmp, True)

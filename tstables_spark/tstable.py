@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,7 +62,16 @@ class TimeSeriesTableError(ValueError):
     pass
 
 
+_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
 def _series_path(root: str, name: str) -> str:
+    # A series name is a catalog slug, not a path: reject separators,
+    # absolute paths and '..' so a hostile name can't escape the root.
+    if not _NAME_RE.match(name) or name in (".", ".."):
+        raise TimeSeriesTableError(
+            f"invalid series name {name!r}: must match [A-Za-z0-9._-]+"
+        )
     return os.path.join(root, name)
 
 
@@ -102,10 +112,14 @@ class TimeSeriesTable:
         if not isinstance(field.dataType, T.TimestampType):
             raise TimeSeriesTableError(f"'{ts_col}' must be TimestampType, got {field.dataType}")
         path = _series_path(root, name)
-        if os.path.exists(os.path.join(path, _META_FILE)):
-            raise TimeSeriesTableError(f"series already exists at {path}")
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, _META_FILE), "w") as f:
+        # O_EXCL makes the exists-check-and-create one atomic step, so two
+        # concurrent creators can't both think they won the race.
+        try:
+            fd = os.open(os.path.join(path, _META_FILE), os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            raise TimeSeriesTableError(f"series already exists at {path}") from None
+        with os.fdopen(fd, "w") as f:
             json.dump({"schema": schema.jsonValue(), "ts_col": ts_col, "version": 1}, f)
         return cls(spark, path, schema)
 
