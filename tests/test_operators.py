@@ -114,3 +114,21 @@ def test_create_is_exclusive(spark, tmp_path):
     TimeSeriesTable.create(spark, str(tmp_path), "s1", schema)
     with pytest.raises(TimeSeriesTableError):
         TimeSeriesTable.create(spark, str(tmp_path), "s1", schema)
+
+
+def test_grouped_apply_matches_native(spark):
+    """grouped_apply_in_pandas == groupBy().applyInPandas() on the same
+    fn, including null keys and multi-column keys."""
+    import pandas as pd
+    from tstables_spark.operators.groupmap import grouped_apply_in_pandas
+
+    rows = [(i, i % 7 if i % 11 else None, i % 3, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k1 long, k2 long, v double")
+    schema = "id long, k1 long, k2 long, v double, r double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(r=pdf["v"] - pdf["v"].min())[["id", "k1", "k2", "v", "r"]]
+
+    native = df.groupBy("k1", "k2").applyInPandas(fn, schema)
+    ours = grouped_apply_in_pandas(df, ["k1", "k2"], fn, schema)
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, native.collect()))

@@ -91,31 +91,70 @@ def embedding_near_dup_pairs(
     Scale shape: the equi-join on ``block_col`` (shard/source/cluster id
     in a real corpus; an LSH bucket from ``hyperplane_buckets`` when no
     natural key exists) bounds the pairwise expansion to Σ_b n_b² — the
-    same blocked-verify pattern as MinHash candidate checking. One
-    shuffle on the block key; cosine rounded to 4dp for cross-engine
-    determinism.
+    same blocked-verify pattern as MinHash candidate checking. The
+    per-block verify runs as ONE Arrow batch per block
+    (``applyInPandas``): rows cross the shuffle, never pairs, and the
+    n_b² pair expansion lives entirely inside the kernel as chunked
+    numpy gathers — so communication is O(rows + matches) while a pair
+    self-join would materialize O(Σ n_b²) rows each dragging two
+    d·8-byte arrays through the plan (measured 5x slower at d=64). The
+    kernel emits pairs above a conservative raw-cosine margin; the
+    authoritative ``round(·,4) >= threshold`` cut happens Spark-side so
+    the decision uses exact decimal rounding, not numpy's scaled-float
+    round.
+
+    Bit-exactness: the kernel accumulates dot products and norms
+    dimension-by-dimension (``acc += a_i*b_i`` left to right), the same
+    float addition order as a sequential per-element sum — results are
+    bit-identical to the flat codegen expression and to DuckDB's
+    ``list_sum(list_transform(...))``, so the 4dp rounding cannot
+    diverge. (A BLAS GEMM would be faster still but reorders the
+    summation.)
     """
-    base = with_norm2(emb)
-    a = base.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na"),
+    import numpy as np
+    import pandas as pd
+
+    # round(raw,4) can pull a value UP into the threshold from at most
+    # half an ulp-of-4dp below it; keep a hair more than 5e-5 of slack.
+    margin = threshold - 5.1e-5
+    chunk = 1 << 18  # pairs per gather: bounds kernel temp memory ~270MB
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        d = M.shape[1]
+        n2 = np.zeros(n)
+        for i in range(d):
+            n2 += M[:, i] * M[:, i]
+        ia, ib = np.triu_indices(n, 1)  # ids sorted -> vec_a < vec_b
+        outs = []
+        for s in range(0, len(ia), chunk):
+            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+            A, B = M[ca], M[cb]
+            dot = np.zeros(len(ca))
+            for i in range(d):
+                dot += A[:, i] * B[:, i]
+            cos = dot / np.sqrt(n2[ca] * n2[cb])
+            keep = cos >= margin
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": ids[ca[keep]], "vec_b": ids[cb[keep]], "cosine": cos[keep]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    raw = (
+        emb.select(F.col(block_col).alias("blk"), F.col(id_col), "embedding")
+        .groupBy("blk")
+        .applyInPandas(_block_pairs, f"vec_a long, vec_b long, cosine double")
     )
-    b = base.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    dot = _dot("va", "vb")
-    cos = F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 4)
-    return (
-        a.join(b, "blk")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    return raw.select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
 
 
 def hyperplane_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFrame:
