@@ -132,3 +132,57 @@ def test_grouped_apply_matches_native(spark):
     native = df.groupBy("k1", "k2").applyInPandas(fn, schema)
     ours = grouped_apply_in_pandas(df, ["k1", "k2"], fn, schema)
     assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """Pigeonhole banding must find EXACTLY the pairs brute-force
+    Hamming comparison finds (recall 1.0 — the guarantee is exact)."""
+    from tstables_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i%4} alpha beta gamma delta common {'x' if i%2 else 'y'} tail{i%3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs, 32).collect()}
+    brute = {
+        (a, b)
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, 32, 3).collect()}
+    assert got == brute and len(brute) > 0
+
+
+def test_pack_sequences_matches_global_window(spark):
+    """Two-phase distributed prefix sum == the single-task global window."""
+    from pyspark.sql import Window as W
+    from tstables_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 100) for i in range(1000)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: (r.running, r.pack_id)
+        for r in pack_sequences(df, "doc_id", "w", budget=2048, num_partitions=7).collect()
+    }
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r.doc_id: (r.running, r.pack_id)
+        for r in df.withColumn("running", F.sum("w").over(win))
+        .withColumn("pack_id", F.floor((F.col("running") - F.col("w")) / 2048).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    from tstables_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s1 = {r.id for r in hash_sample(df, "id", 64).collect()}
+    s2 = {r.id for r in hash_sample(df.repartition(13), "id", 64).collect()}
+    assert s1 == s2 and 0.18 < len(s1) / 2000 < 0.32
+    splits = hash_split(df, "id").groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in splits}
+    assert set(got) == {"train", "val", "test"} and got["train"] > got["val"]

@@ -210,3 +210,60 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
         F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits, found WITHOUT an all-pairs comparison.
+
+    Pigeonhole banding (Manku et al., WWW'07 — the Google near-dup
+    paper's trick): split the fingerprint into ``max_hamming + 1``
+    equal bands; any pair within the Hamming radius must agree exactly
+    on at least one band, so candidates come from an equi-join on
+    (band index, band value) — sub-quadratic like MinHash banding, with
+    recall 1.0 (the guarantee is exact, not probabilistic). Verify is a
+    codegen'd ``bit_count(a XOR b)`` on the candidates only.
+    """
+    n_bands = max_hamming + 1
+    assert bits % n_bands == 0, "bits must divide into max_hamming+1 bands"
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    fp = simhash_fingerprints(docs, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright("simhash", j * w).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,86 @@
+"""Sequence packing: assign documents to fixed-token-budget packs.
+
+LLM pretraining concatenates documents into fixed-length sequences; the
+assignment step is "walk the corpus in a canonical order, cut a new pack
+every time the running token count crosses the budget". That running
+count is a GLOBAL prefix sum — the naive Spark expression
+(``sum().over(Window.orderBy(key))`` with no partitionBy) collapses all
+rows into ONE task and is the textbook non-scalable plan.
+
+``pack_sequences`` computes the same prefix sum in two phases, the
+classic distributed scan:
+
+1. range-repartition by the canonical key (so partition p holds a
+   contiguous key range) and compute each partition's LOCAL running sum
+   plus its partition TOTAL — one narrow pass;
+2. collect only the P partition totals to the driver (P numbers, not
+   rows), prefix-sum them there, and broadcast the per-partition offsets
+   back; global running = local running + offset[p].
+
+Wall-clock is two scans and a P-element exchange regardless of row
+count, and the result is independent of P and of where range boundaries
+land (the prefix sum over a fixed total order doesn't care how it's
+chopped). This is the same decomposition Spark itself uses inside
+``zipWithIndex``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``running`` (inclusive prefix sum of ``weight_col`` in
+    ``order_col`` order) and ``pack_id`` = floor((running - weight) /
+    budget): a document starts the pack its first token lands in.
+
+    Oversized single documents (weight > budget) get a pack to
+    themselves plus overflow — matching the window-SQL semantics
+    exactly (see the oracle twin), not truncating.
+    """
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(P, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = W.partitionBy("__pid").orderBy(order_col)
+    with_local = parts.withColumn(
+        "__local_run", F.sum(weight_col).over(local)
+    )
+    # P rows to the driver — the only non-distributed step, O(P) not O(N)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in with_local.groupBy("__pid")
+        .agg(F.max("__local_run").alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    running = (F.col("__local_run") + offset_col).alias("running")
+    return (
+        with_local.select(
+            "*",
+            running,
+        )
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("running") - F.col(weight_col)) / F.lit(budget)).cast("long"),
+        )
+        .drop("__pid", "__local_run")
+    )

@@ -12,6 +12,7 @@ def _load_all() -> None:
     # Import side-effect registers the queries with the registry.
     from tstables_spark.plans import (  # noqa: F401
         llm,
+        pipeline,
         relational,
         scalars,
         streaming_q,

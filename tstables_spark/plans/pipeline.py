@@ -1,0 +1,192 @@
+"""Training-data pipeline plans beyond Table B's baseline set:
+deterministic sampling / splits, vocabulary statistics, sequence
+packing, SimHash pair dedup, per-label embedding centroids.
+
+These are the corpus-preparation operators a 100 TB pretraining
+pipeline runs between raw ingest and tokenized shards; each docstring
+states the scale-shape argument for its plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.operators.dedup import jaccard_pairs, simhash_pairs
+from tstables_spark.operators.packing import pack_sequences
+from tstables_spark.operators.sampling import hash_sample, hash_split
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+# -- deterministic sampling / splitting ------------------------------------
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample (64/256 md5 buckets) of documents —
+    membership is a pure function of doc_id (operators/sampling.py), so
+    the sample is reproducible across runs, partitionings, and engines;
+    the gate is a codegen'd scan-level filter with no shuffle. The
+    oracle is the literal same expression, which is the point."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return hash_sample(d, "doc_id", 64)
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/val/test split (205/26/25 of 256 buckets ≈
+    80/10/10) aggregated per source. Because membership hangs off
+    md5(doc_id), a document can never migrate between splits when the
+    corpus is re-sharded or re-sampled — the leakage guarantee RNG
+    splits don't give."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# -- vocabulary -------------------------------------------------------------
+@query(
+    "vocab_topk",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace tokens by frequency
+    (ties broken by token for determinism). Explode + count is one
+    shuffle with map-side partial aggregation; the global top-k is a
+    TakeOrdered over the (already small) distinct-token aggregate, so
+    no full sort materializes at any scale."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )
+
+
+# -- dedup variants ---------------------------------------------------------
+@query(
+    "dedup_near_maxdf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 15),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.5
+    """,
+)
+def dedup_near_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the stop-shingle cutoff engaged
+    (max_df=15): posting lists longer than 15 docs are dropped before
+    pair expansion — the knob that bounds the quadratic fanout at
+    100 TB. The oracle pins the fixed semantics: per-doc set sizes (the
+    denominator) come from the UNFILTERED shingle sets, so max_df only
+    removes shared-shingle evidence and can only lower recall, never
+    create pairs (ADVICE r1 finding)."""
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=15
+    )
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= 3 via pigeonhole
+    banding (operators/dedup.py::simhash_pairs): 4 bands of 8 bits,
+    equi-join on (band, value), exact bit_count verify on candidates —
+    recall 1.0 without the all-pairs product. Rows-only: the
+    fingerprint needs xxhash64, which the DuckDB oracle lacks; the
+    banding-vs-brute-force equivalence is pinned by a unit test
+    (tests/test_operators.py) instead."""
+    return simhash_pairs(load(spark, sf_dir, "documents"), bits=32, max_hamming=3)
+
+
+# -- sequence packing -------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running
+      FROM documents)
+    SELECT doc_id, n_chars, running,
+           CAST((running - n_chars) // 16384 AS BIGINT) AS pack_id
+    FROM r
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a 16384-char pack by
+    global prefix sum in doc_id order. The oracle's window
+    (ORDER BY with no PARTITION BY) is exactly the plan that does NOT
+    scale — one task holds every row; the engine computes the same
+    prefix sum with the two-phase distributed scan in
+    operators/packing.py (partition-local running sums + an O(P)
+    driver-side offset exchange), so the answer is identical but the
+    work stays parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(d, "doc_id", "n_chars", budget=16384)
+
+
+# -- embedding centroids ----------------------------------------------------
+@query(
+    "embed_centroid",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM x GROUP BY label, i
+    """,
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector, one row per (label, dimension):
+    posexplode + grouped mean. The sum runs in DECIMAL(30,6) (the
+    plans/_exact.py trick) so it is order-independent and bit-identical
+    across engines despite Spark's partial-aggregate tree. Flat
+    (label, pos, value) output rather than an array column: centroids
+    feed the IVF coarse quantizer as a broadcast table, and flat rows
+    keep the compare engine-portable."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    dec = F.col("x").cast("double").cast("decimal(30,6)")
+    return ex.groupBy("label", "pos").agg(
+        (F.sum(dec).cast("double") / F.count("*")).alias("centroid")
+    )
