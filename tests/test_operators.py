@@ -186,3 +186,16 @@ def test_hash_sample_stable_under_repartition(spark):
     splits = hash_split(df, "id").groupBy("split").count().collect()
     got = {r.split: r["count"] for r in splits}
     assert set(got) == {"train", "val", "test"} and got["train"] > got["val"]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with 4/16 probes must recover most of the exact top-5."""
+    from tstables_spark.operators.similarity import cosine_topk, ivf_topk
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, pred, k=5).collect()}
+    approx = {(r.qid, r.nid) for r in ivf_topk(emb, pred, k=5, n_cells=16, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"

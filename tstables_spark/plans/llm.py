@@ -28,6 +28,7 @@ from tstables_spark.operators.multimodal import (
 from tstables_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from tstables_spark.plans.registry import query
@@ -147,6 +148,19 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: approximate by design; exact twin is sim_topk."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, F.col("vec_id") < 10, k=5, planes=8)
+
+
+@query("sim_ivf_centroid")
+def sim_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF cells (operators/similarity.py::
+    ivf_topk): deterministic coarse codebook, every vector assigned to
+    its nearest centroid's cell, queries probe their 4 nearest of 16
+    cells — candidate count scales as n_probe/n_cells of the corpus,
+    the FAISS IVF-Flat layout expressed as a broadcast + equi-join.
+    Rows-only: approximate by design; exact twin is sim_topk, recall
+    floor pinned in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, F.col("vec_id") < 10, k=5, n_cells=16, n_probe=4)
 
 
 # -- text analysis ----------------------------------------------------------
