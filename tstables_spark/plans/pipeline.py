@@ -165,6 +165,45 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "doc_id", "n_chars", budget=16384)
 
 
+# -- per-document top terms -------------------------------------------------
+@query(
+    "doc_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token),
+    r AS (SELECT doc_id, token, tf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tf DESC, token) AS BIGINT) AS rnk
+          FROM tf)
+    SELECT doc_id, token, tf, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency (ties broken by
+    token) — the integer-exact core of TF-IDF keyword extraction (the
+    idf log factor is deliberately left out of the oracle-checked
+    surface: libm vs JVM transcendentals aren't bit-identical). Explode
+    + two-level agg + WindowGroupLimit-pruned rank; one shuffle on
+    (doc_id, token), one on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), "token")
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "rnk")
+    )
+
+
 # -- embedding centroids ----------------------------------------------------
 @query(
     "embed_centroid",

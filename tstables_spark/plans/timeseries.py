@@ -238,6 +238,47 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_densify",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('minute', min(ts)) AS lo,
+                           date_trunc('minute', max(ts)) AS hi FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+             FROM bounds),
+    cnts AS (SELECT date_trunc('minute', ts) AS minute,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1)
+    SELECT g.minute, COALESCE(c.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN cnts c USING (minute)
+    """,
+)
+def ts_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid densification: per-minute event counts over a REGULAR
+    1-minute grid spanning [min(ts), max(ts)], zero-filled where no
+    events fall — the step before any fixed-step model sees the series
+    (the dual of ts_fill_forward, which fills values but only at
+    observed timestamps). Scale shape: the grid is generated from the
+    2-row min/max aggregate (time-dimension size, independent of row
+    count) and the counts side is a partial-agg groupBy; the join
+    broadcasts whichever side is smaller. Spark generates the grid with
+    sequence()+explode off the min/max scalars."""
+    ev = load(spark, sf_dir, "events").select("ts")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
+    )
+    cnts = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return grid.join(cnts, "minute", "left").select(
+        "minute", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
     "win_running_total",
     oracle=f"""
     SELECT o_custkey, o_orderkey, o_orderdate,
