@@ -66,3 +66,65 @@ def test_resample_reaggregate_consistency(series, start_min, bucket_minutes):
         or 0.0
     )
     assert abs(raw_sum - bucketed) < 1e-6
+
+
+# -- round-2 operator properties -------------------------------------------
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=12
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_jaccard_pairs_match_bruteforce(docs, threshold):
+    """jaccard_pairs == brute-force set Jaccard on arbitrary texts."""
+    from tstables_spark.operators.dedup import jaccard_pairs
+    from tstables_spark import get_spark
+
+    spark = get_spark("tstables_spark_tests")
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t, n=3):
+        toks = t.lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    brute = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= threshold:
+                    brute[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, n=3, threshold=threshold).collect()
+    }
+    assert set(got) == set(brute)
+    for k in got:
+        assert abs(got[k] - brute[k]) < 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    budget=st.sampled_from([1, 100, 4096]),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_pack_sequences_prefix_sum_property(weights, budget, parts):
+    """running is the exact inclusive prefix sum in id order, for any
+    partition count, including zero weights and weights > budget."""
+    from tstables_spark.operators.packing import pack_sequences
+    from tstables_spark import get_spark
+
+    spark = get_spark("tstables_spark_tests")
+    df = spark.createDataFrame(list(enumerate(weights)), "doc_id long, w long")
+    got = {
+        r.doc_id: (r.running, r.pack_id)
+        for r in pack_sequences(df, "doc_id", "w", budget, num_partitions=parts).collect()
+    }
+    acc = 0
+    for i, w in enumerate(weights):
+        acc += w
+        assert got[i] == (acc, (acc - w) // budget), (i, w, acc, got[i])

@@ -21,6 +21,7 @@ from tstables_spark.plans._exact import (
     sql_sum,
     sql_sum_distinct,
 )
+from tstables_spark.operators.skew import salted_join
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load, register_views
 
@@ -129,6 +130,34 @@ def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "inner").select(
         "o_orderkey", "o_orderdate", "o_orderpriority",
         "l_linenumber", "l_quantity", "l_extendedprice",
+    )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the fact side carries a
+    uniform salt in [0,8), the dimension is replicated once per salt
+    value, and the join key becomes (key, salt) — each hot key spreads
+    over 8 reducers instead of pinning one. The output is row-for-row
+    identical to the plain join (the oracle IS the plain join), which
+    is the operator's whole contract: only the shuffle distribution
+    changes. Use when skew is known up front or the join is
+    shuffled-hash; AQE's adaptive skew split covers the sort-merge
+    case."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
     )
 
 
