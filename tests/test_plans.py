@@ -87,3 +87,41 @@ def test_range_scan_prunes_partitions(spark, sf_dir, tmp_path):
     if m:  # partition count reported by the file index
         assert int(m.group(1)) == 1
     assert one_day.count() == 24
+
+
+def test_sample_hash_filter_reaches_scan(spark, sf_dir):
+    """The md5 gate must be a scan-level filter (no shuffle, no join)."""
+    plan = _plan(spark, sf_dir, "sample_hash")
+    assert "Exchange" not in plan
+    assert re.search(r"Filter .*md5", plan)
+
+
+def test_join_salted_shape(spark, sf_dir):
+    """Salted join must key the join on (key, salt) — both columns in
+    the join condition — and never degrade to a nested loop."""
+    plan = _plan(spark, sf_dir, "join_salted")
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
+    assert re.search(r"Join \[o_custkey#?\d*L?, __salt", plan) or "__salt" in plan
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The distributed prefix sum must never plan a global (single
+    partition) window: every Window operator keeps a partition key."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m.group(1) or m.group(1).strip()
+
+
+def test_dedup_embed_rows_not_pairs_cross_shuffle(spark, sf_dir):
+    """dedup_embed's only wide op is the groupBy(blk) shuffle of ROWS;
+    the pair expansion happens inside the Python kernel."""
+    plan = _plan(spark, sf_dir, "dedup_embed")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_ivf_centroid_broadcasts_codebook(spark, sf_dir):
+    """IVF assignment must broadcast the small centroid side, never
+    shuffle the corpus against it."""
+    plan = _plan(spark, sf_dir, "sim_ivf_centroid")
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
