@@ -199,3 +199,30 @@ def test_ivf_topk_recall(spark):
     approx = {(r.qid, r.nid) for r in ivf_topk(emb, pred, k=5, n_cells=16, n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation reaches the exact fixpoint on a deep chain
+    (worst case for diameter) plus a clique plus an isolated pair."""
+    from tstables_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 20)]          # 10-..-20
+    clique = [(a, b) for a in range(3) for b in range(3) if a < b]
+    pair = [(100, 101)]
+    edges = spark.createDataFrame(chain + clique + pair, "doc_a long, doc_b long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+
+    # brute force via union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in chain + clique + pair:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want

@@ -1,0 +1,76 @@
+"""Connected components over a pair list — the step that turns
+near-duplicate PAIRS into duplicate CLUSTERS (pick one survivor per
+component), finishing the dedup pipeline.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the minimum label among itself
+and its neighbors; fixpoint is reached when no label changes. Rounds
+needed = graph diameter (near-dup graphs are shallow — dup clusters are
+cliques or near-cliques, so 2-3 rounds typical). Each round is one
+join + one aggregate, both keyed shuffles; the driver only sees the
+single changed-label COUNT per round (an O(1) convergence probe, not
+data). This is the textbook distributed CC; the large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce") drops in
+for adversarially deep graphs.
+
+Determinism: min() over labels is order-independent, so the fixpoint is
+unique regardless of partitioning — safe for exact oracle comparison
+(the DuckDB twin computes the same fixpoint via recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Returns (node, component) where component is the minimum node id
+    reachable from ``node``. Nodes are every id appearing in ``edges``;
+    isolated nodes (no edges) are the caller's concern — a left join
+    with default component = own id adds them back.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # undirected: propagate both ways. Materialize ONCE — the edge list
+    # is re-joined every round, and without the checkpoint each round
+    # would recompute the (possibly expensive) upstream pair generation.
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each node's candidate = min(own label, neighbors' labels)
+        nbr = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # cut lineage each round BEFORE probing: iterative joins
+        # otherwise stack plans exponentially, and the probe then reads
+        # the materialized result instead of recomputing the round
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # O(1) convergence probe: number of nodes whose label shrank
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -8,8 +8,15 @@ DECIMAL (exact, order-independent) and cast the final value back to
 DOUBLE. Both engines then produce bit-identical results. The per-row
 cast double->decimal is deterministic, so the inputs agree too.
 
-At scale this costs nothing extra: decimal sums still have partial-merge
-functions (map-side combine), and the cast is codegen'd JVM-side.
+Cost, measured honestly (sf0.1 lineitem, 600k rows, warm): the
+4-sum pricing aggregate runs 0.25s with double sums vs 0.61s with
+decimal — ~2.4x agg CPU, dominated by the per-row double->BigDecimal
+conversion inside the cast. What it does NOT cost is shuffle: decimal
+sums keep partial-merge functions (map-side combine), so the wire
+volume is identical. The trade is deliberate — exact cross-engine
+equality is the correctness gate; a production deployment that doesn't
+need bit-equality flips back to double sums and keeps the same plan
+shape.
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tstables_spark.operators.components import connected_components
 from tstables_spark.operators.dedup import jaccard_pairs, simhash_pairs
 from tstables_spark.operators.packing import pack_sequences
 from tstables_spark.operators.sampling import hash_sample, hash_split
@@ -163,6 +164,46 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work stays parallel at any corpus size."""
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return pack_sequences(d, "doc_id", "n_chars", budget=16384)
+
+
+# -- dedup clusters (pairs -> components) -----------------------------------
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM cnt
+              JOIN sizes sa ON cnt.doc_a = sa.doc_id
+              JOIN sizes sb ON cnt.doc_b = sb.doc_id
+              WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.6),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS node, LEAST(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components over
+    the Jaccard>=0.6 pair graph by iterative min-label propagation
+    (operators/components.py) — each round one keyed join + one min
+    aggregate, converging in diameter rounds (near-dup clusters are
+    near-cliques, so 2-3). The component id (minimum member) is the
+    canonical survivor each duplicate maps to — the last step of the
+    dedup pipeline. The oracle computes the same unique fixpoint with a
+    recursive-CTE transitive closure, which is exact but quadratic in
+    cluster size — fine for an oracle, wrong for 100 TB; min
+    propagation ships labels, never closures."""
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
+    return connected_components(pairs.select("doc_a", "doc_b"))
 
 
 # -- per-document top terms -------------------------------------------------
