@@ -1,0 +1,88 @@
+"""K-means (Lloyd) clustering over an embedding column.
+
+The training-data use: bucket a corpus's embeddings into k topical
+cells (mixture balancing, stratified sampling, IVF codebook training —
+``ivf_assign`` consumes exactly this output shape).
+
+Scale shape per Lloyd round:
+- ASSIGN: the k centroids are driver-held literals (k·d doubles — KB,
+  not data) compiled into k flat dot-product expressions, so assignment
+  is one narrow codegen'd scan: no join, no shuffle, no Python.
+- UPDATE: new centroids via posexplode + groupBy(cell, dim) decimal
+  mean — one shuffle carrying k·d partial rows per task (map-side
+  combine), then a k·d-row collect. DECIMAL means are the determinism
+  trick: double summation order varies with partitioning, which would
+  make centroids — and therefore next-round assignments — run-to-run
+  unstable; decimal sums are order-independent, so the whole iteration
+  is reproducible on any cluster layout (same property the exactness
+  helpers in plans/_exact.py exploit).
+
+Iteration count is a fixed small constant (Lloyd converges fast and
+training-data bucketing doesn't need the optimum); each round is two
+jobs. This is the same decomposition Spark MLlib's KMeans uses
+(per-partition partial sums + driver update), expressed in DataFrame
+ops instead of RDD aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, cents: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """Adds ``cell``: index of the nearest centroid by squared L2 —
+    computed as flat codegen'd expressions over the literal centroids."""
+    v = F.col(vec_col)
+    dists = []
+    for ci, c in enumerate(cents):
+        terms = " + ".join(
+            f"(cast({vec_col}[{i}] as double) - ({c[i]!r})) * "
+            f"(cast({vec_col}[{i}] as double) - ({c[i]!r}))"
+            for i in range(len(c))
+        )
+        dists.append(F.expr(terms).alias(f"__d{ci}"))
+    with_d = emb.select(id_col, vec_col, *dists)
+    best = F.array_position(
+        F.array_min(F.array(*[F.col(f"__d{ci}") for ci in range(len(cents))])).alias("m"),
+        F.array_min(F.array(*[F.col(f"__d{ci}") for ci in range(len(cents))])),
+    )
+    # argmin with deterministic lowest-index tie-break
+    cell = F.lit(0)
+    for ci in range(len(cents) - 1, -1, -1):
+        is_min = F.col(f"__d{ci}") <= F.least(*[F.col(f"__d{cj}") for cj in range(len(cents))])
+        cell = F.when(is_min, F.lit(ci)).otherwise(cell) if ci else F.when(is_min, F.lit(0)).otherwise(cell)
+    return with_d.withColumn("cell", cell.cast("int")).select(id_col, vec_col, "cell")
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (id_col, cell) after ``iters`` Lloyd rounds from a
+    deterministic seed (the first k vectors by id). Fully reproducible:
+    seeding is id-ordered and centroid updates use order-independent
+    decimal means."""
+    seed_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in seed_rows]
+    assigned = _assign(emb, cents, id_col, vec_col)
+    for _ in range(iters):
+        ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        dec = F.col("x").cast("double").cast("decimal(30,6)")
+        rows = (
+            ex.groupBy("cell", "pos")
+            .agg((F.sum(dec).cast("double") / F.count("*")).alias("c"))
+            .collect()
+        )
+        new_cents = {}
+        for r in rows:
+            new_cents.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        cents = [
+            [new_cents[ci][p] for p in sorted(new_cents[ci])] if ci in new_cents else cents[ci]
+            for ci in range(k)
+        ]
+        assigned = _assign(emb, cents, id_col, vec_col)
+    return assigned.select(id_col, "cell")
