@@ -226,3 +226,94 @@ def test_connected_components_chain_and_clique(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """A chain deeper than max_iter must RAISE, not silently return
+    non-fixpoint labels (ADVICE r2: the exact-fixpoint contract)."""
+    from tstables_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 8)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # ...and a sufficient max_iter still reaches the exact fixpoint
+    got = {r.node: r.component for r in connected_components(edges, max_iter=9).collect()}
+    assert got == {n: 0 for n in range(9)}
+
+
+def test_salted_join_rejects_right_family(spark):
+    """Right/full joins would duplicate unmatched dim rows salt times —
+    the contract is scoped to the inner/left family (ADVICE r2)."""
+    from tstables_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "x")], "k long, a string")
+    dim = spark.createDataFrame([(1, "y"), (2, "z")], "k long, b string")
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", salt=4, how=bad)
+    # left join over a dim with unmatched rows stays exactly equivalent
+    got = sorted(salted_join(fact, dim, "k", salt=4, how="left").collect())
+    want = sorted(fact.join(dim, "k", "left").collect())
+    assert got == want
+
+
+def test_kmeans_deterministic_and_partitioning_stable(spark):
+    """Lloyd assignment must be identical across partitionings (the
+    decimal-mean determinism argument in operators/clustering.py)."""
+    from tstables_spark.operators.clustering import kmeans_fit, kmeans_lloyd
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {r.vec_id: r.cell for r in kmeans_lloyd(emb, k=8, iters=2).collect()}
+    b = {
+        r.vec_id: r.cell
+        for r in kmeans_lloyd(emb.repartition(13), k=8, iters=2).collect()
+    }
+    assert a == b and len(a) == emb.count()
+    # non-degenerate: uses more than one cell
+    assert len(set(a.values())) > 1
+    # kmeans_fit exposes the k x d codebook for downstream broadcast
+    _, cents = kmeans_fit(emb, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+
+def test_ivf_kmeans_recall(spark):
+    """Lloyd-refined IVF must recover most of the exact top-5 (same
+    floor as the id-seeded codebook it refines)."""
+    from tstables_spark.operators.similarity import cosine_topk, ivf_topk_kmeans
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, pred, k=5).collect()}
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_topk_kmeans(emb, pred, k=5, n_cells=16, n_probe=4, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_assign_matches_old_broadcast_formulation(spark):
+    """The scan-side argmax assignment must reproduce the reference
+    semantics: nearest centroid by cosine, ties to the lowest cell."""
+    import math
+
+    from tstables_spark.operators.similarity import ivf_assign
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cells, cents = ivf_assign(emb, n_cells=8)
+    crows = sorted(cents.collect(), key=lambda r: r.cell)
+    got = {r.vec_id: r.cell for r in cells.collect()}
+    # python brute force over the same collected codebook
+    for r in cells.collect()[:50]:
+        v = [float(x) for x in r.v]
+        best_cell, best_cos = None, -2.0
+        for c in crows:
+            dot = sum(a * b for a, b in zip(v, c.cv))
+            cos = dot / math.sqrt(r.n2 * c.cn2)
+            if cos > best_cos + 1e-12:
+                best_cell, best_cos = c.cell, cos
+        assert got[r.vec_id] == best_cell

@@ -112,6 +112,18 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
         assert "__pid" in m.group(1) or m.group(1).strip()
 
 
+def test_pack_sequences_single_materialized_partitioning(spark, sf_dir):
+    """Both jobs (totals collect, final projection) must read ONE
+    materialized range partitioning — an un-materialized
+    repartitionByRange is re-sampled per job with a per-job seed, so
+    __pid assignments could differ between them (ADVICE r2, high). The
+    final plan therefore scans the checkpointed RDD and contains no
+    live range-repartition."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
 def test_dedup_embed_rows_not_pairs_cross_shuffle(spark, sf_dir):
     """dedup_embed's only wide op is the groupBy(blk) shuffle of ROWS;
     the pair expansion happens inside the Python kernel."""
@@ -125,3 +137,17 @@ def test_ivf_centroid_broadcasts_codebook(spark, sf_dir):
     shuffle the corpus against it."""
     plan = _plan(spark, sf_dir, "sim_ivf_centroid")
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_ivf_assign_zero_shuffle(spark, sf_dir):
+    """Cell assignment is a narrow codegen'd scan: NO Exchange of any
+    kind in the cells plan (ADVICE r2: the old crossJoin+window pick
+    hash-shuffled the n_cells-times-expanded corpus)."""
+    from tstables_spark.operators.similarity import ivf_assign
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells, _ = ivf_assign(emb, n_cells=16)
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan

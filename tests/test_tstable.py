@@ -219,3 +219,44 @@ def test_list_series(spark, root):
     TimeSeriesTable.create(spark, root, "b_series", SCHEMA)
     assert list_series(root) == ["a_series", "b_series"]
     assert list_series(root + "/does_not_exist") == []
+
+
+def test_a9_storage_knobs(spark, root):
+    """A9 (PyTables Filters/chunkshape analog): the codec chosen at
+    create() must land in the parquet footers of every append, the
+    file-size cap must split output files, and open() must restore both
+    knobs from series metadata."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow.parquet as pq
+
+    t = TimeSeriesTable.create(
+        spark, root, "knobs", SCHEMA, compression="gzip", max_records_per_file=10
+    )
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [(base + timedelta(minutes=i), "A", float(i)) for i in range(25)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+
+    files = []
+    for dirpath, _, names in os.walk(t.path):
+        files += [os.path.join(dirpath, f) for f in names if f.endswith(".parquet")]
+    assert len(files) >= 3  # 25 rows / cap 10 -> >= 3 files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        codecs = {
+            meta.row_group(rg).column(c).compression
+            for rg in range(meta.num_row_groups)
+            for c in range(meta.num_columns)
+        }
+        assert codecs == {"GZIP"}, codecs
+
+    reopened = TimeSeriesTable.open(spark, root, "knobs")
+    assert reopened.compression == "gzip"
+    assert reopened.max_records_per_file == 10
+
+    with pytest.raises(TimeSeriesTableError, match="compression"):
+        TimeSeriesTable.create(spark, root, "bad_codec", SCHEMA, compression="xz")
+    with pytest.raises(TimeSeriesTableError, match="positive"):
+        TimeSeriesTable.create(
+            spark, root, "bad_cap", SCHEMA, max_records_per_file=0
+        )

@@ -43,27 +43,27 @@ def _assign(emb: DataFrame, cents: list[list[float]], id_col: str, vec_col: str)
         )
         dists.append(F.expr(terms).alias(f"__d{ci}"))
     with_d = emb.select(id_col, vec_col, *dists)
-    best = F.array_position(
-        F.array_min(F.array(*[F.col(f"__d{ci}") for ci in range(len(cents))])).alias("m"),
-        F.array_min(F.array(*[F.col(f"__d{ci}") for ci in range(len(cents))])),
-    )
-    # argmin with deterministic lowest-index tie-break
+    # argmin with deterministic lowest-index tie-break: the when-chain is
+    # applied high-index-first, so the last (lowest) matching index wins.
     cell = F.lit(0)
     for ci in range(len(cents) - 1, -1, -1):
         is_min = F.col(f"__d{ci}") <= F.least(*[F.col(f"__d{cj}") for cj in range(len(cents))])
-        cell = F.when(is_min, F.lit(ci)).otherwise(cell) if ci else F.when(is_min, F.lit(0)).otherwise(cell)
+        cell = F.when(is_min, F.lit(ci)).otherwise(cell)
     return with_d.withColumn("cell", cell.cast("int")).select(id_col, vec_col, "cell")
 
 
-def kmeans_lloyd(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Returns (id_col, cell) after ``iters`` Lloyd rounds from a
-    deterministic seed (the first k vectors by id). Fully reproducible:
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd iterations from a deterministic seed (the first k vectors
+    by id). Returns ``(assigned, cents)``: ``assigned`` = (id_col,
+    vec_col, cell) under the FINAL centroids, ``cents`` = those
+    centroids as a k x d driver-side list (k·d doubles — KB, not data)
+    for downstream broadcast use (IVF probing). Fully reproducible:
     seeding is id-ordered and centroid updates use order-independent
     decimal means."""
     seed_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -85,4 +85,17 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
         assigned = _assign(emb, cents, id_col, vec_col)
+    return assigned, cents
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (id_col, cell) after ``iters`` Lloyd rounds — see
+    ``kmeans_fit`` for the scale/determinism argument."""
+    assigned, _ = kmeans_fit(emb, k, iters, id_col, vec_col)
     return assigned.select(id_col, "cell")

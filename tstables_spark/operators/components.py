@@ -34,6 +34,15 @@ def connected_components(
     reachable from ``node``. Nodes are every id appearing in ``edges``;
     isolated nodes (no edges) are the caller's concern — a left join
     with default component = own id adds them back.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (a chain deeper than max_iter hops): returning
+    non-fixpoint labels silently would break the exact-unique-fixpoint
+    contract the oracle twin relies on (ADVICE r2). Rounds needed =
+    graph diameter; near-dup graphs are near-cliques (2-3 rounds), so
+    hitting the guard means the graph is not the shape this default is
+    tuned for — raise ``max_iter`` or switch to a large-star/small-star
+    O(log n) scheme.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: propagate both ways. Materialize ONCE — the edge list
@@ -72,5 +81,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing): graph diameter exceeds "
+        f"max_iter; raise max_iter"
+    )

@@ -89,23 +89,52 @@ def jaccard_pairs(
     create false positives.
     """
     sh = shingles(docs, n)
+    # sort_array at agg time: posting lists are strictly increasing, so
+    # the upper triangle can be GENERATED (posexplode + suffix slice)
+    # instead of generated-square-then-filtered — the nested
+    # explode-explode carried the full df-length array on every one of
+    # its df first-level rows (Σ df² elements through the Generate) and
+    # then filtered half away; the slice carries only the suffixes
+    # (Σ df²/2) and emits no filtered rows. Same output, half the bytes
+    # through the expansion — the half that matters at 100 TB.
     counted = sh.groupBy("shingle").agg(
-        F.collect_list("doc_id").alias("ds"), F.count("*").alias("df")
+        F.sort_array(F.collect_list("doc_id")).alias("ds"), F.count("*").alias("df")
     )
-    inv = counted.select("ds")
-    if max_df is not None:
-        inv = counted.where(F.col("df") <= max_df).select("ds")
-    pairs = (
-        inv.select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-    )
-    shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
-    sizes = (
-        counted.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
-    )
+    if max_df is None:
+        # Diagonal trick (r2 VERDICT "shave a stage"): make the suffix
+        # INCLUSIVE (slice from i+1, 1-based self position) — the
+        # (d, d) diagonal then occurs once per shingle of d, so its
+        # count IS n_sh(d), and per-doc sizes fall out of the SAME pair
+        # aggregate instead of a separate explode+groupBy branch over
+        # the posting lists. Cost: Σ df(s) extra diagonal rows —
+        # linear, dwarfed by the Σ df(s)²/2 pairs already there.
+        pairs = (
+            counted.select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
+            .select("doc_a", F.explode(F.expr("slice(ds, i+1, size(ds))")).alias("doc_b"))
+        )
+        grouped = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+        shared = grouped.where(F.col("doc_a") < F.col("doc_b"))
+        sizes = grouped.where(F.col("doc_a") == F.col("doc_b")).select(
+            F.col("doc_a").alias("doc_id"), F.col("shared").alias("n_sh")
+        )
+    else:
+        # With max_df engaged the denominators must come from the
+        # UNFILTERED posting lists (r1 ADVICE: max_df may only lower
+        # recall, never create pairs), so sizes keep their own branch
+        # off the shared `counted` exchange and the diagonal trick does
+        # not apply (its diagonal would see only the filtered lists);
+        # the strict upper triangle starts the suffix at i+2.
+        inv = counted.where(F.col("df") <= max_df)
+        pairs = (
+            inv.select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
+            .select("doc_a", F.explode(F.expr("slice(ds, i+2, size(ds))")).alias("doc_b"))
+        )
+        shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+        sizes = (
+            counted.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))

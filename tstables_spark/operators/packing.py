@@ -17,11 +17,14 @@ classic distributed scan:
    rows), prefix-sum them there, and broadcast the per-partition offsets
    back; global running = local running + offset[p].
 
-Wall-clock is two scans and a P-element exchange regardless of row
-count, and the result is independent of P and of where range boundaries
-land (the prefix sum over a fixed total order doesn't care how it's
-chopped). This is the same decomposition Spark itself uses inside
-``zipWithIndex``.
+Wall-clock: ONE scan of the input (materialized at its range
+partitioning via localCheckpoint — which also pins a single boundary
+set, see the comment in ``pack_sequences``), two cheap passes over the
+materialized partitions (totals, final projection), and a P-element
+driver exchange, regardless of row count. The result is independent of
+P and of where range boundaries land (the prefix sum over a fixed total
+order doesn't care how it's chopped). This is the same decomposition
+Spark itself uses inside ``zipWithIndex``.
 """
 
 from __future__ import annotations
@@ -47,18 +50,31 @@ def pack_sequences(
     exactly (see the oracle twin), not truncating.
     """
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(P, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # MATERIALIZE the range partitioning before anything reads __pid:
+    # two separate jobs (the totals collect below and the caller's final
+    # action) each re-run an un-materialized repartitionByRange, and
+    # RangePartitioner's reservoir sample is seeded per-job (rdd.id), so
+    # range boundaries — hence __pid assignment — could differ between
+    # the job that computed the offsets and the job that applies them,
+    # silently corrupting running/pack_id at scale (ADVICE r2, high).
+    # localCheckpoint pins one boundary set both jobs read (the same
+    # pattern components.py uses for its iterated edge list).
+    parts = (
+        df.repartitionByRange(P, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = W.partitionBy("__pid").orderBy(order_col)
     with_local = parts.withColumn(
         "__local_run", F.sum(weight_col).over(local)
     )
-    # P rows to the driver — the only non-distributed step, O(P) not O(N)
+    # P rows to the driver — the only non-distributed step, O(P) not
+    # O(N). sum(weight) is the partition total for any weight sign
+    # (max(__local_run) would assume non-negative weights).
     totals = {
         r["__pid"]: r["t"]
-        for r in with_local.groupBy("__pid")
-        .agg(F.max("__local_run").alias("t"))
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("t"))
         .collect()
     }
     offsets, acc = {}, 0

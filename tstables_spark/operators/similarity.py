@@ -221,6 +221,53 @@ def hyperplane_buckets(emb: DataFrame, planes: int = 8, dim: int = 64) -> DataFr
     return base.withColumn("bucket", bucket.cast("int"))
 
 
+def _cells_from_codebook(
+    base: DataFrame,
+    cvs: list[list[float]],
+    cn2s: list[float],
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every ``base`` row (must carry ``v``/``n2`` from
+    ``with_norm2``) to its nearest-by-cosine codebook entry — entirely
+    scan-side.
+
+    The codebook is driver-held literals (n_cells·d doubles — KB, not
+    data) compiled into n_cells flat dot-product expressions plus an
+    argmax when-chain, so assignment is one narrow codegen'd pass: no
+    join, no shuffle at ANY corpus size. (The previous formulation
+    crossJoined a broadcast centroid table and picked the max with
+    row_number over Window.partitionBy(id) — a full hash shuffle of the
+    n_cells-times-expanded corpus; ADVICE r2 finding.) Ties break to the
+    lowest cell id, matching ORDER BY cosine DESC, cell. Returns
+    (cells, cents): cells = base columns + ``cell`` (1-based), cents =
+    (cell, cv, cn2) as a local relation for downstream broadcast use.
+    """
+    n = len(cvs)
+    coss = []
+    for ci, (cv, cn2) in enumerate(zip(cvs, cn2s)):
+        # v[i] * literal, summed left-to-right: the same float order as
+        # _dot over a column pair, so scores are bit-identical to the
+        # old broadcast-join formulation.
+        terms = " + ".join(f"v[{i}] * ({cv[i]!r})" for i in range(dim))
+        coss.append((F.expr(terms) / F.sqrt(F.col("n2") * F.lit(cn2))).alias(f"__c{ci}"))
+    with_c = base.select("*", *coss)
+    cell = F.lit(1)  # degenerate fallback (all-NaN scores): cell 1
+    for ci in range(n - 1, -1, -1):
+        is_max = F.col(f"__c{ci}") >= F.greatest(
+            *[F.col(f"__c{cj}") for cj in range(n)]
+        ) if n > 1 else F.lit(True)
+        cell = F.when(is_max, F.lit(ci + 1)).otherwise(cell)
+    cells = with_c.withColumn("cell", cell.cast("int")).drop(
+        *[f"__c{ci}" for ci in range(n)]
+    )
+    spark = base.sparkSession
+    cents = spark.createDataFrame(
+        [(ci + 1, cvs[ci], cn2s[ci]) for ci in range(n)],
+        "cell int, cv array<double>, cn2 double",
+    )
+    return cells, cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
@@ -229,40 +276,20 @@ def ivf_assign(
 ) -> tuple[DataFrame, DataFrame]:
     """Partition vectors into IVF cells: the first ``n_cells`` vectors
     (by id — deterministic, no RNG) act as the coarse codebook, and
-    every vector joins the cell of its nearest centroid by cosine.
+    every vector is assigned the cell of its nearest centroid by cosine.
 
     Returns (cells, centroids): ``cells`` = emb columns + ``cell``;
-    ``centroids`` = (cell, cv, cn2). One broadcast of n_cells
-    centroids + one narrow scan computing n_cells dots per row — no
-    shuffle at any corpus size. (Real IVF runs Lloyd iterations to
-    place centroids; seeding by id keeps this deterministic and
-    engine-reproducible, the property every other op here guarantees.
-    A k-means refinement would slot in as repeated
-    assign-then-``embed_centroid`` passes.)
+    ``centroids`` = (cell, cv, cn2). The codebook rows are collected
+    once (n_cells·d doubles) and assignment happens scan-side with zero
+    shuffle — see ``_cells_from_codebook``. Seeding by id keeps this
+    deterministic and engine-reproducible; ``ivf_topk_kmeans`` is the
+    Lloyd-refined variant.
     """
-    from pyspark.sql import Window as W
-
     base = with_norm2(emb, dim=dim)
-    seeds = base.orderBy(id_col).limit(n_cells)
-    # global-window warning here is benign: it numbers only the
-    # n_cells codebook rows (small by definition), never the corpus
-    cents = seeds.select(
-        F.row_number().over(W.orderBy(id_col)).alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("n2").alias("cn2"),
-    )
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos", _dot("v", "cv", dim) / F.sqrt(F.col("n2") * F.col("cn2"))
-    )
-    from pyspark.sql import Window as W
-
-    pick = W.partitionBy(id_col).orderBy(F.col("__cos").desc(), "cell")
-    cells = (
-        scored.withColumn("__r", F.row_number().over(pick))
-        .where(F.col("__r") == 1)
-        .drop("__r", "__cos", "cv", "cn2")
-    )
-    return cells, cents
+    seed_rows = base.orderBy(id_col).limit(n_cells).select("v", "n2").collect()
+    cvs = [[float(x) for x in r["v"]] for r in seed_rows]
+    cn2s = [float(r["n2"]) for r in seed_rows]
+    return _cells_from_codebook(base, cvs, cn2s, dim)
 
 
 def ivf_topk(
@@ -284,6 +311,60 @@ def ivf_topk(
     shuffle. Exact twin: ``cosine_topk``; recall floor pinned by unit
     test."""
     cells, cents = ivf_assign(emb, n_cells, id_col)
+    return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
+
+
+def ivf_topk_kmeans(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF top-k with a Lloyd-REFINED coarse codebook: ``kmeans_fit``
+    (operators/clustering.py) moves the n_cells centroids for ``iters``
+    rounds before vectors are bucketed, so cells track the actual
+    density of the corpus instead of whatever the first n_cells vectors
+    happened to be — the codebook-training step real FAISS IVF runs.
+
+    Scale shape: each Lloyd round is one narrow scan (assignment is
+    flat codegen'd expressions over literal centroids — no join, no
+    shuffle) plus one k·d-row decimal-mean aggregate; the refined
+    centroids then feed the same zero-shuffle assignment and
+    probe-equi-join as ``ivf_topk``. Deterministic end to end (id-seeded
+    codebook, order-independent decimal means), so recall vs the exact
+    ``cosine_topk`` twin is a stable, testable number.
+    """
+    from tstables_spark.operators.clustering import kmeans_fit
+
+    _, cvs = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col, vec_col="embedding")
+    # centroid norms, accumulated left-to-right like _dot so the cosine
+    # denominators match the scan-side float order exactly
+    cn2s = []
+    for cv in cvs:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cn2s.append(acc)
+    base = with_norm2(emb, dim=dim)
+    cells, cents = _cells_from_codebook(base, cvs, cn2s, dim)
+    return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
+
+
+def _ivf_probe_topk(
+    cells: DataFrame,
+    cents: DataFrame,
+    query_pred: Column,
+    k: int,
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF probe + score: each query scores only the members of
+    its ``n_probe`` nearest cells (broadcast probes → equi-join on
+    cell → per-query rank)."""
     q = cells.where(query_pred).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
     )

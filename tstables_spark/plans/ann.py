@@ -1,0 +1,94 @@
+"""Round-3 ANN/clustering plans: Lloyd-refined IVF, k-means cell
+assignment, and a driver-visible recall metric for the whole
+approximate-similarity family.
+
+These close two r2 VERDICT gaps: ``kmeans_lloyd`` had no exercised
+path, and the ANN recall floors lived only in pytest — ``sim_recall``
+turns recall-vs-exact into CORRECTNESS rows the harness records every
+round. All three are deterministic (id-seeded codebooks, decimal-exact
+centroid means, 4dp-rounded cosines) but approximate/engine-specific by
+design, so they are declared rows-only; the exact twin is ``sim_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.operators.clustering import kmeans_lloyd
+from tstables_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_kmeans,
+    lsh_topk,
+)
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+@query("sim_ivf_kmeans")
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF with a Lloyd-refined codebook
+    (operators/similarity.py::ivf_topk_kmeans): 2 k-means rounds move
+    the 16 centroids to the corpus density before bucketing — the
+    codebook-training step FAISS IVF runs, expressed as narrow
+    scan-side assignment + decimal-mean update. Rows-only: approximate
+    by design; exact twin is sim_topk, recall floor pinned in
+    tests/test_operators.py and surfaced by sim_recall."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_kmeans(
+        emb, F.col("vec_id") < 10, k=5, n_cells=16, n_probe=4, iters=2
+    )
+
+
+@query("cluster_kmeans")
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) cell assignment over the embeddings corpus —
+    the mixture-balancing / stratified-sampling / codebook-training
+    primitive (operators/clustering.py). 8 cells, 2 rounds,
+    deterministic id-ordered seeding. Rows-only: the fixpoint depends
+    on float centroid arithmetic no portable SQL reproduces; stability
+    and non-degeneracy are pinned by unit tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
+@query("sim_recall")
+def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate-similarity variant against the
+    exact brute-force ``cosine_topk`` on the same 10 queries — the
+    ANN quality metric, emitted as rows so the harness records it
+    every round instead of it living only in pytest. Deterministic:
+    every variant is RNG-free and ties are id-broken, so these numbers
+    are stable across runs, partitionings, and cluster layouts.
+    Rows-only (the metric grades engine-specific approximations; its
+    ground truth, sim_topk, IS hash-checked)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    k = 5
+    exact = cosine_topk(emb, pred, k=k).select("qid", "nid")
+    variants = [
+        ("sim_ivf", lsh_topk(emb, pred, k=k, planes=8)),
+        ("sim_ivf_centroid", ivf_topk(emb, pred, k=k, n_cells=16, n_probe=4)),
+        (
+            "sim_ivf_kmeans",
+            ivf_topk_kmeans(emb, pred, k=k, n_cells=16, n_probe=4, iters=2),
+        ),
+    ]
+    outs = []
+    for name, approx in variants:
+        j = exact.join(
+            approx.select("qid", "nid").withColumn("__hit", F.lit(1)),
+            ["qid", "nid"],
+            "left",
+        )
+        outs.append(
+            j.agg(
+                F.count_distinct("qid").alias("n_queries"),
+                F.round(F.count("__hit") / F.count(F.lit(1)), 4).alias("recall_at_5"),
+            ).select(F.lit(name).alias("variant"), "n_queries", "recall_at_5")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

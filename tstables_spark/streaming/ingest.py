@@ -24,6 +24,7 @@ def ingest_stream(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
     available_now: bool = True,
+    compression: str = "zstd",
 ) -> StreamingQuery:
     """Start a watermarked streaming write into the engine's layout.
 
@@ -41,6 +42,7 @@ def ingest_stream(
         out.writeStream.format("parquet")
         .option("path", sink_path)
         .option("checkpointLocation", checkpoint_path)
+        .option("compression", compression)  # A9: series codec
         .partitionBy("date")
         .outputMode("append")
     )
@@ -63,6 +65,7 @@ def compact_series(
     path: str,
     files_per_day: int = 1,
     dates: list | None = None,
+    compression: str = "zstd",
 ) -> None:
     """OPTIMIZE-style rewrite: coalesce each date partition's micro-batch
     files down to ``files_per_day`` and restore the in-file ts sort.
@@ -102,6 +105,7 @@ def compact_series(
         df.repartition(F.col("date"), F.pmod(F.xxhash64("ts"), F.lit(files_per_day)))
         .sortWithinPartitions("date", "ts")
         .write.mode("overwrite")
+        .option("compression", compression)  # A9: series codec
         .partitionBy("date")
         .parquet(tmp)
     )

@@ -75,13 +75,28 @@ def _series_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
+# Codecs Spark's parquet writer accepts (A9 — the PyTables Filters
+# complib analog). Validated at create() so a typo fails fast, not at
+# the first append on an executor.
+_CODECS = {"none", "uncompressed", "snappy", "gzip", "lz4", "zstd"}
+
+
 class TimeSeriesTable:
     """Handle over one date-partitioned, ts-sorted Parquet series."""
 
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        compression: str = "zstd",
+        max_records_per_file: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.compression = compression
+        self.max_records_per_file = max_records_per_file
         # UTC is load-bearing, not cosmetic: to_date(ts) decides which
         # day partition a row lands in, and read_range's literals are
         # interpreted in session TZ. The reference pins everything to
@@ -98,6 +113,8 @@ class TimeSeriesTable:
         name: str,
         schema: T.StructType,
         ts_col: str = TS_COL,
+        compression: str = "zstd",
+        max_records_per_file: int | None = None,
     ) -> "TimeSeriesTable":
         """Create an empty series with a declared schema.
 
@@ -105,12 +122,28 @@ class TimeSeriesTable:
         is fixed up front and must contain a timestamp column (the
         reference requires ``timestamp = Int64Col(pos=0)``; we require a
         TimestampType column named ``ts_col``).
+
+        ``compression`` / ``max_records_per_file`` are the A9 storage
+        knobs (the reference's PyTables ``Filters(complib=...)`` +
+        chunkshape passthrough, SURVEY.md §2 A9): the parquet codec every
+        write to this series uses, and an optional cap on rows per file
+        (the writer splits output files at the cap — the row-group/file
+        sizing lever at 100 TB, where too-large files hurt task
+        granularity and too-small ones drown the scan in footer
+        overhead). Both persist in the series metadata, so every future
+        ``open`` + ``append`` applies them without re-stating.
         """
         if ts_col not in schema.fieldNames():
             raise TimeSeriesTableError(f"schema must contain a '{ts_col}' column")
         field = schema[ts_col]
         if not isinstance(field.dataType, T.TimestampType):
             raise TimeSeriesTableError(f"'{ts_col}' must be TimestampType, got {field.dataType}")
+        if compression.lower() not in _CODECS:
+            raise TimeSeriesTableError(
+                f"unsupported compression {compression!r}: choose from {sorted(_CODECS)}"
+            )
+        if max_records_per_file is not None and max_records_per_file <= 0:
+            raise TimeSeriesTableError("max_records_per_file must be positive")
         path = _series_path(root, name)
         os.makedirs(path, exist_ok=True)
         # O_EXCL makes the exists-check-and-create one atomic step, so two
@@ -120,8 +153,17 @@ class TimeSeriesTable:
         except FileExistsError:
             raise TimeSeriesTableError(f"series already exists at {path}") from None
         with os.fdopen(fd, "w") as f:
-            json.dump({"schema": schema.jsonValue(), "ts_col": ts_col, "version": 1}, f)
-        return cls(spark, path, schema)
+            json.dump(
+                {
+                    "schema": schema.jsonValue(),
+                    "ts_col": ts_col,
+                    "version": 1,
+                    "compression": compression.lower(),
+                    "max_records_per_file": max_records_per_file,
+                },
+                f,
+            )
+        return cls(spark, path, schema, compression.lower(), max_records_per_file)
 
     # -- A2: open -----------------------------------------------------------
     @classmethod
@@ -134,7 +176,13 @@ class TimeSeriesTable:
         with open(meta_path) as f:
             meta = json.load(f)
         schema = T.StructType.fromJson(meta["schema"])
-        return cls(spark, path, schema)
+        return cls(
+            spark,
+            path,
+            schema,
+            meta.get("compression", "zstd"),
+            meta.get("max_records_per_file"),
+        )
 
     # -- A3: append ---------------------------------------------------------
     def append(self, df: DataFrame, strict_order: bool = False, files_per_day: int = 1) -> None:
@@ -180,18 +228,22 @@ class TimeSeriesTable:
             )
         else:
             dated = dated.repartition(DATE_COL)
-        (
-            # Sort by (date, ts), not just ts: the dynamic-partition
-            # writer requires task rows ordered by the partition column
-            # and inserts its own UNSTABLE sort on `date` when they are
-            # not — which silently destroys the in-file ts order the
-            # whole layout contract rests on. Sorting by the full prefix
-            # satisfies the writer's requirement so no extra sort runs.
+        # Sort by (date, ts), not just ts: the dynamic-partition
+        # writer requires task rows ordered by the partition column
+        # and inserts its own UNSTABLE sort on `date` when they are
+        # not — which silently destroys the in-file ts order the
+        # whole layout contract rests on. Sorting by the full prefix
+        # satisfies the writer's requirement so no extra sort runs.
+        writer = (
             dated.sortWithinPartitions(DATE_COL, TS_COL)
             .write.mode("append")
             .partitionBy(DATE_COL)
-            .parquet(self.path)
+            # A9 knobs from create(): per-series codec + file-size cap
+            .option("compression", self.compression)
         )
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        writer.parquet(self.path)
 
     # -- internal: read with pruning ---------------------------------------
     def _df(self) -> DataFrame:
