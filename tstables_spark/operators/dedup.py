@@ -158,7 +158,14 @@ def minhash_lsh_pairs(
     Jaccard. Returns (doc_a, doc_b, jaccard >= threshold)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = shingles(docs, n)
+    # Materialize the shingle set ONCE: three branches read it (the
+    # signature aggregate, and the two sides of the exact-verify join),
+    # and each would otherwise re-evaluate the interpreted n-gram
+    # lambda over the full corpus — ReuseExchange can't help because
+    # the three consumers shuffle on different keys. At 100 TB this is
+    # the standard persist-the-tokenization trade: one materialization
+    # of Σ tokens rows vs three recomputations of the corpus scan.
+    sh = shingles(docs, n).localCheckpoint(eager=True)
     # k independent hash functions: xxhash64 with k distinct seed columns.
     hashed = sh.select(
         "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]

@@ -1,0 +1,204 @@
+"""Corpus-filtering plans (round 3): text normalization, Gopher-style
+repetition scoring, the composite quality gate, and benchmark
+decontamination — the filtering stages a pretraining pipeline runs
+between raw ingest and tokenization (Rae et al. 2021 "Scaling Language
+Models" app. A for the repetition/quality heuristics; benchmark
+decontamination per GPT-3 paper §5 / public reproductions).
+
+All four are pure column expressions or inverted-index equi-joins —
+linear scans or bounded shuffles, oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.operators.dedup import shingles
+from tstables_spark.operators.sampling import hash_split
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+               AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_norm
+    FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, whitespace→space FIRST
+    (so a newline never glues two words together when punctuation is
+    stripped), drop non-alphanumerics, collapse runs, trim — the
+    normalization pass exact-dedup and tokenization key on. Pure JVM
+    regex, linear scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_norm"),
+    )
+
+
+@query(
+    "repetition_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1]) AS g2
+          FROM t WHERE len(toks) >= 2)
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_frac
+    FROM g
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document — the Gopher repetition
+    filter (high dup_frac = boilerplate/spam/looped generation). The
+    bigram list and its distinct count are per-row higher-order
+    expressions: no explode, no shuffle, one linear scan. The division
+    is int-exact on both engines, so the double is bit-identical."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    base = d.where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.size(g2).cast("long").alias("n_2grams"),
+        F.size(F.array_distinct(g2)).cast("long").alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_2grams",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_2grams")).alias(
+            "dup_frac"
+        ),
+    )
+
+
+@query(
+    "quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1]) AS g2
+          FROM t WHERE len(toks) >= 2),
+    m AS (SELECT doc_id, n_tokens,
+                 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_frac,
+                 CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+                      AS DOUBLE) / n_tokens AS stop_ratio
+          FROM s)
+    SELECT doc_id, n_tokens, dup_frac, stop_ratio,
+           (n_tokens >= 20 AND dup_frac <= 0.1 AND stop_ratio >= 0.02) AS keep
+    FROM m
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite pretraining quality gate: length floor + duplicate
+    -bigram ceiling + stopword-density floor (the Gopher rule shapes),
+    emitting every document with its metrics and the keep verdict —
+    downstream stages filter on ``keep``. One linear scan, all
+    higher-order column expressions, no shuffle; at 100 TB this is a
+    map-only pass whose selectivity feeds the next stage's size
+    estimate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    base = d.where(F.size(toks) >= 2).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(g2).cast("long").alias("__g"),
+        F.size(F.array_distinct(g2)).cast("long").alias("__gd"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+        .cast("long")
+        .alias("__stop"),
+    )
+    dup_frac = F.lit(1.0) - F.col("__gd").cast("double") / F.col("__g")
+    stop_ratio = F.col("__stop").cast("double") / F.col("n_tokens")
+    m = base.select(
+        "doc_id", "n_tokens", dup_frac.alias("dup_frac"), stop_ratio.alias("stop_ratio")
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("dup_frac") <= 0.1)
+        & (F.col("stop_ratio") >= 0.02)
+    )
+    return m.select("doc_id", "n_tokens", "dup_frac", "stop_ratio", keep.alias("keep"))
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] AS shingle
+           FROM idx),
+    tr AS (SELECT sh.doc_id AS train_doc, shingle
+           FROM sh JOIN s USING (doc_id) WHERE s.split = 'train'),
+    te AS (SELECT sh.doc_id AS test_doc, shingle
+           FROM sh JOIN s USING (doc_id) WHERE s.split = 'test')
+    SELECT train_doc, test_doc, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN te USING (shingle)
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find (train doc, test doc) pairs
+    sharing at least one 6-gram across the deterministic hash split —
+    the leakage check every serious pretraining run performs before
+    training (long-n-gram overlap, GPT-3 §5 style; 6 here because the
+    synthetic docs are short). Shape: the same inverted-index equi-join
+    as dedup_near, keyed on the 6-gram — long shingles are rare, so
+    posting lists are short and the pair fan-out stays near-linear; at
+    100 TB you additionally key the join on xxhash64(shingle) to cut
+    shuffle bytes (string keys kept here for the cross-engine oracle)
+    and cap df like jaccard_pairs(max_df)."""
+    docs = load(spark, sf_dir, "documents")
+    sp = hash_split(docs, "doc_id").select("doc_id", "split")
+    tagged = shingles(docs, 6).join(sp, "doc_id")
+    tr = tagged.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    te = tagged.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    return (
+        tr.join(te, "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
