@@ -317,3 +317,35 @@ def test_ivf_assign_matches_old_broadcast_formulation(spark):
             if cos > best_cos + 1e-12:
                 best_cell, best_cos = c.cell, cos
         assert got[r.vec_id] == best_cell
+
+
+def test_lsh_topk_recall(spark):
+    """Multi-table multi-probe LSH must recover most of the exact
+    top-5 (the r3 fix: one table of degenerate planes gave 0.36)."""
+    from tstables_spark.operators.similarity import cosine_topk, lsh_topk
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, pred, k=5).collect()}
+    approx = {
+        (r.qid, r.nid)
+        for r in lsh_topk(emb, pred, k=5, planes=6, n_tables=8, probe_bits=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_hyperplane_tables_independent(spark):
+    """Distinct table indices must yield genuinely different plane sets
+    (the r3 bug: plane j duplicated plane j-4, collapsing every table
+    to the same 4 hyperplanes)."""
+    from tstables_spark.operators.similarity import hyperplane_buckets
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    b0 = {r.vec_id: r.bucket for r in hyperplane_buckets(emb, 6, table=0).collect()}
+    b1 = {r.vec_id: r.bucket for r in hyperplane_buckets(emb, 6, table=1).collect()}
+    assert b0 != b1
+    # good diffusion: a healthy fraction of the 64 bucket values in use
+    assert len(set(b0.values())) > 16

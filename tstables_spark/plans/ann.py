@@ -66,29 +66,32 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     k = 5
-    exact = cosine_topk(emb, pred, k=k).select("qid", "nid")
+
+    # Each variant runs SEQUENTIALLY as its own distributed job and only
+    # k·|Q| id pairs cross the driver (contract-small, like the query
+    # side every ANN op here broadcasts). A single union-of-variants
+    # plan instead launches every subplan's broadcast build concurrently
+    # on the driver — measured to exhaust the default 1g heap of the
+    # harness's vanilla local session; the sequential form has the same
+    # answer, one pipeline's peak memory, and no plan-estimation
+    # dependence.
+    def pairs(df: DataFrame) -> set:
+        return {(r["qid"], r["nid"]) for r in df.select("qid", "nid").collect()}
+
+    exact = pairs(cosine_topk(emb, pred, k=k))
+    n_queries = len({q for q, _ in exact})
     variants = [
-        ("sim_ivf", lsh_topk(emb, pred, k=k, planes=8)),
-        ("sim_ivf_centroid", ivf_topk(emb, pred, k=k, n_cells=16, n_probe=4)),
+        ("sim_ivf", lambda: lsh_topk(emb, pred, k=k, planes=6, n_tables=8, probe_bits=1)),
+        ("sim_ivf_centroid", lambda: ivf_topk(emb, pred, k=k, n_cells=16, n_probe=4)),
         (
             "sim_ivf_kmeans",
-            ivf_topk_kmeans(emb, pred, k=k, n_cells=16, n_probe=4, iters=2),
+            lambda: ivf_topk_kmeans(emb, pred, k=k, n_cells=16, n_probe=4, iters=2),
         ),
     ]
-    outs = []
-    for name, approx in variants:
-        j = exact.join(
-            approx.select("qid", "nid").withColumn("__hit", F.lit(1)),
-            ["qid", "nid"],
-            "left",
-        )
-        outs.append(
-            j.agg(
-                F.count_distinct("qid").alias("n_queries"),
-                F.round(F.count("__hit") / F.count(F.lit(1)), 4).alias("recall_at_5"),
-            ).select(F.lit(name).alias("variant"), "n_queries", "recall_at_5")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    rows = []
+    for name, make in variants:
+        approx = pairs(make())
+        rows.append((name, n_queries, round(len(exact & approx) / len(exact), 4)))
+    return spark.createDataFrame(
+        rows, "variant string, n_queries long, recall_at_5 double"
+    )

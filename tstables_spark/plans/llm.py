@@ -143,11 +143,14 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivf")
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via 8-plane hyperplane-LSH bucketing (candidates
-    only from the query's bucket — equi-join instead of cross join).
-    Rows-only: approximate by design; exact twin is sim_topk."""
+    """Approximate top-5 via multi-table multi-probe hyperplane LSH
+    (6 planes x 8 independent tables, Hamming-1 probes): candidates
+    only from shared buckets — a (table, bucket) equi-join instead of
+    a cross join, the classic L-table LSH construction. Rows-only:
+    approximate by design; exact twin is sim_topk, recall surfaced by
+    sim_recall."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, F.col("vec_id") < 10, k=5, planes=8)
+    return lsh_topk(emb, F.col("vec_id") < 10, k=5, planes=6, n_tables=8, probe_bits=1)
 
 
 @query("sim_ivf_centroid")
