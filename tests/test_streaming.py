@@ -140,3 +140,29 @@ def test_compact_refuses_leftover_precompact(spark):
         pass
     # original data untouched by the aborted run
     assert spark.read.parquet(sink).count() == before
+
+
+def test_compact_preserves_series_meta(spark, tmp_path):
+    """Whole-table compaction must carry _ts_meta.json across the swap:
+    the series stays openable (r3 fix — the rewrite tree used to drop
+    the catalog file)."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import types as T
+
+    from tstables_spark.tstable import TimeSeriesTable
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+    t = TimeSeriesTable.create(spark, str(tmp_path), "s", schema, compression="snappy")
+    base = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    rows = [(base + timedelta(hours=h), float(h)) for h in range(48)]
+    t.append(spark.createDataFrame(rows[:24], schema))
+    t.append(spark.createDataFrame(rows[24:], schema))
+    compact_series(spark, t.path, files_per_day=1)
+    reopened = TimeSeriesTable.open(spark, str(tmp_path), "s")
+    assert reopened.schema == schema
+    assert reopened.compression == "snappy"
+    got = reopened.read_range(base, base + timedelta(hours=47)).count()
+    assert got == 48

@@ -100,6 +100,42 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(*ev.columns)
 
 
+@query(
+    "ts_compact",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+                 AND TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip: append the events fixture in TWO batches
+    (two files per day partition — the small-file state a micro-batched
+    stream leaves behind), run the OPTIMIZE-style rewrite
+    (streaming/ingest.py::compact_series — coalesces each day to one
+    ts-sorted file via a single (date, bucket) shuffle, swaps it in
+    with checked renames), then read a range back. The ORACLE is the
+    plain range select on the fixture: the hash match proves compaction
+    is lossless and the layout contract (pruned, inclusive range reads)
+    survives the rewrite."""
+    from datetime import datetime, timezone
+
+    from tstables_spark.streaming.ingest import compact_series
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tscompact_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    half = F.pmod(F.xxhash64("event_id"), F.lit(2))
+    ts.append(ev.where(half == 0))
+    ts.append(ev.where(half == 1))
+    compact_series(spark, ts.path, files_per_day=1)
+    return ts.read_range(
+        datetime(2024, 1, 3, tzinfo=timezone.utc),
+        datetime(2024, 1, 8, tzinfo=timezone.utc),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 # -- resample ---------------------------------------------------------------
 @query(
     "ts_resample_ohlc",

@@ -139,6 +139,16 @@ def compact_series(
                     f"leftover {path}__precompact from a crashed compaction; "
                     "resolve it manually before re-running"
                 )
+            # A TimeSeriesTable series keeps its schema in _ts_meta.json
+            # at the root; the rewritten tree must carry it across the
+            # swap or the series becomes unopenable (data would survive,
+            # the catalog entry would not).
+            jmeta = hpath(f"{path}/_ts_meta.json")
+            if fs.exists(jmeta):
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, jmeta, fs, hpath(f"{tmp}/_ts_meta.json"), False,
+                    spark._jsc.hadoopConfiguration(),
+                )
             _checked_rename(fs, jpath, jold)
             try:
                 _checked_rename(fs, jtmp, jpath)
