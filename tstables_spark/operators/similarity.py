@@ -219,13 +219,80 @@ def _bucket_expr(planes: int, dim: int, table: int) -> Column:
     """Bucket id from the sign pattern of plane set ``table`` (global
     plane indices table*planes .. table*planes+planes-1). The signs are
     compile-time constants, so each signed dot flattens to a codegen'd
-    +/- chain (see _dot for why no HOF)."""
+    +/- chain (see _dot for why no HOF). Fine for ONE table; for many
+    tables use ``_lsh_scan`` — the stacked expression tree blows past
+    the JVM's generated-method limits and falls back to interpreted
+    per-row tree walking (measured: 5.7 s for 8 tables x 6 planes over
+    a mere 2k vectors, vs 0.5 s for the kernel)."""
     bits = []
     for j in range(planes):
         signs = ["+" if _sign_bit(i, table * planes + j) else "-" for i in range(dim)]
         dot_j = F.expr(" ".join(f"{s} v[{i}]" for i, s in enumerate(signs)))
         bits.append(F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     return reduce(lambda a, b: a + b, bits).cast("int")
+
+
+def _lsh_scan(
+    emb: DataFrame,
+    planes: int,
+    n_tables: int,
+    dim: int,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, n2, buckets[L]) for every row — ALL tables' buckets in
+    one Arrow-batched scan kernel.
+
+    Why a kernel and not column expressions: L tables x planes signed
+    64-term dots is a ~3000-node expression tree; Spark's generated
+    code for it exceeds the JVM method limits, so evaluation silently
+    falls back to interpreted tree-walking per row (and Catalyst pays
+    seconds of analysis on the tree besides). The kernel computes the
+    same signed dots as vectorized numpy column ops, accumulated
+    dimension-by-dimension (``acc += v_i * p_i`` left to right) — the
+    SAME float addition order as the codegen'd chain, so bucket
+    assignments are bit-identical to the expression form and
+    deterministic on any partitioning. mapInPandas is narrow: no
+    shuffle, plan stays scan → kernel."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(
+        [
+            [1.0 if _sign_bit(i, t * planes + j) else -1.0 for i in range(dim)]
+            for t in range(n_tables)
+            for j in range(planes)
+        ]
+    ).T  # (dim, L*planes)
+    n_planes = n_tables * planes
+    shifts = np.array([1 << j for j in range(planes)], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n2 = np.zeros(len(ids))
+            dots = np.zeros((len(ids), n_planes))
+            for i in range(dim):
+                col = M[:, i]
+                n2 += col * col
+                dots += col[:, None] * P[i][None, :]
+            bits = (dots >= 0).astype(np.int64).reshape(len(ids), n_tables, planes)
+            buckets = (bits * shifts[None, None, :]).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "v": list(M),
+                    "n2": n2,
+                    "buckets": list(buckets),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, v array<double>, n2 double, buckets array<int>"
+    )
 
 
 def hyperplane_buckets(
@@ -241,46 +308,62 @@ def hyperplane_buckets(
 
 
 def _cells_from_codebook(
-    base: DataFrame,
+    emb: DataFrame,
     cvs: list[list[float]],
     cn2s: list[float],
     dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Assign every ``base`` row (must carry ``v``/``n2`` from
-    ``with_norm2``) to its nearest-by-cosine codebook entry — entirely
-    scan-side.
+    """Assign every vector to its nearest-by-cosine codebook entry —
+    entirely scan-side, via an Arrow-batched kernel.
 
-    The codebook is driver-held literals (n_cells·d doubles — KB, not
-    data) compiled into n_cells flat dot-product expressions plus an
-    argmax when-chain, so assignment is one narrow codegen'd pass: no
-    join, no shuffle at ANY corpus size. (The previous formulation
-    crossJoined a broadcast centroid table and picked the max with
-    row_number over Window.partitionBy(id) — a full hash shuffle of the
-    n_cells-times-expanded corpus; ADVICE r2 finding.) Ties break to the
-    lowest cell id, matching ORDER BY cosine DESC, cell. Returns
-    (cells, cents): cells = base columns + ``cell`` (1-based), cents =
-    (cell, cv, cn2) as a local relation for downstream broadcast use.
+    The codebook is driver-held (n_cells·d doubles — KB, not data); the
+    kernel computes all n_cells cosines as vectorized numpy column ops
+    accumulated dimension-by-dimension (the same left-to-right float
+    order as a flat codegen'd expression, so assignments are
+    bit-reproducible on any partitioning) and takes the argmax with
+    ties to the LOWEST cell id (numpy argmax returns the first
+    maximum), matching ORDER BY cosine DESC, cell. No join, no shuffle
+    at ANY corpus size — the r2 formulation crossJoined a broadcast
+    centroid table and picked the max with row_number over
+    Window.partitionBy(id), a full hash shuffle of the expanded corpus
+    (ADVICE r2); the interim expression-tree form avoided the shuffle
+    but fell out of whole-stage codegen at n_cells·dim terms and ran
+    interpreted (see _lsh_scan). Returns (cells, cents): cells =
+    (id_col, v, n2, cell 1-based), cents = (cell, cv, cn2) local
+    relation for downstream broadcast use.
     """
+    import numpy as np
+    import pandas as pd
+
     n = len(cvs)
-    coss = []
-    for ci, (cv, cn2) in enumerate(zip(cvs, cn2s)):
-        # v[i] * literal, summed left-to-right: the same float order as
-        # _dot over a column pair, so scores are bit-identical to the
-        # old broadcast-join formulation.
-        terms = " + ".join(f"v[{i}] * ({cv[i]!r})" for i in range(dim))
-        coss.append((F.expr(terms) / F.sqrt(F.col("n2") * F.lit(cn2))).alias(f"__c{ci}"))
-    with_c = base.select("*", *coss)
-    cell = F.lit(1)  # degenerate fallback (all-NaN scores): cell 1
-    for ci in range(n - 1, -1, -1):
-        is_max = F.col(f"__c{ci}") >= F.greatest(
-            *[F.col(f"__c{cj}") for cj in range(n)]
-        ) if n > 1 else F.lit(True)
-        cell = F.when(is_max, F.lit(ci + 1)).otherwise(cell)
-    cells = with_c.withColumn("cell", cell.cast("int")).drop(
-        *[f"__c{ci}" for ci in range(n)]
+    C = np.array(cvs, dtype=np.float64).T  # (dim, n_cells)
+    CN2 = np.array(cn2s, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n2 = np.zeros(len(ids))
+            dots = np.zeros((len(ids), n))
+            for i in range(dim):
+                col = M[:, i]
+                n2 += col * col
+                dots += col[:, None] * C[i][None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # sqrt(n2 * cn2): the same float op order as the
+                # dot/sqrt(n2*cn2) expression used everywhere else
+                cos = dots / np.sqrt(n2[:, None] * CN2[None, :])
+            cell = (np.argmax(cos, axis=1) + 1).astype(np.int32)
+            yield pd.DataFrame({id_col: ids, "v": list(M), "n2": n2, "cell": cell})
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, v array<double>, n2 double, cell int"
     )
-    spark = base.sparkSession
-    cents = spark.createDataFrame(
+    cents = emb.sparkSession.createDataFrame(
         [(ci + 1, cvs[ci], cn2s[ci]) for ci in range(n)],
         "cell int, cv array<double>, cn2 double",
     )
@@ -304,11 +387,12 @@ def ivf_assign(
     deterministic and engine-reproducible; ``ivf_topk_kmeans`` is the
     Lloyd-refined variant.
     """
-    base = with_norm2(emb, dim=dim)
-    seed_rows = base.orderBy(id_col).limit(n_cells).select("v", "n2").collect()
+    seed_rows = (
+        with_norm2(emb, dim=dim).orderBy(id_col).limit(n_cells).select("v", "n2").collect()
+    )
     cvs = [[float(x) for x in r["v"]] for r in seed_rows]
     cn2s = [float(r["n2"]) for r in seed_rows]
-    return _cells_from_codebook(base, cvs, cn2s, dim)
+    return _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
 
 
 def ivf_topk(
@@ -368,8 +452,7 @@ def ivf_topk_kmeans(
         for x in cv:
             acc += x * x
         cn2s.append(acc)
-    base = with_norm2(emb, dim=dim)
-    cells, cents = _cells_from_codebook(base, cvs, cn2s, dim)
+    cells, cents = _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
     return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
 
 
@@ -446,32 +529,30 @@ def lsh_topk(
     recall@5 = 0.96 on the fixture corpus — tuned for its weakly
     -similar neighbors; a real near-dup corpus (cosine >= 0.9 pairs)
     gets the same recall from far fewer/narrower tables. Deterministic
-    end to end (fixed plane family, id tie-breaks)."""
-    base = with_norm2(emb)
-    tbl_cols = [
-        _bucket_expr(planes, DIM, t).alias(f"__b{t}") for t in range(n_tables)
-    ]
-    b = base.select(id_col, "v", "n2", *tbl_cols)
-    bucket_arr = F.array(*[F.col(f"__b{t}") for t in range(n_tables)])
+    end to end (fixed plane family, id tie-breaks). Buckets come from
+    the ``_lsh_scan`` kernel (one Arrow-batched pass; the equivalent
+    column-expression tree falls out of codegen and runs ~10x slower —
+    see its docstring)."""
+    b = _lsh_scan(emb, planes, n_tables, DIM, id_col)
     c = b.select(
         F.col(id_col).alias("nid"),
         F.col("v").alias("cv"),
         F.col("n2").alias("cn2"),
-        F.posexplode(bucket_arr).alias("tbl", "bucket"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
     masks = [0] + ([1 << j for j in range(planes)] if probe_bits >= 1 else [])
     probe_structs = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                F.col(f"__b{t}").bitwiseXOR(F.lit(m)).alias("bucket"),
+                F.col("buckets")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
             )
             for t in range(n_tables)
             for m in masks
         ]
     )
     q = (
-        b.where(query_pred)
+        _lsh_scan(emb.where(query_pred), planes, n_tables, DIM, id_col)
         .select(
             F.col(id_col).alias("qid"),
             F.col("v").alias("qv"),
