@@ -29,8 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) with per-doc-distinct word n-grams.
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_size: bool = False,
+) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct word n-grams;
+    ``with_size`` adds ``n_sh``, the doc's distinct-shingle count.
 
     Plan-shape note: the n-gram ``transform`` lambda is a higher-order
     function Spark evaluates interpreted (no whole-stage codegen), so it
@@ -40,6 +47,15 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     (measured 6x slower). Instead: pre-filter short docs on the cheap
     ``size(split(...))`` predicate, then ``explode_outer`` (no inferred
     filter) + null post-filter. Linear, shuffle-free at any scale.
+
+    ``n_sh`` is computed SCAN-SIDE, before the explode — this is what
+    lets jaccard_pairs / the minhash verify emit Jaccard denominators
+    at pair-expansion time instead of joining a per-doc sizes relation
+    (which at corpus scale is billions of rows — not broadcastable).
+    The distinct array is aliased through its own projection so the
+    non-cheap lambda isn't duplicated into both ``size`` and the
+    Generate (CollapseProject leaves multi-referenced non-cheap
+    aliases alone); ``size`` above the Generate is O(1) per row.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     d = (
@@ -50,8 +66,14 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         F.sequence(F.lit(0), F.size("__toks") - n),
         lambda i: F.concat_ws(" ", *[F.col("__toks")[i + j] for j in range(n)]),
     )
+    if not with_size:
+        return (
+            d.select("doc_id", F.explode_outer(F.array_distinct(gram)).alias("shingle"))
+            .where(F.col("shingle").isNotNull())
+        )
+    arr = d.select("doc_id", F.array_distinct(gram).alias("__sh"))
     return (
-        d.select("doc_id", F.explode_outer(F.array_distinct(gram)).alias("shingle"))
+        arr.select("doc_id", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle"))
         .where(F.col("shingle").isNotNull())
     )
 
@@ -73,75 +95,52 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
-    Plan shape: classic inverted index. ONE wide shuffle builds the
-    posting list per shingle (``groupBy(shingle).collect_list``); both
-    downstream branches — per-shingle pair expansion and per-doc set
-    sizes — hang off that same aggregate, so Spark's ReuseExchange rule
-    materializes the expensive shingling exactly once (a naive
-    sh⋈sh self-join evaluates the interpreted n-gram lambda 3x). Pair
-    expansion is Σ_s df(s)² rows, all generated post-shuffle with no
-    broadcast; ``max_df`` drops stop-shingle posting lists right after
-    aggregation, which is what bounds the quadratic pair fanout at
-    100 TB (per-list agg memory spills via SortAggregate if a single
-    stop-shingle is pathological). Per-doc set sizes (the Jaccard
-    denominator) come from the UNFILTERED posting lists, so max_df only
-    removes shared-shingle evidence — it can only lower recall, never
-    create false positives.
+    Plan shape: classic inverted index, exactly TWO shuffles and ZERO
+    joins. Shingling computes each doc's set size ``n_sh`` scan-side
+    (see ``shingles(with_size=True)``) and carries it through the
+    posting lists as a (doc_id, n_sh) struct, so pair expansion emits
+    (doc_a, na, doc_b, nb) directly and the Jaccard denominator is a
+    first-value aggregate — no per-doc sizes relation, no sizes join.
+    (Earlier rounds broadcast-joined a sizes table: fine at toy scale,
+    but sizes has one row PER DOC — billions at 100 TB, not
+    broadcastable, and Spark would silently fall back to two extra
+    shuffle joins.) Pair expansion is Σ_s df(s)² rows, all generated
+    post-shuffle with no broadcast; ``max_df`` drops stop-shingle
+    posting lists right after aggregation, which is what bounds the
+    quadratic pair fanout at 100 TB (per-list agg memory spills via
+    SortAggregate if a single stop-shingle is pathological). Because
+    ``n_sh`` is stamped before any filtering, max_df only removes
+    shared-shingle evidence — denominators stay exact, so it can only
+    lower recall, never create false positives.
     """
-    sh = shingles(docs, n)
-    # sort_array at agg time: posting lists are strictly increasing, so
-    # the upper triangle can be GENERATED (posexplode + suffix slice)
-    # instead of generated-square-then-filtered — the nested
-    # explode-explode carried the full df-length array on every one of
-    # its df first-level rows (Σ df² elements through the Generate) and
-    # then filtered half away; the slice carries only the suffixes
-    # (Σ df²/2) and emits no filtered rows. Same output, half the bytes
-    # through the expansion — the half that matters at 100 TB.
+    sh = shingles(docs, n, with_size=True)
+    # sort_array at agg time: posting lists are sorted by doc_id (the
+    # struct's leading field; unique within a list), so the strict
+    # upper triangle can be GENERATED (posexplode + suffix slice from
+    # i+2, 1-based) instead of generated-square-then-filtered — the
+    # slice carries only the suffixes (Σ df²/2 elements through the
+    # Generate) and emits no filtered rows. Half the bytes through the
+    # expansion — the half that matters at 100 TB.
     counted = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds"), F.count("*").alias("df")
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"),
+        F.count("*").alias("df"),
     )
-    if max_df is None:
-        # Diagonal trick (r2 VERDICT "shave a stage"): make the suffix
-        # INCLUSIVE (slice from i+1, 1-based self position) — the
-        # (d, d) diagonal then occurs once per shingle of d, so its
-        # count IS n_sh(d), and per-doc sizes fall out of the SAME pair
-        # aggregate instead of a separate explode+groupBy branch over
-        # the posting lists. Cost: Σ df(s) extra diagonal rows —
-        # linear, dwarfed by the Σ df(s)²/2 pairs already there.
-        pairs = (
-            counted.select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
-            .select("doc_a", F.explode(F.expr("slice(ds, i+1, size(ds))")).alias("doc_b"))
+    inv = counted if max_df is None else counted.where(F.col("df") <= max_df)
+    pairs = (
+        inv.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            F.explode(F.expr("slice(ds, i+2, size(ds))")).alias("b"),
         )
-        grouped = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
-        shared = grouped.where(F.col("doc_a") < F.col("doc_b"))
-        sizes = grouped.where(F.col("doc_a") == F.col("doc_b")).select(
-            F.col("doc_a").alias("doc_id"), F.col("shared").alias("n_sh")
-        )
-    else:
-        # With max_df engaged the denominators must come from the
-        # UNFILTERED posting lists (r1 ADVICE: max_df may only lower
-        # recall, never create pairs), so sizes keep their own branch
-        # off the shared `counted` exchange and the diagonal trick does
-        # not apply (its diagonal would see only the filtered lists);
-        # the strict upper triangle starts the suffix at i+2.
-        inv = counted.where(F.col("df") <= max_df)
-        pairs = (
-            inv.select(F.col("ds"), F.posexplode("ds").alias("i", "doc_a"))
-            .select("doc_a", F.explode(F.expr("slice(ds, i+2, size(ds))")).alias("doc_b"))
-        )
-        shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
-        sizes = (
-            counted.select(F.explode("ds").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_sh"))
-        )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        .select("doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n_sh").alias("nb"))
+    )
+    shared = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb")
+    )
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
@@ -165,16 +164,13 @@ def minhash_lsh_pairs(
     # the three consumers shuffle on different keys. At 100 TB this is
     # the standard persist-the-tokenization trade: one materialization
     # of Σ tokens rows vs three recomputations of the corpus scan.
-    sh = shingles(docs, n).localCheckpoint(eager=True)
+    sh = shingles(docs, n, with_size=True).localCheckpoint(eager=True)
     # k independent hash functions: xxhash64 with k distinct seed columns.
     hashed = sh.select(
         "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]
     )
-    # One aggregate computes all k min-hashes AND the shingle-set size,
-    # so the doc_id shuffle (and the shingling below it) happens once.
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-        F.count("*").alias("n_sh"),
     )
     band_structs = F.array(
         *[
@@ -202,24 +198,27 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify only on candidates: intersect shingle sets by join.
-    sizes = sig.select("doc_id", "n_sh")
+    # The checkpointed shingle rows carry n_sh (stamped scan-side), so
+    # the Jaccard denominators fall out of the verify aggregate itself —
+    # no per-doc sizes relation, no sizes join (a sizes table is one row
+    # per doc: billions at 100 TB, not broadcastable).
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+        F.col("shingle").alias("shingle_b"),
+    )
     shared = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
-            "doc_b",
-        )
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .where(F.col("shingle") == F.col("shingle_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
