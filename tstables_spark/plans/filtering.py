@@ -202,3 +202,76 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "test_doc")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "pii_redact",
+    oracle="""
+    SELECT event_id,
+           sha256(CAST(user_id AS VARCHAR)) AS user_token,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+    FROM events
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier redaction before a table leaves the trust boundary —
+    the compliance pass a training-data pipeline runs on raw event
+    logs: direct identifiers are PSEUDONYMIZED (user_id -> sha-256
+    token: stable across tables so joins still work, irreversible
+    without the mapping) and free-text payloads are MASKED (every
+    numeric run in props replaced — account numbers, zips, phone
+    fragments), with a per-row redaction count for audit. Pure JVM
+    regex + hash, one linear scan, no shuffle; at 100 TB this is
+    map-only and runs at IO speed. Patterns are shared verbatim with
+    the DuckDB oracle (simple character classes — identical RE2/Java
+    semantics)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(F.col("user_id").cast("string"), 256).alias("user_token"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+        F.size(F.expr(r"regexp_extract_all(props, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_redacted"),
+    )
+
+
+@query(
+    "dedup_embed_clusters",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM e),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                               i -> a.v[i] * b.v[i]))
+                       / sqrt(a.n2 * b.n2), 4) AS cosine
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+    pairs AS (SELECT vec_a, vec_b FROM p WHERE cosine >= 0.3),
+    sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    reach AS (SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS node, LEAST(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: connected components over the
+    embedding-cosine near-dup graph (dedup_embed's blocked pairs) by
+    iterative min-label propagation — the same pairs -> components ->
+    canonical-survivor step dedup_clusters applies to the lexical
+    Jaccard graph, here over SEMANTIC duplicates (paraphrases,
+    translations, re-renders that share no n-grams). Pair generation
+    never leaves the per-block Arrow kernel; label propagation ships
+    (node, label) rows only. The oracle is the recursive-CTE closure —
+    exact, but quadratic in cluster size; propagation is what scales."""
+    from tstables_spark.operators.components import connected_components
+    from tstables_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+    return connected_components(pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b")

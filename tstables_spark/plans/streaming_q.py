@@ -244,3 +244,40 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # container (ImportError on google.protobuf.descriptor). The
 # applyInPandasWithState twin above covers the semantics; the tws
 # variant is covered by a test that skips when protobuf is unusable.
+
+
+@query(
+    "stream_append_windows",
+    oracle="""
+    SELECT window_start, event_type, n FROM (
+      SELECT date_trunc('minute', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ) WHERE window_start + INTERVAL 1 MINUTE
+            <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION windowed-aggregation shape: tumbling 1-minute
+    counts in APPEND mode under a 10-minute watermark — each window is
+    emitted exactly once, when the watermark passes its end, and state
+    for it is dropped (complete mode, used by stream_tumbling for batch
+    equivalence, re-emits the whole result and retains all state —
+    fine for a harness, unbounded at 100 TB; see SCALE.md). The cost of
+    append semantics is that windows still open at end-of-stream are
+    withheld: the oracle encodes exactly that contract — every window
+    whose end the final watermark (max event time - 10 min) passed,
+    and no later window. The hash match pins the watermark arithmetic,
+    the emit-once rule, and the tail-withholding boundary."""
+    src = _read_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )

@@ -475,3 +475,123 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_range_join(
         left, right, "left_ts", "right_ts", horizon_seconds=120
     ).select("left_id", "right_id", "left_ts", "right_ts")
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30-minute
+    idle gaps — the gaps-and-islands pattern (lag -> new-session flag ->
+    running count as session id -> per-session aggregate). The batch
+    twin of stream_session's applyInPandasWithState sessionizer, checked
+    exactly here. Plan: ONE shuffle on user_id serves both window
+    functions AND (via partial aggregation) the session rollup — no
+    per-session shuffle; ties broken by (ts, event_id) so the flag
+    assignment is deterministic on any partitioning. Scales as windows
+    do: each user's history must fit a partition's sort spill, never
+    the cluster's memory."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "ts_gaps",
+    oracle="""
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+    FROM (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    WHERE prev_ts IS NOT NULL AND ts - prev_ts > INTERVAL 6 HOUR
+    """,
+)
+def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection: per-user stretches of >6h with no events — the
+    monitoring query behind data-freshness SLAs (the reference's
+    append-only series make gaps purely a read-side question). lag +
+    filter over one user_id shuffle; emitted rows are (gap_start,
+    gap_end, seconds). Linear, no join."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).where(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 6 * 3600)
+    )
+    return gaps.select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.col("ts").cast("long") - F.col("prev_ts").cast("long")).alias("gap_seconds"),
+    )
+
+
+@query(
+    "win_ewma",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+             (acc, x) -> acc * 0.8 + x * 0.2) AS ewma
+    FROM events
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) over each
+    user's trailing 10 values — the smoothing primitive pandas ewm()
+    provides that SQL windows lack (the recurrence isn't a built-in
+    aggregate). Expressed as collect_list over the ordered row frame +
+    a left fold (``F.aggregate``) seeded at 0.0: both engines fold the
+    SAME values in the SAME order with double arithmetic, so the hash
+    check is exact (verified: DuckDB list_reduce == Python fold
+    bit-for-bit). The fold is an interpreted HOF but runs over <=10
+    elements per row — constant work, unlike the corpus-scale HOFs the
+    repo moved to Arrow kernels (SCALE.md). One user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    arr = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2)
+    )
+    return ev.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
