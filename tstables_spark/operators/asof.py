@@ -39,16 +39,26 @@ def asof_join(
     left_by: str,
     right_by: str,
     right_values: Sequence[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join; returns all left columns + ``right_values``
-    (null where no right row at-or-before exists)."""
+    (null where no right row at-or-before exists).
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``'s
+    ``tolerance``): a carried right row older than the bound is treated
+    as absent — the match nulls out, it does not fall back to an even
+    older row. Implemented by carrying the right row's own timestamp
+    inside the struct and masking after the window; the plan is
+    UNCHANGED (same single shuffle + linear carry-forward), the mask is
+    one codegen'd comparison per output row on exact microseconds."""
     left_cols = left.columns
+    rts = F.col(right_on).alias("__rts")
     l = left.select(
         F.col(left_by).alias(_KEY),
         F.col(left_on).alias(_TIME),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(
-            right.select(F.struct(*right_values).alias("s")).schema["s"].dataType
+            right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
         ).alias(_CARRY),
         *[F.col(c) for c in left_cols],
     )
@@ -56,7 +66,7 @@ def asof_join(
         F.col(right_by).alias(_KEY),
         F.col(right_on).alias(_TIME),
         F.lit(0).alias(_SIDE),
-        F.struct(*right_values).alias(_CARRY),
+        F.struct(*right_values, rts).alias(_CARRY),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     # Order (time, side): at equal timestamps the right row (side=0) sorts
@@ -67,7 +77,14 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l.unionByName(r).withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    fresh = F.lit(True)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col(_TIME)) - F.unix_micros(F.col(f"{_CARRY}.__rts"))
+            <= tolerance_seconds * 1_000_000
+        )
     out = carried.where(F.col(_SIDE) == 1).select(
-        *left_cols, *[F.col(f"{_CARRY}.{v}").alias(v) for v in right_values]
+        *left_cols,
+        *[F.when(fresh, F.col(f"{_CARRY}.{v}")).alias(v) for v in right_values],
     )
     return out

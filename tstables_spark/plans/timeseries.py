@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from tstables_spark.operators.asof import asof_join
 from tstables_spark.operators.rangejoin import banded_range_join
 from tstables_spark.operators.resample import resample_ohlc
-from tstables_spark.plans._exact import exact_wsum, sql_sum, sql_wsum
+from tstables_spark.plans._exact import exact_sum, exact_wsum, sql_sum, sql_wsum
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.tstable import TimeSeriesTable
@@ -595,3 +595,120 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr, F.lit(0.0), lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2)
     )
     return ev.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, max(event_id) AS purchase_id,
+                 arg_max(value, event_id) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN c.ts - p.ts <= INTERVAL 30 MINUTE THEN p.purchase_id END
+             AS purchase_id,
+           CASE WHEN c.ts - p.ts <= INTERVAL 30 MINUTE THEN p.purchase_value END
+             AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas ``merge_asof``
+    tolerance): each click matched to the user's latest prior purchase,
+    but only if it happened within the last 30 minutes — older state is
+    treated as absent, not carried forward indefinitely (the trading
+    use case: a quote older than the bound must not price a trade).
+    Same single-shuffle union+window plan as join_asof; the bound is a
+    post-carry mask on exact microseconds (operators/asof.py). The
+    oracle applies the identical mask over DuckDB's ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                "purchase_id", "purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_on="ts",
+        right_on="p_ts",
+        left_by="user_id",
+        right_by="p_user",
+        right_values=["purchase_id", "purchase_value"],
+        tolerance_seconds=1800,
+    ).select("event_id", "user_id", "ts", "purchase_id", "purchase_value")
+
+
+@query(
+    "ts_vwap",
+    oracle=f"""
+    SELECT user_id, date_trunc('hour', ts) AS bucket,
+           {sql_sum("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS pv,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS vol,
+           {sql_sum("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")}
+             / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS vwap
+    FROM events
+    GROUP BY 1, 2
+    HAVING sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) > 0
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (user, hour) — the core tick
+    aggregate (value as price, the JSON props field ``k`` as size:
+    exercises semi-structured extraction in the same pass). One partial
+    +final hash aggregate; the price*volume sums use the decimal trick
+    (plans/_exact.py) so the final double division is bit-identical
+    cross-engine. Zero-volume buckets are dropped (no 0/0)."""
+    ev = load(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    pv = F.col("value") * vol
+    g = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            exact_sum(pv).alias("pv"),
+            F.sum(vol).alias("vol"),
+        )
+        .where(F.col("vol") > 0)
+    )
+    return g.select(
+        "user_id", "bucket", "pv", "vol",
+        (F.col("pv") / F.col("vol").cast("double")).alias("vwap"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT bin,
+           0.0 + bin * 10.0 AS lo_edge,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CAST(least(greatest(floor(value / 10.0), 0.0), 9.0) AS BIGINT) AS bin
+      FROM events
+    ) GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of the value column (10 bins of width 10,
+    clamped) — the profiling aggregate every pipeline runs before
+    choosing filter thresholds. The bin expression is the same double
+    floor/clamp arithmetic in both engines (no width_bucket — its edge
+    conventions differ), so bin ids are bit-deterministic. One partial
+    +final aggregate over 10 groups; at 100 TB the map-side combine
+    reduces each partition to <=10 rows before the exchange."""
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(0.0)), F.lit(9.0)
+    ).cast("long")
+    return (
+        ev.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select("bin", (F.lit(0.0) + F.col("bin") * 10.0).alias("lo_edge"), "n")
+    )
