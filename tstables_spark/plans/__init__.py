@@ -29,5 +29,38 @@ def _load_all() -> None:
         llm,
     )
 
+    # Pin the round-3 verification window (first 50 = the harness's
+    # correctness window). Priority: (a) queries never green in any
+    # CORRECTNESS file, (b) queries whose implementation changed after
+    # their last green row (this round: the dedup sizes rewrite touched
+    # dedup_near/_maxdf/minhash/clusters; the ANN kernel rewrite touched
+    # sim_ivf/sim_ivf_centroid), (c) a few long-stable greens as
+    # cross-round anchors. Everything displaced is hash-green in r01/r02
+    # with an unchanged implementation.
+    registry.prioritize(
+        [
+            # (a) time-series/streaming/udf core + all round-3 queries
+            "ts_range_scan", "ts_min_max", "ts_create_append",
+            "sink_parquet_partitioned", "ts_compact", "ts_resample_ohlc",
+            "win_lag_lead", "win_rolling", "win_range_frame",
+            "ts_fill_forward", "ts_densify", "win_running_total",
+            "win_rank", "join_asof", "join_range", "join_range_banded",
+            "ts_sessionize", "ts_gaps", "win_ewma", "join_asof_tolerance",
+            "ts_vwap", "agg_histogram",
+            "stream_ingest", "stream_tumbling", "stream_sliding",
+            "stream_session", "stream_dedup", "stream_join",
+            "stream_stateful", "stream_append_windows",
+            "udtf_apply_in_pandas",
+            "sim_ivf_kmeans", "cluster_kmeans", "sim_recall",
+            "text_normalize", "repetition_score", "quality_filter",
+            "decontaminate", "pii_redact", "dedup_embed_clusters",
+            # (b) changed after their last green row
+            "dedup_near", "dedup_near_maxdf", "dedup_minhash",
+            "dedup_clusters", "sim_ivf", "sim_ivf_centroid",
+            # (c) anchors
+            "scan_parquet", "fn_string", "fn_math", "udf_scalar_pandas",
+        ]
+    )
+
 
 _load_all()

@@ -55,6 +55,23 @@ def ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(app_id)
 
 
+def prioritize(order: list[str]) -> None:
+    """Reorder the registries so ``order`` comes first (then everything
+    else in registration order). Registration order is load-bearing: the
+    external verify harness checks a fixed window of the FIRST 50
+    entries per round, so the priority list is where never-checked and
+    changed-since-last-green queries are pinned (plans/__init__.py)."""
+    unknown = [n for n in order if n not in QUERIES]
+    if unknown:
+        raise ValueError(f"prioritize: unknown queries {unknown}")
+    for d in (QUERIES, ORACLES):
+        head = {n: d[n] for n in order if n in d}
+        tail = {n: v for n, v in d.items() if n not in head}
+        d.clear()
+        d.update(head)
+        d.update(tail)
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` => driver does a rows-only check
     (reserved for genuinely non-SQL-expressible ops per the contract)."""
