@@ -95,3 +95,70 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "variant string, n_queries long, recall_at_5 double"
     )
+
+
+@query(
+    "embed_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500),
+    n AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS n2 FROM e)
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] / sqrt(n2) AS x
+    FROM n CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)
+    WHERE n2 > 0
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization to the unit sphere — the prep step before any
+    cosine-metric index (after it, cosine IS the dot product). The norm
+    accumulates left-to-right (``F.aggregate``), the same float order
+    as the oracle's list_sum, so every output coordinate is
+    bit-identical. Output exploded to (vec_id, dim, x) scalars for the
+    hash check (vec_id < 500 bounds the compare); the production form
+    keeps the array column (one map-only pass, no shuffle either
+    way)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    n2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    e = emb.select("vec_id", v.alias("v"), n2.alias("n2")).where(F.col("n2") > 0)
+    return e.select(
+        "vec_id", F.posexplode("v").alias("dim", "xv"), F.col("n2")
+    ).select(
+        "vec_id", F.col("dim").cast("long").alias("dim"),
+        (F.col("xv") / F.sqrt("n2")).alias("x"),
+    )
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, scale, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(round(v[i] / scale) AS TINYINT) AS q
+    FROM s CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)
+    WHERE scale > 0
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (absmax / 127 scale per vector) —
+    the 4x storage/bandwidth cut vector stores apply before indexing;
+    dequantized dot products then run against the int8 codes. Per-row
+    scale from a HOF max over |x|; q = round(x/scale) — both engines
+    round ties away from zero and divide the same doubles, so the codes
+    are bit-identical. Map-only, no shuffle; exploded to scalars for
+    the hash check as in embed_normalize."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    s = emb.select("vec_id", v.alias("v"), scale.alias("scale")).where(F.col("scale") > 0)
+    return s.select(
+        "vec_id", "scale", F.posexplode("v").alias("dim", "xv")
+    ).select(
+        "vec_id", "scale", F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("xv") / F.col("scale")).cast("tinyint").alias("q"),
+    )

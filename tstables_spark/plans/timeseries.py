@@ -712,3 +712,141 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select("bin", (F.lit(0.0) + F.col("bin") * 10.0).alias("lo_edge"), "n")
     )
+
+
+@query(
+    "win_zscore",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN vv > 0 THEN (value - mu) / sqrt(vv) END AS zscore
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             {sql_wsum("value", "w")} / CAST(count(*) OVER w AS DOUBLE) AS mu,
+             {sql_wsum("value * value", "w")} / CAST(count(*) OVER w AS DOUBLE)
+               - ({sql_wsum("value", "w")} / CAST(count(*) OVER w AS DOUBLE))
+                 * ({sql_wsum("value", "w")} / CAST(count(*) OVER w AS DOUBLE)) AS vv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score over each user's trailing 20 values — the
+    standard streaming anomaly detector. Mean and variance come from
+    DECIMAL window sums (plans/_exact.py) divided as doubles, so both
+    engines compute bit-identical moments in any partition order; the
+    E[x²]−µ² variance can round to a hair below zero on constant
+    stretches, which the vv>0 guard maps to null identically on both
+    sides. One user_id shuffle serves all three window aggregates."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    n = F.count("*").over(w).cast("double")
+    mu = exact_wsum("value", w) / n
+    vv = exact_wsum(F.col("value") * F.col("value"), w) / n - mu * mu
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.when(vv > 0, (F.col("value") - mu) / F.sqrt(vv)).alias("zscore"),
+    )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH mins AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                    TIMESTAMP '2024-01-10 02:00:00',
+                                    INTERVAL 1 MINUTE)) AS t),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, t FROM users CROSS JOIN mins),
+    obs AS (SELECT user_id, date_trunc('minute', ts) AS t,
+                   arg_max(value, event_id) AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-10 02:01:00'
+            GROUP BY 1, 2),
+    g AS (SELECT grid.user_id, grid.t, obs.v
+          FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.t = obs.t),
+    w AS (SELECT user_id, t, v,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wb AS pt,
+                 first_value(v IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wf AS nt
+          FROM g
+          WINDOW wb AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, t,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv)
+                     * CAST(date_diff('second', pt, t) AS DOUBLE)
+                     / CAST(date_diff('second', pt, nt) AS DOUBLE)
+           END AS value_interp,
+           v IS NOT NULL AS observed
+    FROM w
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation onto a regular 1-minute grid (a 2-hour
+    window x every user): observed minutes keep their value (latest
+    event by id within the minute — deterministic), missing minutes get
+    the time-weighted line between the nearest observed neighbors, and
+    edges with only one side stay null — the gap-fill upgrade over
+    ts_fill_forward's staircase, and the resampling step model-prep
+    pipelines run before fixed-step models. Plan: the grid is
+    sequence()+explode off a literal range crossed with the distinct
+    users (no driver loop), then ONE user_id shuffle serves the
+    backward and forward ignorenulls windows; the interpolation weight
+    is integer-second arithmetic ratioed as doubles, bit-identical
+    cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    start, end = "2024-01-10 00:00:00", "2024-01-10 02:00:00"
+    mins = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("t")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(mins)
+    obs = (
+        ev.where(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-10 02:01:00").cast("timestamp"))
+        )
+        .groupBy("user_id", F.date_trunc("minute", "ts").alias("t"))
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    g = grid.join(obs, ["user_id", "t"], "left")
+    wb = W.partitionBy("user_id").orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.partitionBy("user_id").orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    t_obs = F.when(F.col("v").isNotNull(), F.col("t"))
+    w_ = g.select(
+        "user_id", "t", "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("t") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+    )
+    return w_.select(
+        "user_id", "t", interp.alias("value_interp"),
+        F.col("v").isNotNull().alias("observed"),
+    )
