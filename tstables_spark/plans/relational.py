@@ -613,3 +613,72 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("key"))
     )
     return c.subtract(o)  # EXCEPT (distinct) semantics
+
+
+# -- the pure-SQL surface (spark.sql over registered views) -----------------
+# One shared ANSI string per query, executed verbatim by BOTH engines:
+# Spark parses it with its SQL frontend (a different surface than the
+# DataFrame API every other query exercises — sqlglot-free proof the
+# engine speaks plain SQL), DuckDB runs it as the oracle.
+
+_TPCH_Q3 = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-09-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-09-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+_TPCH_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+@query("sql_tpch_q3", oracle=_TPCH_Q3)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through ``spark.sql`` — the SAME
+    string the oracle runs, parsed by Spark's SQL frontend over temp
+    views. Catalyst plans the 3-way join bottom-up: customer filtered
+    on segment broadcasts into orders, lineitem's shipdate predicate
+    pushes to its scan, and the top-10 is TakeOrderedAndProject (no
+    global sort). revenue uses the decimal discipline inline; the
+    deterministic (revenue, date, orderkey) sort makes LIMIT exact
+    cross-engine."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_TPCH_Q3)
+
+
+@query("sql_tpch_q5", oracle=_TPCH_Q5)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): a SIX-way join through
+    ``spark.sql``, verbatim-shared with the oracle. The join graph is
+    the optimizer stress test — region/nation are broadcast leaves,
+    customer⋈orders and lineitem⋈supplier hash-join on keys, and the
+    double nationkey equality (customer's AND supplier's nation) closes
+    the cycle; AQE re-plans the middle joins from runtime sizes. One
+    final 5-group aggregate."""
+    register_views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return spark.sql(_TPCH_Q5)
