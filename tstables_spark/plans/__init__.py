@@ -54,11 +54,15 @@ def _load_all() -> None:
             "sim_ivf_kmeans", "cluster_kmeans", "sim_recall",
             "text_normalize", "repetition_score", "quality_filter",
             "decontaminate", "pii_redact", "dedup_embed_clusters",
-            # (b) changed after their last green row
+            # (a, continued) round-3 additions after the first pin: rolling
+            # z-score / interpolation / embedding-prep / pure-SQL surface —
+            # never driver-checked, displacing r1/r2-green unchanged anchors
+            "win_zscore", "ts_interpolate", "embed_normalize",
+            "embed_quantize", "sql_tpch_q3", "sql_tpch_q5",
+            # (b) changed after their last green row (sim_ivf family's r2
+            # rows-only check predates the Arrow-kernel rewrite)
             "dedup_near", "dedup_near_maxdf", "dedup_minhash",
-            "dedup_clusters", "sim_ivf", "sim_ivf_centroid",
-            # (c) anchors
-            "scan_parquet", "fn_string", "fn_math", "udf_scalar_pandas",
+            "dedup_clusters",
         ]
     )
 
