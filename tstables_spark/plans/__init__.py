@@ -23,6 +23,7 @@ def _load_all() -> None:
         streaming_q,
         scalars,
         ann,
+        analytics,
         filtering,
         relational,
         pipeline,

@@ -1,0 +1,345 @@
+"""Event-analytics and data-operations plans (round 3): CDC keep-latest
+dedup, stratified hash sampling, table profiling, data-quality gating,
+conversion funnels, and cohort retention.
+
+These are the operational queries a 100 TB event store runs daily:
+compacting a changelog to current state, auditing table health before a
+training run, and the two classic product-analytics shapes (funnel,
+retention) that engines like ClickHouse ship as dedicated functions
+(``windowFunnel``/``retention``) but that compose from joins +
+conditional aggregation on any SQL engine.
+
+Scale notes per query live on the docstrings; none of them collects
+row-scale data to the driver, and every aggregate is partial-agg
+(map-side combine) friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstables_spark.plans.registry import query
+from tstables_spark.plans.tables import load
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: the LATEST row per (user_id,
+    event_type) key — upsert semantics over an append-only log.
+
+    Scale shape: ``max(struct(ts, event_id, value))`` is an ordinary
+    aggregate, so Spark runs a partial max on every input partition
+    before the single key shuffle — at 100 TB the shuffle carries one
+    row per key per map task, not the raw log. A window + row_number
+    (the oracle's phrasing, and the naive implementation) would instead
+    shuffle EVERY raw row and sort each key group. (ts, event_id) is a
+    total order (event_id is unique), so the struct max is
+    deterministic and equals the oracle's rn=1 row exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").alias("ts"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.value").alias("value"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: downsample the dominant
+    language (en at 64/256 = 25%) while keeping half of every other
+    language — the language-rebalancing step of a pretraining mix.
+
+    Same md5-prefix gate as ``operators/sampling.py`` (reproducible,
+    partitioning-independent, engine-portable), with the threshold a
+    per-stratum CASE instead of a constant. Still a codegen'd scan
+    filter: no shuffle, no per-stratum pass, prunes at the source at
+    any corpus size — unlike ``df.sampleBy``, whose RNG draw is
+    partitioning-dependent and engine-specific.
+    """
+    d = load(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
+    return d.where(gate < thr).select("doc_id", "lang")
+
+
+_PROFILE_COLS = [
+    # (column, is_numeric) — orders table
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, num in _PROFILE_COLS:
+        mn = f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (one row per column: count / nulls / exact NDV /
+    numeric min-max) — the ANALYZE-style statistics pass a pipeline
+    runs before choosing join strategies or flagging schema drift.
+
+    ONE scan: all per-column aggregates ride a single ``agg`` (Catalyst
+    plans the multi-distinct via Expand, still one pass over the data),
+    then the single result row is exploded into long format driver-free.
+    At 100 TB you would swap the exact ``count(distinct)`` for
+    ``approx_count_distinct`` (HLL, no Expand multiplier) — exact NDV
+    is used here because the DuckDB oracle must match bit-for-bit.
+    """
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, num in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if num:
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    a = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("ndv"),
+            (F.col(f"mn_{c}") if num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"mx_{c}") if num else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for c, num in _PROFILE_COLS
+    ]
+    return a.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "dq_check",
+    oracle="""
+    SELECT 'orders_null_custkey' AS rule, CAST(count(*) AS BIGINT) AS violations
+      FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_nonpositive_total', CAST(count(*) AS BIGINT)
+      FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT)
+      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'lineitem_orphan_order', CAST(count(*) AS BIGINT)
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_customer', CAST(count(*) AS BIGINT)
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one row per rule with its violation count —
+    the pre-training audit (nulls, ranges, referential integrity) run
+    before a corpus snapshot is blessed.
+
+    Scale shape: the three row-level rules share ONE conditional
+    aggregate over each table (``count(when(...))`` — a single scan per
+    table, map-side combined to one row, regardless of rule count); the
+    two referential rules are left_anti joins that broadcast the
+    key-projection of the dimension side when small and shuffle
+    otherwise — never a driver-side check. The final union is five
+    1-row plans.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cu = load(spark, sf_dir, "customer")
+
+    o_rules = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("orders_null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("orders_nonpositive_total"),
+    )
+    li_rules = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("lineitem_qty_range"),
+    )
+
+    def long_rows(df: DataFrame, names: list[str]) -> DataFrame:
+        structs = [
+            F.struct(F.lit(n).alias("rule"), F.col(n).alias("violations")) for n in names
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+    li_orphan = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orphan_order").alias("rule"), "violations")
+    )
+    o_orphan = (
+        o.join(cu.select("c_custkey"), o.o_custkey == cu.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_orphan_customer").alias("rule"), "violations")
+    )
+    return (
+        long_rows(o_rules, ["orders_null_custkey", "orders_nonpositive_total"])
+        .unionByName(long_rows(li_rules, ["lineitem_qty_range"]))
+        .unionByName(li_orphan)
+        .unionByName(o_orphan)
+    )
+
+
+_FUNNEL_WINDOW = "INTERVAL 7 DAY"
+
+
+@query(
+    "funnel_steps",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'view'
+       AND e.ts > s1.t1 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW}
+      GROUP BY s1.user_id, s1.t1),
+    s3 AS (
+      SELECT s2.user_id
+      FROM s2 JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       AND e.ts > s2.t2 AND e.ts <= s2.t1 + {_FUNNEL_WINDOW}
+      GROUP BY s2.user_id)
+    SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+           CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'view', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (ClickHouse ``windowFunnel`` semantics):
+    signup -> view -> purchase, strictly ordered timestamps, all inside
+    a 7-day window opened by the user's FIRST signup. One row per step
+    with the count of users who reached it.
+
+    Scale shape: each step is a pre-filtered (event_type pushdown at
+    the scan) aggregate joined to the previous step's per-user frontier
+    — all joins are on user_id, so every stage reuses ONE hash
+    partitioning (ReuseExchange collapses the repeated event scans'
+    shuffles); step tables only shrink. No window sort over the raw
+    log, no per-user collect_list — the usual sessionize-then-scan
+    funnel implementation materializes every user's full event array,
+    which at 100 TB is the skew bomb this composition avoids.
+    """
+    e = load(spark, sf_dir, "events")
+    win = F.expr(_FUNNEL_WINDOW)
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    ev = e.select("user_id", "event_type", F.col("ts").alias("ets"))
+    s2 = (
+        s1.join(ev, "user_id")
+        .where(
+            (F.col("event_type") == "view")
+            & (F.col("ets") > F.col("t1"))
+            & (F.col("ets") <= F.col("t1") + win)
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ets").alias("t2"))
+    )
+    s3 = (
+        s2.join(ev, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ets") > F.col("t2"))
+            & (F.col("ets") <= F.col("t1") + win)
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+    def level(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            "users",
+        )
+
+    return (
+        level(s1, 1, "signup")
+        .unionByName(level(s2, 2, "view"))
+        .unionByName(level(s3, 3, "purchase"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM f JOIN a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the count of
+    cohort members active that week — the classic retention triangle.
+
+    Scale shape: first-seen and distinct-active are both partial-agg
+    aggregates keyed on user_id; the join is user_id-to-user_id so it
+    reuses the same hash partitioning (no second shuffle of the big
+    side), and the final rollup groups a few hundred (cohort, offset)
+    cells. ``a`` is deduped to (user, week) BEFORE the join, so the
+    join output is bounded by users x active-weeks, not raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    a = e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    j = f.join(a, "user_id")
+    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
+    return (
+        j.select("cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
