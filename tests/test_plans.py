@@ -151,3 +151,42 @@ def test_ivf_assign_zero_shuffle(spark, sf_dir):
     plan = cells._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_keep_latest_partial_agg_no_window(spark, sf_dir):
+    """CDC compaction must be an ordinary aggregate (map-side combine on
+    every input partition) — NOT the window+row_number phrasing, which
+    shuffles every raw row and sorts each key group."""
+    plan = _plan(spark, sf_dir, "dedup_keep_latest")
+    assert re.search(r"partial_max", plan)
+    assert "Window" not in plan
+
+
+def test_stratified_sample_is_scan_side(spark, sf_dir):
+    """The per-stratum hash gate is a pure scan filter: no shuffle of
+    any kind in the whole plan."""
+    plan = _plan(spark, sf_dir, "sample_stratified")
+    assert "Exchange" not in plan
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """All per-column aggregates (incl. multi-distinct via Expand) ride
+    one pass over the table: exactly one FileScan in the plan."""
+    plan = _plan(spark, sf_dir, "profile_table")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_funnel_no_window_no_cartesian(spark, sf_dir):
+    """Funnel composes per-step frontier aggregates + user_id equi-joins:
+    no per-user event arrays, no window sort, no cross join."""
+    plan = _plan(spark, sf_dir, "funnel_steps")
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
+    assert "Window" not in plan
+    assert "collect_list" not in plan
+
+
+def test_retention_partial_aggs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "retention_cohorts")
+    assert re.search(r"partial_", plan)
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
