@@ -190,3 +190,11 @@ def test_retention_partial_aggs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "retention_cohorts")
     assert re.search(r"partial_", plan)
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
+
+
+def test_editdist_banded_equi_join(spark, sf_dir):
+    """Edit-distance dedup must candidate-generate via a hash equi-join
+    on (lang, band) — never a cartesian/nested-loop pair expansion."""
+    plan = _plan(spark, sf_dir, "dedup_editdist")
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
+    assert re.search(r"HashJoin", plan)

@@ -224,6 +224,70 @@ def minhash_lsh_pairs(
     )
 
 
+def editdist_pairs(
+    docs: DataFrame,
+    band_width: int = 64,
+    prefix: int = 200,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance on normalized
+    prefixes, found WITHOUT an all-pairs comparison.
+
+    Blocking: two docs within ``band_width`` characters of each other in
+    length land in the same or adjacent ``n_chars // band_width`` bands,
+    so the probe side emits each doc into its three neighboring bands
+    and candidates come from an equi-join on (lang, band) — the same
+    banding shape as the range/simhash joins. Within-bucket cost is
+    quadratic in bucket occupancy (bounded by the corpus length
+    histogram, tunable via ``band_width``), never in the corpus. The
+    verify is Spark's threshold-capped ``levenshtein(a, b, t)`` —
+    O(t·min(len)) per pair instead of O(len²), on a ``prefix``-capped
+    slice so a single pair can never cost more than t·prefix — all
+    codegen'd JVM, no Python.
+
+    The length prefilter |Δn_chars| <= band_width is part of the
+    declared semantics, like ``max_df`` for Jaccard: pairs further
+    apart in raw length than one band are out of scope by definition
+    (and since edit distance lower-bounds at the length difference,
+    wildly different-length docs could not be near-dups anyway).
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"n_chars div {band_width}").alias("band"),
+        F.substring(F.lower("text"), 1, prefix).alias("p"),
+    )
+    probe = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang"),
+        F.col("n_chars").alias("na"),
+        F.col("p").alias("pa"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("pb"),
+    )
+    build = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("n_chars").alias("nb"),
+        F.col("p").alias("pb_text"),
+        F.col("band"),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb_text"), max_dist)
+    return (
+        probe.join(
+            build,
+            (probe["lang"] == build["lang"])
+            & (probe["pb"] == build["band"])
+            & (probe["doc_a"] < build["doc_b"])
+            & (F.abs(probe["na"] - build["nb"]) <= band_width),
+        )
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Charikar SimHash: per-token 64-bit hash; each fingerprint bit is
     the sign of the summed +/-1 contributions of that bit across tokens.

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tstables_spark.operators.dedup import (
+    editdist_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -84,6 +85,33 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.6
     )
+
+
+@query(
+    "dedup_editdist",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, n_chars // 64 AS band,
+             substring(lower(text), 1, 200) AS p
+      FROM documents),
+    probe AS (
+      SELECT doc_id, lang, n_chars, p,
+             unnest([band - 1, band, band + 1]) AS pb
+      FROM d)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS dist
+    FROM probe a JOIN d b
+      ON a.lang = b.lang AND a.pb = b.band AND a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= 64
+      AND levenshtein(a.p, b.p) <= 20
+    """,
+)
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein on 200-char normalized
+    prefixes, candidates from (lang, length-band) blocking — the fuzzy
+    complement to token-set Jaccard (catches character-level edits that
+    shift every shingle). operators/dedup.py::editdist_pairs."""
+    return editdist_pairs(load(spark, sf_dir, "documents"))
 
 
 @query("dedup_simhash")
