@@ -260,3 +260,68 @@ def test_a9_storage_knobs(spark, root):
         TimeSeriesTable.create(
             spark, root, "bad_cap", SCHEMA, max_records_per_file=0
         )
+
+
+# -- upsert (late-data correction merge) ------------------------------------
+
+
+def test_upsert_replaces_and_inserts(spark, root):
+    t = TimeSeriesTable.create(spark, root, "up", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    t.append(_ticks(spark, start, 48))  # two full days, hourly
+    # re-state two existing hours and add one brand-new tick, all day 1
+    corr = spark.createDataFrame(
+        [
+            (start, "EURUSD", 9.0),
+            (start + timedelta(hours=3), "EURUSD", 9.3),
+            (start + timedelta(minutes=30), "EURUSD", 5.5),  # new identity
+        ],
+        SCHEMA,
+    )
+    t.upsert(corr)  # default identity: ts
+    got = {
+        (r["ts"].replace(tzinfo=UTC), r["price"])
+        for r in t.read_range(start, start + timedelta(hours=4)).collect()
+    }
+    assert (start, 9.0) in got
+    assert (start + timedelta(hours=3), 9.3) in got
+    assert (start + timedelta(minutes=30), 5.5) in got
+    assert (start + timedelta(hours=1), 1.001) in got  # untouched row survives
+    assert len(got) == 6  # 5 original hours 0-4 + 1 inserted
+    # day 2 partition untouched
+    assert t.read_range(start + timedelta(hours=24), start + timedelta(hours=47)).count() == 24
+
+
+def test_upsert_only_rewrites_touched_partitions(spark, root):
+    t = TimeSeriesTable.create(spark, root, "up2", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    t.append(_ticks(spark, start, 48))
+    day2 = os.path.join(t.path, "date=2024-03-02")
+    before = sorted(os.listdir(day2))
+    corr = spark.createDataFrame([(start, "EURUSD", 7.7)], SCHEMA)
+    t.upsert(corr)
+    assert sorted(os.listdir(day2)) == before  # day-2 files not rewritten
+
+
+def test_upsert_validates_schema_and_keys(spark, root):
+    t = TimeSeriesTable.create(spark, root, "up3", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    t.append(_ticks(spark, start, 2))
+    bad = spark.createDataFrame([(start, "EURUSD")], "ts timestamp, symbol string")
+    with pytest.raises(TimeSeriesTableError, match="schema mismatch"):
+        t.upsert(bad)
+    ok = spark.createDataFrame([(start, "EURUSD", 1.5)], SCHEMA)
+    with pytest.raises(TimeSeriesTableError, match="keys not in schema"):
+        t.upsert(ok, keys=["nope"])
+
+
+def test_upsert_batch_duplicate_identities_resolve_deterministically(spark, root):
+    t = TimeSeriesTable.create(spark, root, "up4", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    t.append(_ticks(spark, start, 2))
+    dup = spark.createDataFrame(
+        [(start, "EURUSD", 2.0), (start, "EURUSD", 3.0)], SCHEMA
+    )
+    t.upsert(dup)
+    rows = t.read_range(start, start).collect()
+    assert len(rows) == 1 and rows[0]["price"] == 3.0  # struct-max: highest wins

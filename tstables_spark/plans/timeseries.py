@@ -136,6 +136,45 @@ def ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+@query(
+    "ts_upsert",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+                THEN value + 1000.0 ELSE value END AS value,
+           props
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-14 00:00:00'
+                 AND TIMESTAMP '2024-01-16 00:00:00'
+    """,
+)
+def ts_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data correction round-trip: append the full fixture, then
+    upsert a correction batch (every 2024-01-15 row re-stated with
+    value + 1000), then read a 3-day range spanning the corrected day.
+
+    ``TimeSeriesTable.upsert`` (tstable.py) merges only the touched
+    day's partition — partial-agg keep-latest keyed on event_id, crash-
+    safe per-partition swap — so the oracle (the fixture with a CASE on
+    the corrected window) hash-matching proves replaced rows carry the
+    new values, untouched days are byte-identical, and no duplicate
+    identities survive the merge."""
+    from datetime import datetime, timezone
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tsupsert_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+    day = F.to_date("ts") == F.lit("2024-01-15").cast("date")
+    corrections = ev.where(day).withColumn("value", F.col("value") + F.lit(1000.0))
+    ts.upsert(corrections.select(*ev.columns), keys=["event_id"])
+    return ts.read_range(
+        datetime(2024, 1, 14, tzinfo=timezone.utc),
+        datetime(2024, 1, 16, tzinfo=timezone.utc),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 # -- resample ---------------------------------------------------------------
 @query(
     "ts_resample_ohlc",

@@ -60,6 +60,36 @@ def _checked_rename(fs, src, dst) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: list[str]) -> None:
+    """Swap rewritten ``date=`` dirs from ``tmp`` into ``path``, one
+    partition at a time, with the crash-safe rename protocol: the live
+    dir is first renamed to ``__precompact`` (a leftover one from a
+    crashed run aborts before any destructive step), the rewritten dir
+    renamed in, then the backup dropped. Also removes the streaming
+    sink's ``_spark_metadata`` commit log — it enumerates pre-rewrite
+    files, and a reader that trusts it would look for files the rewrite
+    replaced."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(f"{path}/_spark_metadata"), True)
+    for d in date_strs:
+        part, tpart = f"{path}/date={d}", f"{tmp}/date={d}"
+        jpart, jtpart = hpath(part), hpath(tpart)
+        jold = hpath(part + "__precompact")
+        if not fs.exists(jtpart):
+            continue  # no rows for this date — nothing to swap
+        if fs.exists(jold):
+            raise IOError(
+                f"leftover {part}__precompact from a crashed compaction; "
+                "resolve it manually before re-running"
+            )
+        if fs.exists(jpart):
+            _checked_rename(fs, jpart, jold)
+        _checked_rename(fs, jtpart, jpart)
+        fs.delete(jold, True)
+
+
 def compact_series(
     spark: SparkSession,
     path: str,
@@ -116,22 +146,7 @@ def compact_series(
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
         if dates is not None:
-            fs.delete(hpath(f"{path}/_spark_metadata"), True)
-            for d in date_strs:
-                part, tpart = f"{path}/date={d}", f"{tmp}/date={d}"
-                jpart, jtpart = hpath(part), hpath(tpart)
-                jold = hpath(part + "__precompact")
-                if not fs.exists(jtpart):
-                    continue  # no rows for this date — nothing to swap
-                if fs.exists(jold):
-                    raise IOError(
-                        f"leftover {part}__precompact from a crashed compaction; "
-                        "resolve it manually before re-running"
-                    )
-                if fs.exists(jpart):
-                    _checked_rename(fs, jpart, jold)
-                _checked_rename(fs, jtpart, jpart)
-                fs.delete(jold, True)
+            swap_date_partitions(spark, path, tmp, date_strs)
         else:
             jold = hpath(path + "__precompact")
             if fs.exists(jold):

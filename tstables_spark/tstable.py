@@ -245,6 +245,84 @@ class TimeSeriesTable:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
         writer.parquet(self.path)
 
+    # -- A3+: upsert (late-data correction merge) ---------------------------
+    def upsert(self, df: DataFrame, keys: list[str] | None = None) -> None:
+        """Merge a correction batch into the series: rows whose identity
+        (``keys``, default the timestamp column) already exists are
+        REPLACED by the batch's version; new identities are inserted.
+        The reference is append-only — this is the late-data correction
+        path every production tick store eventually needs (a bad print
+        revised by the exchange, a re-stated bar).
+
+        Scale shape: the merge touches ONLY the UTC-day partitions the
+        batch covers. Affected dates are collected to the driver (one
+        value per touched day — contract-small), the existing rows for
+        just those days are read back partition-pruned, and old+new are
+        combined with a partial-agg ``max(struct(__src, ...))`` keyed on
+        identity (batch wins over table; ties within a side resolve by
+        the row's own ordering — deterministic). The merged days are
+        rewritten to the side and swapped in with the same crash-safe
+        per-partition rename protocol as ``compact_series``. Cost is
+        O(touched days' data), not O(table) — at 100 TB a day's
+        correction never rewrites years of history.
+
+        Contract: identities must be date-stable — a correction may not
+        move a row to a different UTC day (with a non-ts key, the stale
+        copy in the old day's partition would survive). Corrections that
+        genuinely re-time a row across days are a delete+insert.
+        """
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in self.schema.fields}
+        if got != want:
+            raise TimeSeriesTableError(f"schema mismatch: got {got}, want {want}")
+        if df.filter(F.col(TS_COL).isNull()).limit(1).count() > 0:
+            raise TimeSeriesTableError("null timestamps not allowed")
+        keys = list(keys) if keys else [TS_COL]
+        unknown = [k for k in keys if k not in want]
+        if unknown:
+            raise TimeSeriesTableError(f"upsert keys not in schema: {unknown}")
+
+        cols = [f.name for f in self.schema.fields]
+        value_cols = [c for c in cols if c not in keys]
+        dated_new = df.withColumn(DATE_COL, F.to_date(F.col(TS_COL)))
+        dates = [r[0] for r in dated_new.select(DATE_COL).distinct().collect()]
+        if not dates:
+            return
+        date_strs = sorted(str(d) for d in dates)
+
+        existing = self._df().where(F.col(DATE_COL).cast("string").isin(date_strs))
+        tagged_old = existing.select(*cols, DATE_COL).withColumn("__src", F.lit(0))
+        tagged_new = dated_new.select(*cols, DATE_COL).withColumn("__src", F.lit(1))
+        merged = (
+            tagged_old.unionByName(tagged_new)
+            .groupBy(*keys)
+            .agg(F.max(F.struct("__src", *value_cols, DATE_COL)).alias("__m"))
+            .select(*keys, *[F.col(f"__m.{c}").alias(c) for c in value_cols + [DATE_COL]])
+            .select(*cols, DATE_COL)
+        )
+
+        tmp = self.path + "__upserting"
+        writer = (
+            merged.repartition(DATE_COL)
+            .sortWithinPartitions(DATE_COL, TS_COL)
+            .write.mode("overwrite")
+            .partitionBy(DATE_COL)
+            .option("compression", self.compression)
+        )
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        writer.parquet(tmp)
+
+        from tstables_spark.streaming.ingest import swap_date_partitions
+
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        try:
+            swap_date_partitions(self.spark, self.path, tmp, date_strs)
+        finally:
+            fs.delete(hpath(tmp), True)
+
     # -- internal: read with pruning ---------------------------------------
     def _df(self) -> DataFrame:
         try:
