@@ -275,3 +275,61 @@ def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
     return connected_components(pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b")
+
+
+@query(
+    "lm_unigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(sum(v.cnt) AS BIGINT) AS sum_counts,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks t JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id)
+    SELECT doc_id, sum_counts, n_tokens,
+           CAST(sum_counts AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS score
+    FROM per_doc, tot
+    """,
+)
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-estimated unigram LM fluency score per document — the
+    simplified shape of CCNet's LM quality filter: documents whose
+    tokens are corpus-typical score high, gibberish scores low. The
+    score is the MEAN TOKEN PROBABILITY (sum of corpus counts of the
+    doc's tokens, normalized by corpus size and doc length), kept as
+    exact integer sums until ONE final double multiply+divide — log-
+    probability variants put a transcendental (ln) on every token,
+    whose last-ulp engine differences would break the cross-engine
+    hash; identical-operand IEEE arithmetic cannot differ.
+
+    Scale shape: explode -> vocab aggregate (one token-keyed shuffle,
+    map-side combined) -> token join that REUSES the same hash
+    partitioning (ReuseExchange shares the exploded scan's shuffle
+    across the aggregate and join branches) -> doc-keyed partial agg.
+    The corpus total rides a broadcast 1-row cross join, never a
+    driver collect.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("sum_counts"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "sum_counts",
+        "n_tokens",
+        (
+            F.col("sum_counts").cast("double")
+            / (F.col("total").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("score"),
+    )
