@@ -349,3 +349,47 @@ def test_hyperplane_tables_independent(spark):
     assert b0 != b1
     # good diffusion: a healthy fraction of the 64 bucket values in use
     assert len(set(b0.values())) > 16
+
+
+def test_asof_forward_with_tolerance(spark):
+    """Forward as-of (next right row at-or-after) with a lookahead
+    bound: a match further ahead than the tolerance nulls out rather
+    than falling forward to an even later row. No oracle covers this
+    combination (the oracle twin join_asof_forward is unbounded)."""
+    from datetime import datetime
+
+    from tstables_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0.replace(minute=minutes)
+
+    left = spark.createDataFrame(
+        [(1, at(0)), (1, at(30)), (2, at(0))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, at(5), 10.0), (1, at(50), 20.0)], "k long, rts timestamp, v double"
+    )
+    out = {
+        (r.k, r.ts.minute): r.v
+        for r in asof_join(
+            left, right, "ts", "rts", "k", "k", ["v"],
+            tolerance_seconds=600, direction="forward",
+        ).collect()
+    }
+    assert out[(1, 0)] == 10.0      # 5 min ahead, inside the 10-min bound
+    assert out[(1, 30)] is None     # next row is 20 min ahead — too far
+    assert out[(2, 0)] is None      # no right rows for key 2
+
+
+def test_asof_direction_validated(spark):
+    import pytest as _pytest
+
+    from tstables_spark.operators.asof import asof_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("ts")
+    )
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "ts", "ts", "k", "k", [], direction="sideways")

@@ -40,6 +40,7 @@ def asof_join(
     right_by: str,
     right_values: Sequence[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; returns all left columns + ``right_values``
     (null where no right row at-or-before exists).
@@ -50,13 +51,25 @@ def asof_join(
     older row. Implemented by carrying the right row's own timestamp
     inside the struct and masking after the window; the plan is
     UNCHANGED (same single shuffle + linear carry-forward), the mask is
-    one codegen'd comparison per output row on exact microseconds."""
+    one codegen'd comparison per output row on exact microseconds.
+
+    ``direction`` (pandas ``merge_asof`` naming): ``"backward"`` picks
+    the most recent right row at-or-BEFORE each left row; ``"forward"``
+    the earliest right row at-or-AFTER it (the "next quote" join).
+    Forward is the exact mirror — same single shuffle and linear pass,
+    with the window frame flipped to current->following and a running
+    ``first(ignorenulls)`` instead of ``last``; at equal timestamps the
+    right row sorts on the inclusive side of the left row in both
+    directions."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    backward = direction == "backward"
     left_cols = left.columns
     rts = F.col(right_on).alias("__rts")
     l = left.select(
         F.col(left_by).alias(_KEY),
         F.col(left_on).alias(_TIME),
-        F.lit(1).alias(_SIDE),
+        F.lit(1 if backward else 0).alias(_SIDE),
         F.lit(None).cast(
             right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
         ).alias(_CARRY),
@@ -65,25 +78,38 @@ def asof_join(
     r = right.select(
         F.col(right_by).alias(_KEY),
         F.col(right_on).alias(_TIME),
-        F.lit(0).alias(_SIDE),
+        F.lit(0 if backward else 1).alias(_SIDE),
         F.struct(*right_values, rts).alias(_CARRY),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
-    # Order (time, side): at equal timestamps the right row (side=0) sorts
-    # first, so it is visible to the left row — inclusive as-of.
-    w = (
-        W.partitionBy(_KEY)
-        .orderBy(_TIME, _SIDE)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = l.unionByName(r).withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    # Order (time, side): at equal timestamps the right row sorts on the
+    # inclusive side of the left row — before it (side 0 < 1) for
+    # backward, after it (side 1 > 0) for forward.
+    if backward:
+        w = (
+            W.partitionBy(_KEY)
+            .orderBy(_TIME, _SIDE)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = l.unionByName(r).withColumn(
+            _CARRY, F.last(_CARRY, ignorenulls=True).over(w)
+        )
+    else:
+        w = (
+            W.partitionBy(_KEY)
+            .orderBy(_TIME, _SIDE)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        carried = l.unionByName(r).withColumn(
+            _CARRY, F.first(_CARRY, ignorenulls=True).over(w)
+        )
     fresh = F.lit(True)
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_micros(F.col(_TIME)) - F.unix_micros(F.col(f"{_CARRY}.__rts"))
-            <= tolerance_seconds * 1_000_000
-        )
-    out = carried.where(F.col(_SIDE) == 1).select(
+        gap = F.unix_micros(F.col(_TIME)) - F.unix_micros(F.col(f"{_CARRY}.__rts"))
+        if not backward:
+            gap = -gap
+        fresh = gap <= tolerance_seconds * 1_000_000
+    out = carried.where(F.col(_SIDE) == (1 if backward else 0)).select(
         *left_cols,
         *[F.when(fresh, F.col(f"{_CARRY}.{v}")).alias(v) for v in right_values],
     )

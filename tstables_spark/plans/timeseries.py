@@ -685,6 +685,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             min(o_orderkey) AS o_orderkey,
+             arg_min(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each event, the EARLIEST order at-or-after
+    it for the same key — the "next quote" lookup (pandas merge_asof
+    direction='forward'). Exact mirror of join_asof: same single
+    shuffle + linear pass, window frame flipped to current->following
+    with a running first(ignorenulls) (operators/asof.py). Orders are
+    collapsed to one row per (key, time) — MIN orderkey wins, matching
+    DuckDB's forward ASOF tie choice deterministically."""
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.min_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        od,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
     "ts_vwap",
     oracle=f"""
     SELECT user_id, date_trunc('hour', ts) AS bucket,
