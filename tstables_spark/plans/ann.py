@@ -162,3 +162,53 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", F.col("dim").cast("long").alias("dim"),
         F.round(F.col("xv") / F.col("scale")).cast("tinyint").alias("q"),
     )
+
+
+from tstables_spark.plans._exact import sql_sum as _sql_sum
+from tstables_spark.plans._exact import exact_sum as _exact_sum
+
+
+@query(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT CAST(i - 1 AS BIGINT) AS dim, v[i] AS x
+          FROM e CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)),
+    s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 {_sql_sum('x')} AS sum_x, {_sql_sum('x * x')} AS sum_x2
+          FROM x GROUP BY dim)
+    SELECT dim, n,
+           sum_x / CAST(n AS DOUBLE) AS mean,
+           sum_x2 / CAST(n AS DOUBLE)
+             - (sum_x / CAST(n AS DOUBLE)) * (sum_x / CAST(n AS DOUBLE)) AS var
+    FROM s
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    feature-scaling statistics a whitening / standardization pass (or a
+    drift monitor between snapshots) needs. posexplode -> ONE
+    dim-keyed aggregate: 64 partial rows per map task cross the
+    shuffle, not the exploded scalars. Sums ride the decimal-exact
+    helpers (plans/_exact.py) so the cross-engine hash holds; mean and
+    variance are then composed with the SAME IEEE expression tree in
+    both engines (identical operands -> identical doubles)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.transform("embedding", lambda c: c.cast("double"))).alias(
+            "dim", "x"
+        )
+    )
+    s = e.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _exact_sum("x").alias("sum_x"),
+        _exact_sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sum_x") / nd
+    return s.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        (F.col("sum_x2") / nd - mean * mean).alias("var"),
+    )
