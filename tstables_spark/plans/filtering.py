@@ -333,3 +333,48 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("n_tokens").cast("double"))
         ).alias("score"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents),
+    p AS (
+      SELECT substring(word, i, 2) AS pair
+      FROM w CROSS JOIN unnest(generate_series(1, length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: adjacent
+    symbol-pair frequencies within words, top-50 by count (the pair a
+    BPE trainer would merge next, iterated). One explode per character
+    position (linear in corpus characters), ONE pair-keyed aggregate
+    with map-side combine, and a TakeOrderedAndProject top-k — no
+    global sort. Deterministic (cnt, pair) tiebreak makes the LIMIT
+    exact cross-engine. At 100 TB the iterated trainer loops this
+    query, shrinking the pair space each round; each round is the same
+    single-shuffle plan.
+
+    Guard note: Spark's ``sequence(1, n)`` runs DESCENDING when n < 1
+    (DuckDB's generate_series is empty) — the ``length >= 2`` filter
+    keeps the two engines' position lists identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word")).where(
+        F.length("word") >= 2
+    )
+    p = w.select(
+        F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"), "word"
+    ).select(F.expr("substring(word, i, 2)").alias("pair"))
+    return (
+        p.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
