@@ -281,3 +281,62 @@ def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "stream_upsert",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                 AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+                THEN value + 1000.0 ELSE value END AS value,
+           props
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-19 00:00:00'
+                 AND TIMESTAMP '2024-01-21 00:00:00'
+    """,
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a correction stream (every 2024-01-20 row
+    re-stated with value + 1000, split over three files consumed one
+    per micro-batch via maxFilesPerTrigger) is merged into a live
+    TimeSeriesTable through ``foreachBatch`` -> ``upsert`` — the
+    production late-data pipeline: the stream carries corrections, the
+    table converges to the corrected state batch by batch, each batch
+    rewriting ONLY the day partitions it touches. The oracle is the
+    CASE-corrected range select: the hash match proves the multi-batch
+    merge converges to exactly the single-batch result (upsert is
+    idempotent per identity, so batch boundaries don't matter)."""
+    from datetime import datetime, timezone
+
+    from tstables_spark.tstable import TimeSeriesTable
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="streamupsert_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+
+    day = F.to_date("ts") == F.lit("2024-01-20").cast("date")
+    corr = ev.where(day).withColumn("value", F.col("value") + F.lit(1000.0))
+    cdir = tempfile.mkdtemp(prefix="corr_src_") + "/corrections"
+    corr.repartition(3).write.parquet(cdir)
+
+    src = (
+        spark.readStream.schema(corr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    cols = ev.columns
+    q = (
+        src.writeStream.foreachBatch(
+            lambda batch, _id: ts.upsert(batch.select(*cols), keys=["event_id"])
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ts.read_range(
+        datetime(2024, 1, 19, tzinfo=timezone.utc),
+        datetime(2024, 1, 21, tzinfo=timezone.utc),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
