@@ -255,11 +255,13 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the count of users who reached it.
 
     Scale shape: each step is a pre-filtered (event_type pushdown at
-    the scan) aggregate joined to the previous step's per-user frontier
-    — all joins are on user_id, so every stage reuses ONE hash
-    partitioning (ReuseExchange collapses the repeated event scans'
-    shuffles); step tables only shrink. No window sort over the raw
-    log, no per-user collect_list — the usual sessionize-then-scan
+    the scan) aggregate joined to the previous step's per-user
+    frontier. Every join keys on user_id: at test scale the shrinking
+    frontiers broadcast (3x BroadcastExchange in the executed plan);
+    at 100 TB they sort-merge on user_id, and because consecutive
+    joins share the key, each join's output is already partitioned for
+    the next — no re-shuffle between steps. No window sort over the
+    raw log, no per-user collect_list — the usual sessionize-then-scan
     funnel implementation materializes every user's full event array,
     which at 100 TB is the skew bomb this composition avoids.
     """

@@ -308,12 +308,15 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose last-ulp engine differences would break the cross-engine
     hash; identical-operand IEEE arithmetic cannot differ.
 
-    Scale shape: explode -> vocab aggregate (one token-keyed shuffle,
-    map-side combined) -> token join that REUSES the same hash
-    partitioning (ReuseExchange shares the exploded scan's shuffle
-    across the aggregate and join branches) -> doc-keyed partial agg.
-    The corpus total rides a broadcast 1-row cross join, never a
-    driver collect.
+    Scale shape: the exploded token stream is consumed twice — once by
+    the vocab aggregate (token-keyed shuffle, map-side combined), once
+    as the scoring join's probe side (vocab broadcasts when it fits,
+    else both sides hash on token). The two consumers differ below the
+    exchange (one has a partial aggregate), so they are genuinely two
+    passes; at 100 TB materialize the tokenization once (the
+    persist-the-tokenization trade minhash_lsh_pairs documents) if the
+    corpus scan dominates. The corpus total rides a broadcast 1-row
+    cross join, never a driver collect.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
