@@ -682,3 +682,50 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     return spark.sql(_TPCH_Q5)
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {sql_sum('l_quantity')} AS sx,
+             {sql_sum('l_extendedprice')} AS sy,
+             {sql_sum('l_quantity * l_extendedprice')} AS sxy,
+             {sql_sum('l_quantity * l_quantity')} AS sx2,
+             {sql_sum('l_extendedprice * l_extendedprice')} AS sy2
+      FROM lineitem)
+    SELECT CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr,
+           (n * sxy - sx * sy) / (n * n) AS cov_pop
+    FROM s
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of (l_quantity,
+    l_extendedprice) — the statistics pass a feature-engineering
+    pipeline runs before deciding what to keep. ONE partial-agg pass
+    collects the five moment sums (decimal-exact so partial-merge
+    order can't flip a bit), then the correlation is composed with the
+    SAME IEEE expression tree as the oracle — built-in ``F.corr`` is
+    avoided on purpose: its streaming co-moment accumulation is
+    order-dependent, which would break the cross-engine hash."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        exact_sum("l_quantity").alias("sx"),
+        exact_sum("l_extendedprice").alias("sy"),
+        exact_sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        exact_sum(F.col("l_quantity") * F.col("l_quantity")).alias("sx2"),
+        exact_sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    return s.select(
+        n.cast("long").alias("n"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).alias(
+            "corr"
+        ),
+        ((n * sxy - sx * sy) / (n * n)).alias("cov_pop"),
+    )
