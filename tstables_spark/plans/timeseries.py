@@ -685,6 +685,41 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_partitions",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS part_date,
+           CAST(count(*) AS BIGINT) AS n,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY part_date
+    """,
+)
+def ts_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition manifest (A8 as a query): one row per date partition of
+    a TimeSeriesTable with its row count and ts extent — the statistics
+    a planner (or an operator deciding which days to compact/upsert)
+    reads instead of scanning data. On the date-partitioned layout the
+    group-by key IS the directory key, so the aggregate reads only the
+    ts column of each partition (columnar pruning) and every partial
+    agg covers exactly one partition's files. The oracle groups the raw
+    fixture by derived date — hash-matching proves the partition tree
+    is a lossless, complete cover of the data (no row in a wrong-day
+    dir, none dropped)."""
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tsparts_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+    return (
+        ts._df()
+        .groupBy(F.col("date").cast("timestamp").alias("part_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@query(
     "join_asof_forward",
     oracle="""
     WITH o AS (
