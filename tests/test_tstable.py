@@ -325,3 +325,25 @@ def test_upsert_batch_duplicate_identities_resolve_deterministically(spark, root
     t.upsert(dup)
     rows = t.read_range(start, start).collect()
     assert len(rows) == 1 and rows[0]["price"] == 3.0  # struct-max: highest wins
+
+
+def test_reserved_column_names_rejected(spark, root):
+    with_date = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("date", T.DateType(), True),
+        ]
+    )
+    with pytest.raises(TimeSeriesTableError, match="reserved partition column"):
+        TimeSeriesTable.create(spark, root, "bad_date", with_date)
+    with_src = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("__src", T.LongType(), True),
+        ]
+    )
+    t = TimeSeriesTable.create(spark, root, "bad_src", with_src)
+    df = spark.createDataFrame([(datetime(2024, 3, 1, tzinfo=UTC), 1)], with_src)
+    t.append(df)  # append is fine — only upsert reserves __src/__m
+    with pytest.raises(TimeSeriesTableError, match="upsert reserves"):
+        t.upsert(df)

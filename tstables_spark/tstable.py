@@ -135,6 +135,12 @@ class TimeSeriesTable:
         """
         if ts_col not in schema.fieldNames():
             raise TimeSeriesTableError(f"schema must contain a '{ts_col}' column")
+        if DATE_COL in schema.fieldNames():
+            # append/upsert derive the partition column from ts; a
+            # same-named data column would be silently overwritten.
+            raise TimeSeriesTableError(
+                f"'{DATE_COL}' is the reserved partition column; rename it in the schema"
+            )
         field = schema[ts_col]
         if not isinstance(field.dataType, T.TimestampType):
             raise TimeSeriesTableError(f"'{ts_col}' must be TimestampType, got {field.dataType}")
@@ -281,6 +287,11 @@ class TimeSeriesTable:
         unknown = [k for k in keys if k not in want]
         if unknown:
             raise TimeSeriesTableError(f"upsert keys not in schema: {unknown}")
+        reserved = {"__src", "__m"} & set(want)
+        if reserved:
+            raise TimeSeriesTableError(
+                f"upsert reserves column names {sorted(reserved)}; rename them in the schema"
+            )
 
         cols = [f.name for f in self.schema.fields]
         value_cols = [c for c in cols if c not in keys]
