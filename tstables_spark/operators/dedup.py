@@ -224,6 +224,47 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_jaccard_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN a new batch and an existing
+    corpus — the daily-increment production pattern: yesterday's corpus
+    is already internally deduped, so today's run must only compare
+    new-vs-old (and new-vs-new via ``jaccard_pairs`` on the small
+    batch), never re-pair old-vs-old.
+
+    Plan shape: bipartite inverted index as ONE equi-join on shingle +
+    one pair aggregate. Expansion is Σ_s df_new(s)·df_old(s) — linear
+    in the (small) batch side's posting mass, NOT quadratic in the
+    corpus; at 100 TB the corpus side's scan is the cost floor and the
+    join shuffles hashed shingles. Denominators ride scan-side ``n_sh``
+    exactly like ``jaccard_pairs`` (no sizes relation, no sizes join).
+    Corpus-hot stop-shingles are the fanout risk: pre-filter the OLD
+    side by document frequency (the ``max_df`` analog) before the join
+    when the corpus has boilerplate.
+    """
+    shn = shingles(new, n, with_size=True).select(
+        F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na"), "shingle"
+    )
+    sho = shingles(old, n, with_size=True).select(
+        F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    shared = (
+        shn.join(sho, "shingle")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "shared", "jaccard")
+    )
+
+
 def editdist_pairs(
     docs: DataFrame,
     band_width: int = 64,

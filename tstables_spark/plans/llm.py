@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from tstables_spark.operators.dedup import (
     editdist_pairs,
     exact_dedup,
+    incremental_jaccard_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_fingerprints,
@@ -85,6 +86,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.6
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+      GROUP BY 1, 2)
+    SELECT p.new_doc, p.old_doc, CAST(p.shared AS BIGINT) AS shared,
+           CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.new_doc = sa.doc_id
+    JOIN sizes sb ON p.old_doc = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.6
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection: today's batch
+    (doc_id % 10 = 0 stands in for the daily increment) compared only
+    against the existing corpus — the bipartite inverted-index join
+    that keeps daily dedup linear in the batch, never re-pairing
+    old-vs-old (operators/dedup.py::incremental_jaccard_pairs)."""
+    d = load(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    return incremental_jaccard_pairs(new, old, n=3, threshold=0.6)
 
 
 @query(
