@@ -380,6 +380,42 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_drawdown",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           max(value) OVER w AS peak,
+           value - max(value) OVER w AS drawdown
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown per user — the classic
+    peak-to-trough risk metric over a value series. A running MAX
+    needs no decimal discipline (it selects an input double by
+    comparison, no arithmetic), and the drawdown is ONE subtraction of
+    identical operands in both engines — bit-exact by IEEE
+    determinism. Single key shuffle + linear frame; the running-max
+    frame is O(1) per row (monotonic state), not a re-scan."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        peak.alias("peak"),
+        (F.col("value") - peak).alias("drawdown"),
+    )
+
+
+@query(
     "win_rank",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
