@@ -380,6 +380,77 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_corr",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value AS x,
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS y
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, ts,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             {sql_wsum('x', 'w')} AS sx,
+             {sql_wsum('y', 'w')} AS sy,
+             {sql_wsum('x * y', 'w')} AS sxy,
+             {sql_wsum('x * x', 'w')} AS sx2,
+             {sql_wsum('y * y', 'w')} AS sy2
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, CAST(n AS BIGINT) AS n_window,
+           CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+           END AS corr_roll
+    FROM m
+    """,
+)
+def win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row Pearson correlation per user between the value
+    series and the props.k series — the pairwise rolling statistic
+    (hedge-ratio / signal-decay monitoring) built the same way as
+    agg_corr: five decimal-exact moment sums over ONE shared window
+    frame (a single key shuffle + linear frame scan computes all
+    five), then an identical guarded IEEE composition in both engines.
+    The variance>0 guard makes degenerate frames (constant series)
+    NULL instead of engine-specific inf/NaN behavior."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").cast("double").alias("y"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    m = b.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        exact_wsum("x", w).alias("sx"),
+        exact_wsum("y", w).alias("sy"),
+        exact_wsum(F.col("x") * F.col("y"), w).alias("sxy"),
+        exact_wsum(F.col("x") * F.col("x"), w).alias("sx2"),
+        exact_wsum(F.col("y") * F.col("y"), w).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    vx, vy, cov = n * sx2 - sx * sx, n * sy2 - sy * sy, n * sxy - sx * sy
+    return m.select(
+        "user_id",
+        "event_id",
+        "ts",
+        n.cast("long").alias("n_window"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("corr_roll"),
+    )
+
+
+@query(
     "win_drawdown",
     oracle="""
     SELECT user_id, event_id, ts, value,
