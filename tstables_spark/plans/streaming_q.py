@@ -340,3 +340,30 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         datetime(2024, 1, 19, tzinfo=timezone.utc),
         datetime(2024, 1, 21, tzinfo=timezone.utc),
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the third join mode Structured Streaming
+    supports (alongside stream-stream in stream_join): each micro-batch
+    of the event stream is enriched against a static dimension with a
+    plain batch join, no watermark or state needed because the static
+    side never changes mid-query. At 100 TB the dim side broadcasts
+    when small (per micro-batch) or hash-joins against each batch;
+    state stays ZERO either way — the scalable enrichment shape. The
+    oracle is the batch twin (unified-API guarantee: a stream-static
+    join over a finite source equals the batch join)."""
+    src = _read_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = src.join(dim, src.user_id == dim.c_custkey, "left").select(
+        "event_id", "ts", "user_id", "segment"
+    )
+    return _run_to_memory(joined, "append")
