@@ -347,3 +347,46 @@ def test_reserved_column_names_rejected(spark, root):
     t.append(df)  # append is fine — only upsert reserves __src/__m
     with pytest.raises(TimeSeriesTableError, match="upsert reserves"):
         t.upsert(df)
+
+
+# -- schema evolution --------------------------------------------------------
+
+
+def test_evolve_adds_nullable_column(spark, root):
+    t = TimeSeriesTable.create(spark, root, "ev1", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    t.append(_ticks(spark, start, 3))
+    wider = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("venue", T.StringType(), True)]
+    )
+    t.evolve(wider)
+    new = spark.createDataFrame(
+        [(start + timedelta(hours=5), "EURUSD", 2.0, "XNYS")], wider
+    )
+    t.append(new)
+    rows = {r["ts"].hour: r["venue"] for r in t.read_range(start, start + timedelta(hours=6)).collect()}
+    assert rows[5] == "XNYS"
+    assert rows[0] is None and rows[2] is None  # old files serve nulls
+    # reopen sees the evolved schema
+    assert "venue" in TimeSeriesTable.open(spark, root, "ev1").schema.fieldNames()
+
+
+def test_evolve_rejects_unsafe_changes(spark, root):
+    t = TimeSeriesTable.create(spark, root, "ev2", SCHEMA)
+    dropped = T.StructType([f for f in SCHEMA.fields if f.name != "symbol"])
+    with pytest.raises(TimeSeriesTableError, match="drop"):
+        t.evolve(dropped)
+    retyped = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("symbol", T.StringType(), True),
+            T.StructField("price", T.FloatType(), True),
+        ]
+    )
+    with pytest.raises(TimeSeriesTableError, match="change column types"):
+        t.evolve(retyped)
+    nonnull = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("venue", T.StringType(), False)]
+    )
+    with pytest.raises(TimeSeriesTableError, match="must be nullable"):
+        t.evolve(nonnull)

@@ -792,6 +792,39 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_schema_evolve",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN props END AS props
+    FROM events
+    """,
+)
+def ts_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip (A2+): create a series WITHOUT the
+    props column, append the first half of history, ``evolve`` to add
+    nullable props (a metadata-only operation — zero files rewritten),
+    append the second half with the new column, read everything back.
+    The oracle (props nulled before the evolution point) hash-matching
+    proves old files serve the widened schema as nulls, new files carry
+    values, and no data moved. tstable.py::evolve."""
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    v1_cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    cut = F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="tsevolve_")
+    v1_schema = ev.select(*v1_cols).schema
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", v1_schema)
+    ts.append(ev.where(~cut).select(*v1_cols))
+    wider = T.StructType(
+        list(v1_schema.fields) + [T.StructField("props", T.StringType(), True)]
+    )
+    ts.evolve(wider)
+    ts.append(ev.where(cut).select(*v1_cols, "props"))
+    return ts.to_df().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
     "ts_partitions",
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS part_date,

@@ -334,6 +334,53 @@ class TimeSeriesTable:
         finally:
             fs.delete(hpath(tmp), True)
 
+    # -- A2+: schema evolution ----------------------------------------------
+    def evolve(self, new_schema: T.StructType) -> None:
+        """Widen the series schema by ADDING nullable columns — without
+        rewriting a single existing file. The reference's schema is
+        frozen at create_ts; a long-lived 100 TB series can't be: new
+        telemetry fields arrive, and rewriting years of parquet to add
+        a null column is exactly the O(table) cost this layout avoids.
+
+        Only additive evolution is allowed (every existing field kept
+        with an identical type, new fields nullable) — renames, drops
+        and type changes are rejected: they would require a rewrite to
+        stay consistent, and silently reinterpreting old files is how
+        engines corrupt history. Reads need no mergeSchema scan-side
+        inference: ``_df`` already passes the declared schema, and
+        Spark's parquet reader fills columns missing from a file with
+        nulls — so old files serve the new schema for free and
+        partition pruning/pushdown are unchanged.
+        """
+        old = {f.name: f.dataType for f in self.schema.fields}
+        new = {f.name: f.dataType for f in new_schema.fields}
+        missing = [c for c in old if c not in new]
+        if missing:
+            raise TimeSeriesTableError(f"evolve cannot drop columns: {missing}")
+        changed = [c for c in old if new[c] != old[c]]
+        if changed:
+            raise TimeSeriesTableError(
+                f"evolve cannot change column types: {changed}"
+            )
+        for f in new_schema.fields:
+            if f.name not in old and not f.nullable:
+                raise TimeSeriesTableError(
+                    f"new column '{f.name}' must be nullable (old files have no values)"
+                )
+        if DATE_COL in new:
+            raise TimeSeriesTableError(
+                f"'{DATE_COL}' is the reserved partition column; rename it in the schema"
+            )
+        meta_path = os.path.join(self.path, _META_FILE)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["schema"] = new_schema.jsonValue()
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)  # atomic on POSIX
+        self.schema = new_schema
+
     # -- internal: read with pruning ---------------------------------------
     def _df(self) -> DataFrame:
         try:
