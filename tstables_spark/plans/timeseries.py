@@ -903,6 +903,70 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_multi",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    o AS (SELECT o_custkey, o_orderdate,
+                 max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS last_order_price
+          FROM orders GROUP BY o_custkey, o_orderdate),
+    p AS (SELECT user_id, ts, arg_max(value, event_id) AS last_purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, c.ts, o.last_order_price, p.last_purchase_value
+    FROM c
+    ASOF LEFT JOIN o ON c.user_id = o.o_custkey AND c.ts >= o.o_orderdate
+    ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME multi-source feature join — the feature-store
+    retrieval shape that prevents training-serving skew: for each label
+    row (clicks), the latest value from EACH feature source (order
+    history, purchase history) as of the label timestamp, never a
+    value from the future. Composition of two as-of joins: each is the
+    single-shuffle union+window plan, both keyed on the same entity, so
+    the second join re-partitions the (already label-sized) output of
+    the first — cost is 2x asof, linear, with no feature leakage by
+    construction. N sources = N chained joins, each adding one column
+    set (operators/asof.py)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        )
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_purchase_value"))
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                "last_purchase_value")
+    )
+    step1 = asof_join(
+        clicks,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["last_order_price"],
+    )
+    return asof_join(
+        step1,
+        purchases,
+        left_on="ts",
+        right_on="p_ts",
+        left_by="user_id",
+        right_by="p_user",
+        right_values=["last_purchase_value"],
+    ).select("event_id", "user_id", "ts", "last_order_price", "last_purchase_value")
+
+
+@query(
     "ts_vwap",
     oracle=f"""
     SELECT user_id, date_trunc('hour', ts) AS bucket,
