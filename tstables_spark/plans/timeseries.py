@@ -903,6 +903,67 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM iv),
+    grouped AS (
+      SELECT user_id, s, e,
+             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged)
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM grouped GROUP BY user_id, grp
+    """,
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key (each event opens a 5-minute
+    activity interval; touching/overlapping ones coalesce into spans) —
+    the interval-union primitive behind uptime/coverage computation and
+    session stitching. The classic two-window algorithm: a row starts a
+    new span iff it begins after the running max end of all PRIOR
+    intervals; the running sum of those flags is the span id; one
+    group-by collapses each span. Single key shuffle, two linear
+    frames, one aggregate — no self-join, no explode; pure timestamp
+    comparisons (no float discipline needed). NULL running-max on each
+    key's first row makes the comparison NULL -> flag 0; first span id
+    is 0 — identical semantics in both engines."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_grp",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1)).otherwise(F.lit(0)),
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))
+    return grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("grp")
+
+
+@query(
     "join_asof_multi",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
