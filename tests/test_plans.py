@@ -198,3 +198,18 @@ def test_editdist_banded_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_editdist")
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan)
     assert re.search(r"HashJoin", plan)
+
+
+def test_interval_merge_single_shuffle(spark, sf_dir):
+    """Both windows and the final aggregate share one user_id hash
+    partitioning: exactly one exchange in the whole plan."""
+    plan = _plan(spark, sf_dir, "ts_interval_merge")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_win_corr_single_window_node(spark, sf_dir):
+    """All five moment sums ride ONE Window node over one shuffle —
+    Catalyst must not split the shared frame into per-sum windows."""
+    plan = _plan(spark, sf_dir, "win_corr")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") == 1
