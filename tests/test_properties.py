@@ -130,7 +130,7 @@ def test_pack_sequences_prefix_sum_property(weights, budget, parts):
         assert got[i] == (acc, (acc - w) // budget), (i, w, acc, got[i])
 
 
-def test_editdist_banding_is_complete(spark):
+def test_editdist_banding_is_complete(spark, sf_dir):
     """The (lang, length-band) blocking must find EVERY pair inside the
     declared scope (same lang, |Δn_chars| <= band_width, bounded
     Levenshtein on prefixes) — banding with one-neighbor probes has
@@ -141,7 +141,7 @@ def test_editdist_banding_is_complete(spark):
     from tstables_spark.operators.dedup import editdist_pairs
     from tstables_spark.plans.tables import load
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_dir
     docs = load(spark, sf, "documents")
     got = {
         (r.doc_a, r.doc_b, r.dist) for r in editdist_pairs(docs).collect()

@@ -390,3 +390,30 @@ def test_evolve_rejects_unsafe_changes(spark, root):
     )
     with pytest.raises(TimeSeriesTableError, match="must be nullable"):
         t.evolve(nonnull)
+
+
+def test_evolve_rejects_nullable_tightening(spark, root):
+    t = TimeSeriesTable.create(spark, root, "ev3", SCHEMA)
+    tightened = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("symbol", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), False),  # was nullable
+        ]
+    )
+    with pytest.raises(TimeSeriesTableError, match="tighten"):
+        t.evolve(tightened)
+
+
+def test_upsert_rejects_map_columns(spark, root):
+    with_map = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    t = TimeSeriesTable.create(spark, root, "up_map", with_map)
+    df = spark.createDataFrame([(datetime(2024, 3, 1, tzinfo=UTC), {"a": "b"})], with_map)
+    t.append(df)  # append is fine — maps are storable, just not orderable
+    with pytest.raises(TimeSeriesTableError, match="non-orderable"):
+        t.upsert(df)

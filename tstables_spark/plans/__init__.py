@@ -31,16 +31,22 @@ def _load_all() -> None:
     )
 
     # Pin the round-3 verification window (first 50 = the harness's
-    # correctness window). Priority: (a) queries never green in any
-    # CORRECTNESS file, (b) queries whose implementation changed after
-    # their last green row (this round: the dedup sizes rewrite touched
-    # dedup_near/_maxdf/minhash/clusters; the ANN kernel rewrite touched
-    # sim_ivf/sim_ivf_centroid), (c) a few long-stable greens as
-    # cross-round anchors. Everything displaced is hash-green in r01/r02
-    # with an unchanged implementation.
+    # correctness window; everything else waits for a later round's
+    # rotation). Priority: (a) the engine's core-identity queries that
+    # have never appeared in any CORRECTNESS file (the r2 VERDICT's top
+    # finding), then (b) hash-green queries whose implementation changed
+    # after their last green row (the dedup sizes rewrite). 50 slots
+    # cannot hold every never-checked query: ~20 round-3 additions
+    # (analytics, editdist/incremental dedup, upsert/evolve/partitions,
+    # lm/bpe/corr, forward/multi as-of, interval merge, stream
+    # enrich/upsert) and the sim_ivf family (rows-only-checked in r2,
+    # Arrow-kernel rewrite since, recall pinned by local tests) sit
+    # outside and are the round-4 rotation, recorded in the build notes.
+    # Everything displaced is hash-green in r01/r02 with an unchanged
+    # implementation or covered by repo-local parity.
     registry.prioritize(
         [
-            # (a) time-series/streaming/udf core + all round-3 queries
+            # (a) time-series/streaming/udf core, never driver-checked
             "ts_range_scan", "ts_min_max", "ts_create_append",
             "sink_parquet_partitioned", "ts_compact", "ts_resample_ohlc",
             "win_lag_lead", "win_rolling", "win_range_frame",
@@ -55,13 +61,9 @@ def _load_all() -> None:
             "sim_ivf_kmeans", "cluster_kmeans", "sim_recall",
             "text_normalize", "repetition_score", "quality_filter",
             "decontaminate", "pii_redact", "dedup_embed_clusters",
-            # (a, continued) round-3 additions after the first pin: rolling
-            # z-score / interpolation / embedding-prep / pure-SQL surface —
-            # never driver-checked, displacing r1/r2-green unchanged anchors
             "win_zscore", "ts_interpolate", "embed_normalize",
             "embed_quantize", "sql_tpch_q3", "sql_tpch_q5",
-            # (b) changed after their last green row (sim_ivf family's r2
-            # rows-only check predates the Arrow-kernel rewrite)
+            # (b) changed after their last green row
             "dedup_near", "dedup_near_maxdf", "dedup_minhash",
             "dedup_clusters",
         ]

@@ -22,6 +22,8 @@ from tstables_spark.operators.similarity import (
     ivf_topk_kmeans,
     lsh_topk,
 )
+from tstables_spark.plans._exact import exact_sum as _exact_sum
+from tstables_spark.plans._exact import sql_sum as _sql_sum
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -162,10 +164,6 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", F.col("dim").cast("long").alias("dim"),
         F.round(F.col("xv") / F.col("scale")).cast("tinyint").alias("q"),
     )
-
-
-from tstables_spark.plans._exact import sql_sum as _sql_sum
-from tstables_spark.plans._exact import exact_sum as _exact_sum
 
 
 @query(

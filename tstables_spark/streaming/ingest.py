@@ -72,6 +72,16 @@ def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: li
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # Validate EVERY date's leftover marker before the first destructive
+    # step — a leftover found halfway through would otherwise abort after
+    # some days were already swapped and the commit log deleted.
+    for d in date_strs:
+        jold = hpath(f"{path}/date={d}__precompact")
+        if fs.exists(jold):
+            raise IOError(
+                f"leftover {path}/date={d}__precompact from a crashed "
+                "compaction; resolve it manually before re-running"
+            )
     fs.delete(hpath(f"{path}/_spark_metadata"), True)
     for d in date_strs:
         part, tpart = f"{path}/date={d}", f"{tmp}/date={d}"
@@ -79,11 +89,6 @@ def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: li
         jold = hpath(part + "__precompact")
         if not fs.exists(jtpart):
             continue  # no rows for this date — nothing to swap
-        if fs.exists(jold):
-            raise IOError(
-                f"leftover {part}__precompact from a crashed compaction; "
-                "resolve it manually before re-running"
-            )
         if fs.exists(jpart):
             _checked_rename(fs, jpart, jold)
         _checked_rename(fs, jtpart, jpart)

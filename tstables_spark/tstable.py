@@ -281,8 +281,6 @@ class TimeSeriesTable:
         want = {f.name: f.dataType for f in self.schema.fields}
         if got != want:
             raise TimeSeriesTableError(f"schema mismatch: got {got}, want {want}")
-        if df.filter(F.col(TS_COL).isNull()).limit(1).count() > 0:
-            raise TimeSeriesTableError("null timestamps not allowed")
         keys = list(keys) if keys else [TS_COL]
         unknown = [k for k in keys if k not in want]
         if unknown:
@@ -292,11 +290,24 @@ class TimeSeriesTable:
             raise TimeSeriesTableError(
                 f"upsert reserves column names {sorted(reserved)}; rename them in the schema"
             )
+        # The merge orders rows via max(struct(...)); every column must be
+        # orderable or the failure is an opaque AnalysisException later.
+        unorderable = [
+            f.name for f in self.schema.fields if isinstance(f.dataType, T.MapType)
+        ]
+        if unorderable:
+            raise TimeSeriesTableError(
+                f"upsert cannot merge non-orderable (map-typed) columns: {unorderable}"
+            )
 
         cols = [f.name for f in self.schema.fields]
         value_cols = [c for c in cols if c not in keys]
         dated_new = df.withColumn(DATE_COL, F.to_date(F.col(TS_COL)))
+        # One job does double duty: the distinct-dates collect also
+        # surfaces null timestamps (a null ts derives a null date).
         dates = [r[0] for r in dated_new.select(DATE_COL).distinct().collect()]
+        if None in dates:
+            raise TimeSeriesTableError("null timestamps not allowed")
         if not dates:
             return
         date_strs = sorted(str(d) for d in dates)
@@ -367,6 +378,18 @@ class TimeSeriesTable:
                 raise TimeSeriesTableError(
                     f"new column '{f.name}' must be nullable (old files have no values)"
                 )
+        old_nullable = {f.name: f.nullable for f in self.schema.fields}
+        tightened = [
+            f.name
+            for f in new_schema.fields
+            if f.name in old_nullable and old_nullable[f.name] and not f.nullable
+        ]
+        if tightened:
+            # Existing files may already hold nulls; declaring the column
+            # non-nullable would let the optimizer miscompile null checks.
+            raise TimeSeriesTableError(
+                f"evolve cannot tighten columns to non-nullable: {tightened}"
+            )
         if DATE_COL in new:
             raise TimeSeriesTableError(
                 f"'{DATE_COL}' is the reserved partition column; rename it in the schema"
