@@ -86,6 +86,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # load-bearing for every timestamp comparison and the DuckDB
             # oracle twin (which runs with TimeZone='UTC').
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # Driver fixtures store ts as tz-less timestamp[us]; without
+            # this, Spark 4 infers TIMESTAMP_NTZ, which breaks
+            # withWatermark / CAST(ts AS BIGINT) / the TimestampType
+            # storage contract. Session TZ is UTC (above), so reading as
+            # TIMESTAMP preserves wall-clock values and oracle hashes.
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             ensure_shipped(spark)
             return fn(spark, sf_dir)
 

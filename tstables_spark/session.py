@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Fixture parquet stores ts as timestamp[us] with no timezone;
+        # Spark 4 would infer TIMESTAMP_NTZ, which breaks watermarks,
+        # CAST(ts AS BIGINT) and the TimestampType storage contract.
+        # The engine's contract is instant semantics (UTC), so read
+        # tz-less parquet timestamps as TIMESTAMP (LTZ, session TZ=UTC).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # MIN/MAX/COUNT over parquet answered from row-group footers
         # (TimeSeriesTable.min_dt/max_dt edge-partition probes).
