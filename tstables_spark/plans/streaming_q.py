@@ -67,11 +67,16 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
-@query("stream_ingest")
+@query(
+    "stream_ingest",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3's streaming upgrade: file source -> watermark -> date-partitioned
     parquet sink (exactly-once via sink commit log), then read back.
-    Rows-only (side-effecting)."""
+    Oracle = the whole fixture: a hash match proves the streaming ingest
+    is lossless end-to-end (no watermark drops on the append path, no
+    duplicate emission across micro-batches)."""
     src = _read_stream(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ingest_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")

@@ -62,14 +62,24 @@ def ts_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- A1+A3: create/append/read-back round-trip (rows-only) ------------------
-@query("ts_create_append")
+# -- A1+A3: create/append/read-back round-trip ------------------------------
+@query(
+    "ts_create_append",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                 AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
 def ts_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create a series, append the events fixture, read a range back.
 
     Exercises the reference's full lifecycle (create_ts -> append ->
     read_range) on the Spark-native layout: date-partitioned parquet,
-    ts-sorted within files. Rows-only check (side-effecting op)."""
+    ts-sorted within files. The oracle is the plain inclusive range
+    select on the fixture: a hash match proves the write/read round-trip
+    is lossless (not just that some rows came back)."""
     ev = load(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="tstable_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
@@ -78,13 +88,17 @@ def ts_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ts.read_range(
         datetime(2024, 1, 5, tzinfo=timezone.utc), datetime(2024, 1, 20, tzinfo=timezone.utc)
-    )
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
-@query("sink_parquet_partitioned")
+@query(
+    "sink_parquet_partitioned",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned, ts-sorted parquet sink + read-back (A3's write
-    discipline in isolation). Rows-only."""
+    discipline in isolation). Oracle = the whole fixture: hash match
+    proves the partitioned rewrite is lossless."""
     ev = load(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="sink_") + "/events"
     (
