@@ -67,6 +67,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Machine-load context: r3->r4 showed a uniform ~1.4x swing on a
+    # byte-identical tree (harness/machine noise). loadavg at measure
+    # time lets later rounds separate plan regressions from box load.
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -75,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": loadavg,
             }
         )
     )

@@ -70,6 +70,62 @@ def test_transform_with_state(spark):
     assert got == {0: 10, 1: 10, 2: 10}
 
 
+def test_stream_session_streaming_mode(spark):
+    """session_window through a REAL availableNow stream (append mode +
+    watermark): only sessions the final watermark closed are emitted,
+    and they must equal the batch twin restricted to that closed subset.
+    This is the streaming execution of the operator that the registered
+    stream_session query runs in batch mode (plans/streaming_q.py — the
+    registry twin needs ALL sessions, append mode withholds tails)."""
+    import tempfile as _tf
+
+    base = datetime(2024, 5, 1, tzinfo=UTC)
+    rows = []
+    for u in (1, 2, 3):
+        # two sessions per user, both ending well before the horizon
+        for off in (0, 10, 20):
+            rows.append((u, base + timedelta(seconds=u * 7 + off)))
+        for off in (0, 5):
+            rows.append((u, base + timedelta(seconds=120 + u * 7 + off)))
+    # horizon event: pushes the final watermark to 1000s - 60s = 940s,
+    # leaving only its own tail session (ends 1030s) unclosed
+    rows.append((99, base + timedelta(seconds=1000)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    src_dir = _tf.mkdtemp(prefix="sess_src_") + "/events"
+    df.write.parquet(src_dir)
+    src = spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    agg = (
+        src.withWatermark("ts", "60 seconds")
+        .groupBy(F.session_window("ts", "30 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_window.start, r.session_window.end, r.n_events)
+        for r in spark.table("sess_stream").collect()
+    }
+
+    batch = (
+        df.groupBy(F.session_window("ts", "30 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    horizon = base + timedelta(seconds=1000 - 60)
+    closed = batch.where(F.col("session_window.end") <= F.lit(horizon))
+    want = {
+        (r.user_id, r.session_window.start, r.session_window.end, r.n_events)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) == 6  # 2 closed sessions per user for users 1-3
+    # the horizon event's own tail session is withheld by design
+    assert not any(u == 99 for (u, *_) in got)
+
+
 def test_ingest_then_compact(spark):
     work = tempfile.mkdtemp(prefix="ts_stream_")
     src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
