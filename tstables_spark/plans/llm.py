@@ -395,28 +395,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- multimodal -------------------------------------------------------------
-@query("multimodal_schema")
+@query(
+    "multimodal_schema",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(hex(encode(text)))[1:16] AS feat
+    FROM documents
+    """,
+)
 def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal struct column {binary, mime, meta map} round-tripped
     through Parquet, then feature-extracted via Arrow-batched
     mapInPandas (operators/multimodal.py; decode is a deterministic
-    stand-in — real codecs absent in this container). Rows-only."""
+    stand-in — real codecs absent in this container). The stand-in is
+    pure byte arithmetic, so it HAS an exact oracle (utf-8 byte length +
+    first-8-bytes hex via DuckDB's encode/hex): the hash match pins the
+    whole parquet-roundtrip + Arrow-batch plumbing, upgraded from the
+    former rows-only check."""
     packed = pack_multimodal(load(spark, sf_dir, "documents"))
     out = tempfile.mkdtemp(prefix="mm_") + "/blobs"
     packed.write.mode("overwrite").parquet(out)
     return decode_features(spark.read.parquet(out))
 
 
-@query("multimodal_frames")
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             greatest(octet_length(encode(text)) // 64, 1) AS n_frames,
+             least(octet_length(encode(text)), 64) AS thumb_bytes
+      FROM documents
+    )
+    SELECT doc_id, CAST(s.fi AS BIGINT) AS frame_idx,
+           hx[s.fi*128 + 1 : s.fi*128 + 8] AS frame_feat,
+           CAST(thumb_bytes AS BIGINT) AS thumb_bytes
+    FROM (
+      SELECT doc_id, hx, thumb_bytes,
+             unnest([{'fi': i} for i in generate_series(0, n_frames - 1, 4)]) AS s
+      FROM b
+    )
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling + thumbnail resize over multimodal structs: the
     1->N fan-out and 1->1 transform shapes of mapInPandas (decode is the
-    documented deterministic stand-in — operators/multimodal.py).
-    Rows-only."""
+    documented deterministic stand-in — operators/multimodal.py). The
+    stand-in samples every 4th 64-byte 'frame' and emits its first-4-
+    bytes hex, so the exact twin is hex-string slicing over a generated
+    frame-index series — upgraded from the former rows-only check."""
     packed = pack_multimodal(load(spark, sf_dir, "documents"))
     frames = frame_sample(packed, every_n=4)
     thumbs = image_resize(packed, 8, 8).select(
-        "doc_id", F.length("thumb").alias("thumb_bytes")
+        "doc_id", F.length("thumb").cast("long").alias("thumb_bytes")
     )
     return frames.join(thumbs, "doc_id").select(
         "doc_id", "frame_idx", "frame_feat", "thumb_bytes"

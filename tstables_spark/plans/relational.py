@@ -386,14 +386,42 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS nd_events,
+           TRUE AS users_within_5pct,
+           TRUE AS events_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts. Rows-only check: approximate results
-    are engine-specific by design; the exact twin is agg_distinct."""
+    """HyperLogLog++ distinct counts. Approximate values are
+    engine-specific by design, so the raw estimates can't be oracled;
+    instead the query returns the EXACT counts plus booleans asserting
+    the HLL estimate (rsd=1%) landed within ±5% of exact — the oracle
+    expects TRUE, so the hash match pins both the exact counts and the
+    sketch's accuracy contract (5 sigma at rsd=1%: deterministic for
+    fixed data, generous enough to never flap)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a_users"),
+        F.countDistinct("user_id").alias("nd_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("a_events"),
+        F.countDistinct("event_id").alias("nd_events"),
+    )
+
+    def within(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= F.lit(0.05) * F.col(e)
+
+    return agg.select(
+        "event_type",
+        "nd_users",
+        "nd_events",
+        within("a_users", "nd_users").alias("users_within_5pct"),
+        within("a_events", "nd_events").alias("events_within_5pct"),
     )
 
 

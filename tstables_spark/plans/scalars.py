@@ -327,12 +327,27 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udtf_python")
+@query(
+    "udtf_python",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ')[1:5] AS toks
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    )
+    SELECT doc_id, CAST(s.pos AS INT) AS pos, s.token
+    FROM (
+      SELECT doc_id,
+             unnest([{'pos': i - 1, 'token': toks[i]}
+                     for i in generate_series(1, len(toks))]) AS s
+      FROM t
+    )
+    """,
+)
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 3.5+/4.x table function): explode each document
-    into (doc_id, pos, token) for its first 5 tokens. Rows-only check
-    (UDTF lateral-join shape has no single-statement DuckDB twin under
-    the driver's view registration)."""
+    into (doc_id, pos, token) for its first 5 tokens. The oracle is the
+    unnest-with-position twin (DuckDB list comprehension), upgrading
+    this from the former rows-only check."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, token string")
