@@ -18,6 +18,23 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_loaded_tables_never_ntz(spark, sf_dir):
+    """Timestamp policy guard (README): whatever physical type the
+    fixtures use (r1-r3: INT64 nanos; r4+: tz-less timestamp[us], which
+    Spark 4 would infer as TIMESTAMP_NTZ), every column that load()
+    returns must be an instant (TimestampType) — NTZ breaks watermarks,
+    epoch arithmetic and the storage contract. Catches the next fixture
+    format change at the choke point instead of as 15 query errors."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from tstables_spark.plans.tables import TABLE_NAMES, load
+
+    for name in TABLE_NAMES:
+        df = load(spark, sf_dir, name)
+        ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+        assert not ntz, f"{name}: NTZ columns leaked through load(): {ntz}"
+
+
 @pytest.mark.parametrize(
     "name,pattern",
     [
