@@ -166,6 +166,12 @@ def minhash_lsh_pairs(
     # of Σ tokens rows vs three recomputations of the corpus scan.
     sh = shingles(docs, n, with_size=True).localCheckpoint(eager=True)
     # k independent hash functions: xxhash64 with k distinct seed columns.
+    # Deliberately exploded rows + codegen'd hash projection + groupBy
+    # min, NOT scan-side array_min(transform(...)) per seed: the HOF
+    # variant eliminates the signature shuffle but runs k interpreted
+    # array walks per doc, measured 1.5-2x slower end-to-end at sf0.1
+    # (and the shuffle it saves is small: one row per doc of k longs).
+    # CPU-bound hashing wants whole-stage codegen at any scale.
     hashed = sh.select(
         "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]
     )
