@@ -383,6 +383,51 @@ def test_asof_forward_with_tolerance(spark):
     assert out[(2, 0)] is None      # no right rows for key 2
 
 
+def test_asof_nearest_choice_ties_and_tolerance(spark):
+    """Nearest as-of: closer side wins, backward wins exact ties, an
+    exact-timestamp right row is a gap-0 backward match, and tolerance
+    masks each side independently before the choice."""
+    from datetime import datetime
+
+    from tstables_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0.replace(minute=minutes)
+
+    left = spark.createDataFrame(
+        [(1, at(10)), (1, at(28)), (1, at(20)), (1, at(40)), (2, at(0))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, at(0), 1.0), (1, at(20), 2.0), (1, at(30), 3.0)],
+        "k long, rts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.minute): r.v
+        for r in asof_join(
+            left, right, "ts", "rts", "k", "k", ["v"], direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 10)] == 1.0   # tie: 10 back vs 10 fwd -> backward wins
+    assert out[(1, 28)] == 3.0   # 8 back vs 2 fwd -> forward wins
+    assert out[(1, 20)] == 2.0   # exact timestamp: gap-0 backward match
+    assert out[(1, 40)] == 3.0   # nothing ahead -> backward only
+    assert out[(2, 0)] is None   # no right rows for key 2
+
+    bounded = {
+        (r.k, r.ts.minute): r.v
+        for r in asof_join(
+            left, right, "ts", "rts", "k", "k", ["v"],
+            direction="nearest", tolerance_seconds=300,
+        ).collect()
+    }
+    assert bounded[(1, 28)] == 3.0   # 2 min fwd inside the 5-min bound
+    assert bounded[(1, 10)] is None  # both sides 10 min away — masked
+    assert bounded[(1, 40)] is None  # backward 10 min away — masked
+
+
 def test_asof_direction_validated(spark):
     import pytest as _pytest
 

@@ -60,9 +60,24 @@ def asof_join(
     with the window frame flipped to current->following and a running
     ``first(ignorenulls)`` instead of ``last``; at equal timestamps the
     right row sorts on the inclusive side of the left row in both
-    directions."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    directions.
+
+    ``"nearest"`` picks whichever of the two is closer in absolute
+    time, preferring the backward match on exact ties (deterministic,
+    and consistent with an exact-timestamp match having gap 0). Both
+    running carries are computed over the SAME partitioning and sort,
+    so the plan is still ONE shuffle + one sort (two window frames over
+    it); ``tolerance_seconds`` bounds each side's staleness before the
+    choice."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, left_on, right_on, left_by, right_by,
+            right_values, tolerance_seconds,
+        )
     backward = direction == "backward"
     left_cols = left.columns
     rts = F.col(right_on).alias("__rts")
@@ -114,3 +129,72 @@ def asof_join(
         *[F.when(fresh, F.col(f"{_CARRY}.{v}")).alias(v) for v in right_values],
     )
     return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_values: Sequence[str],
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Nearest-in-time as-of: both running carries over one union —
+    backward = last(ignorenulls) over preceding, forward =
+    first(ignorenulls) over following — same key shuffle, same sort
+    (the two Window operators share the exchange), then a codegen'd
+    per-row choice of the closer side. Backward layout (right sorts
+    before an equal-ts left row), so an exact-timestamp right row is
+    the backward carry with gap 0 and always wins — the forward frame
+    starting at currentRow never sees it, which is fine."""
+    left_cols = left.columns
+    rts = F.col(right_on).alias("__rts")
+    carry_t = right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
+    l = left.select(
+        F.col(left_by).alias(_KEY),
+        F.col(left_on).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(carry_t).alias(_CARRY),
+        *[F.col(c) for c in left_cols],
+    )
+    r = right.select(
+        F.col(right_by).alias(_KEY),
+        F.col(right_on).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        F.struct(*right_values, rts).alias(_CARRY),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    wb = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn("__cb", F.last(_CARRY, ignorenulls=True).over(wb))
+        .withColumn("__cf", F.first(_CARRY, ignorenulls=True).over(wf))
+    )
+    # casts are no-ops for timestamp right_on; for a DATE right_on they
+    # pin midnight-UTC semantics, matching DuckDB's date->timestamp cast
+    gb = F.unix_micros(F.col(_TIME)) - F.unix_micros(F.col("__cb.__rts").cast("timestamp"))
+    gf = F.unix_micros(F.col("__cf.__rts").cast("timestamp")) - F.unix_micros(F.col(_TIME))
+    valid_b = F.col("__cb").isNotNull()
+    valid_f = F.col("__cf").isNotNull()
+    if tolerance_seconds is not None:
+        bound = tolerance_seconds * 1_000_000
+        valid_b = valid_b & (gb <= bound)
+        valid_f = valid_f & (gf <= bound)
+    chosen = F.when(valid_b & (~valid_f | (gb <= gf)), F.col("__cb")).when(
+        valid_f, F.col("__cf")
+    )
+    return carried.where(F.col(_SIDE) == 1).select(
+        *left_cols,
+        *[chosen.getField(v).alias(v) for v in right_values],
+    )

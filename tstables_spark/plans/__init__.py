@@ -53,7 +53,8 @@ def _load_all() -> None:
             # (c) never in any CORRECTNESS window
             "ts_upsert", "ts_schema_evolve", "ts_partitions",
             "stream_upsert", "stream_enrich",
-            "join_asof_forward", "join_asof_multi", "ts_interval_merge",
+            "join_asof_forward", "join_asof_multi", "join_asof_nearest",
+            "ts_interval_merge",
             "win_corr", "win_drawdown", "agg_corr",
             "dedup_editdist", "dedup_incremental", "dedup_keep_latest",
             "dq_check", "profile_table", "funnel_steps",
@@ -63,7 +64,7 @@ def _load_all() -> None:
             "stream_session", "stream_stateful",
             "sink_parquet_partitioned",
             "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-            "sim_ivf", "sim_ivf_centroid", "sim_ivf_kmeans",
+            "sim_ivf", "sim_ivf_kmeans",
             "cluster_kmeans", "sim_recall",
             "udtf_python", "agg_approx_distinct",
             "multimodal_schema", "multimodal_frames",

@@ -917,6 +917,66 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS bk, o.o_totalprice AS bp, o.o_orderdate AS bts
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id,
+             o.o_orderkey AS fk, o.o_totalprice AS fp, o.o_orderdate AS fts
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (b.ts - bts) <= (fts - b.ts))
+                THEN bk ELSE fk END AS o_orderkey,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (b.ts - bts) <= (fts - b.ts))
+                THEN bp ELSE fp END AS o_totalprice
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for each event, whichever same-key order is
+    closer in absolute time (backward wins exact ties) — pandas
+    merge_asof direction='nearest', completing the direction family
+    (backward = join_asof, forward = join_asof_forward). One union +
+    ONE key shuffle with both running carries computed over the same
+    sort (operators/asof.py::_asof_nearest); the oracle is the
+    two-ASOF-joins-plus-CASE formulation of the same choice. Orders
+    collapse to one row per (key, time) — max orderkey wins — so both
+    engines see a deterministic right side."""
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        od,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
     "ts_interval_merge",
     oracle="""
     WITH iv AS (
