@@ -25,8 +25,37 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Portable hashing: every fingerprint below is reproducible OUTSIDE this
+# engine (DuckDB, Trino, any SQL dialect with md5) — a deliberate contract,
+# not a convenience. Dedup fingerprints outlive any one engine: a corpus
+# hashed today must be incrementally deduplicable by tomorrow's stack, so
+# the hash family must not be Spark-private (xxhash64's seed handling is).
+#
+#   base(x)  = int(substr(md5(x), 1, 15), 16)      -- 60-bit, any engine
+#   h_i(x)   = (A_i * (base(x) % P) + B_i) % P     -- affine universal family
+#
+# P = 2^31-1 (Mersenne); A_i,B_i fixed odd-ish constants, A_i != 0 (mod P).
+# Cost: ONE md5 per token + k codegen'd integer ops — cheaper than k seeded
+# xxhash64 calls for k >= ~8, and the whole family stays inside
+# whole-stage codegen.
+PORTABLE_PRIME = 2_147_483_647
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit integer hash reproducible in any engine with md5():
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` in DuckDB,
+    ``conv(substr(md5(x),1,15),16,10)`` here. Codegen'd, non-negative."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def affine_coeffs(i: int) -> tuple[int, int]:
+    """The i-th (A, B) pair of the affine family. A_i < P for i < 2146;
+    A_i*x + B_i stays under 2^63 for x < P, so no 64-bit overflow and
+    identical arithmetic in every engine."""
+    return 1_000_003 * (i + 1) % PORTABLE_PRIME, 8191 * i + 127
 
 
 def shingles(
@@ -165,26 +194,40 @@ def minhash_lsh_pairs(
     # the standard persist-the-tokenization trade: one materialization
     # of Σ tokens rows vs three recomputations of the corpus scan.
     sh = shingles(docs, n, with_size=True).localCheckpoint(eager=True)
-    # k independent hash functions: xxhash64 with k distinct seed columns.
-    # Deliberately exploded rows + codegen'd hash projection + groupBy
-    # min, NOT scan-side array_min(transform(...)) per seed: the HOF
-    # variant eliminates the signature shuffle but runs k interpreted
-    # array walks per doc, measured 1.5-2x slower end-to-end at sf0.1
-    # (and the shuffle it saves is small: one row per doc of k longs).
-    # CPU-bound hashing wants whole-stage codegen at any scale.
-    hashed = sh.select(
-        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)]
+    # k hash functions from ONE portable base hash + k affine maps (see
+    # portable_hash60): one md5 per shingle, then k codegen'd integer
+    # ops — cheaper than k seeded-xxhash64 calls AND reproducible by the
+    # DuckDB oracle, so the full LSH output is hash-checked, not
+    # rows-only. Deliberately exploded rows + codegen'd projection +
+    # groupBy min, NOT scan-side array_min(transform(...)) per seed: the
+    # HOF variant eliminates the signature shuffle but runs k
+    # interpreted array walks per doc, measured 1.5-2x slower end-to-end
+    # at sf0.1 (and the shuffle it saves is small: one row per doc of k
+    # longs). CPU-bound hashing wants whole-stage codegen at any scale.
+    based = sh.select(
+        "doc_id", (portable_hash60("shingle") % PORTABLE_PRIME).alias("__h")
+    )
+    hashed = based.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("__h") + F.lit(b)) % PORTABLE_PRIME).alias(f"h{i}")
+            for i, (a, b) in ((i, affine_coeffs(i)) for i in range(num_hashes))
+        ],
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
     )
+    # Band key = the band's minhash tuple rendered as a string — an
+    # engine-neutral join key (the previous xxhash64-of-band-columns key
+    # was Spark-private). Slightly wider shuffle rows (one short string
+    # vs one long per band), same join shape.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "sig"
-                ),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
             )
             for b in range(bands)
         ]
@@ -336,12 +379,16 @@ def editdist_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """Charikar SimHash: per-token 64-bit hash; each fingerprint bit is
-    the sign of the summed +/-1 contributions of that bit across tokens.
-    One explode + one aggregate — linear, shuffle on doc_id only."""
+    """Charikar SimHash: per-token portable 60-bit hash (see
+    portable_hash60 — reproducible by the DuckDB oracle, so fingerprints
+    are hash-checked); each fingerprint bit is the sign of the summed
+    +/-1 contributions of that bit across tokens. One explode + one
+    aggregate — linear, shuffle on doc_id only. ``bits`` must be <= 60
+    (the portable base hash width)."""
+    assert bits <= 60, "portable base hash is 60 bits wide"
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", portable_hash60("token"))
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -33,6 +33,7 @@ from tstables_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from tstables_spark.plans._portable_sql import simhash_fp_sql
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -77,12 +78,61 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
 
 
-@query("dedup_minhash")
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
+    """DuckDB twin of operators/dedup.py::minhash_lsh_pairs — same
+    portable hash family (md5-based base + affine maps), same banding,
+    same exact-Jaccard verify, so the LSH output is value-checkable."""
+    from tstables_spark.operators.dedup import PORTABLE_PRIME, affine_coeffs
+
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a}*h + {b}) % {PORTABLE_PRIME}) AS m{i}"
+        for i, (a, b) in ((i, affine_coeffs(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sig".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {PORTABLE_PRIME} AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM hs GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+               FROM cand c
+               JOIN sh sa ON sa.doc_id = c.doc_a
+               JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding (32 hashes, 8 bands) with exact-Jaccard verify
-    on candidates — the sub-quadratic scale path. Rows-only: hash-seed
-    specifics are engine-private; its correctness twin is dedup_near
-    (every returned pair must also be a dedup_near pair)."""
+    on candidates — the sub-quadratic scale path. Hash-checked since r5:
+    the portable md5-based hash family (operators/dedup.py) is
+    reproduced verbatim by the DuckDB oracle, so the exact candidate set
+    AND the verified Jaccard values are value-compared, not rows-only."""
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.6
     )
@@ -147,10 +197,12 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_pairs(load(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash")
+@query("dedup_simhash", oracle="WITH" + simhash_fp_sql() + "\n    SELECT doc_id, simhash FROM fp")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints per document (rows-only: fingerprints
-    depend on Spark's xxhash64)."""
+    """32-bit SimHash fingerprints per document. Hash-checked since r5:
+    fingerprints use the portable md5-based token hash
+    (operators/dedup.py::portable_hash60), reproduced bit-for-bit by the
+    DuckDB oracle."""
     return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=32)
 
 

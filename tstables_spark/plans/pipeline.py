@@ -16,6 +16,7 @@ from tstables_spark.operators.components import connected_components
 from tstables_spark.operators.dedup import jaccard_pairs, simhash_pairs
 from tstables_spark.operators.packing import pack_sequences
 from tstables_spark.operators.sampling import hash_sample, hash_split
+from tstables_spark.plans._portable_sql import simhash_fp_sql
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -126,15 +127,33 @@ def dedup_near_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_pairs")
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH"
+    + simhash_fp_sql(bits=32)
+    + """,
+    bands AS (
+      SELECT doc_id, simhash, j AS band, (simhash >> (j * 8)) & 255 AS bval
+      FROM fp, unnest(generate_series(0, 3)) AS t(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """
+)
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= 3 via pigeonhole
     banding (operators/dedup.py::simhash_pairs): 4 bands of 8 bits,
     equi-join on (band, value), exact bit_count verify on candidates —
-    recall 1.0 without the all-pairs product. Rows-only: the
-    fingerprint needs xxhash64, which the DuckDB oracle lacks; the
-    banding-vs-brute-force equivalence is pinned by a unit test
-    (tests/test_operators.py) instead."""
+    recall 1.0 without the all-pairs product. Hash-checked since r5: the
+    portable fingerprint family lets the DuckDB oracle replay the exact
+    banding and Hamming verify; the banding-vs-brute-force equivalence
+    is additionally pinned by a unit test (tests/test_operators.py)."""
     return simhash_pairs(load(spark, sf_dir, "documents"), bits=32, max_hamming=3)
 
 
