@@ -438,3 +438,58 @@ def test_asof_direction_validated(spark):
     )
     with _pytest.raises(ValueError, match="direction"):
         asof_join(df, df, "ts", "ts", "k", "k", [], direction="sideways")
+
+
+def test_resample_m4_picks_deterministic_points(spark):
+    from tstables_spark.operators.resample import resample_m4
+
+    # One bucket with a duplicate-min tie (ids 2 and 3 share value 1.0 at
+    # the same ts) and a second bucket with a single row.
+    rows = [
+        (1, _ts("2024-01-01 00:00:05"), 5.0),
+        (2, _ts("2024-01-01 00:00:10"), 1.0),
+        (3, _ts("2024-01-01 00:00:10"), 1.0),
+        (4, _ts("2024-01-01 00:00:20"), 9.0),
+        (5, _ts("2024-01-01 00:00:50"), 7.0),
+        (6, _ts("2024-01-01 00:01:30"), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["bucket"].second or r["bucket"].minute: r
+           for r in resample_m4(df, "1 minute").collect()}
+    b0 = out[0]
+    assert (b0["v_first"], b0["t_first"].second) == (5.0, 5)
+    assert (b0["v_last"], b0["t_last"].second) == (7.0, 50)
+    # min tie at (1.0, 00:10): smallest (value, ts, event_id) -> id 2's row
+    assert (b0["v_min"], b0["t_min"].second) == (1.0, 10)
+    assert (b0["v_max"], b0["t_max"].second) == (9.0, 20)
+    assert b0["n"] == 5
+    b1 = out[1]
+    assert b1["n"] == 1 and b1["v_first"] == b1["v_max"] == 2.0
+
+
+def test_rolling_median_matches_statistics(spark):
+    import statistics
+
+    from tstables_spark.plans.timeseries import win_rolling_median  # noqa: F401
+    from pyspark.sql import Window as W
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [(i, 1, _ts(f"2024-01-01 00:00:{i:02d}"), v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    r = df.select("event_id", a.alias("a"))
+    med = (
+        F.when(F.size("a") % 2 == 1, F.element_at("a", ((F.size("a") + 1) / 2).cast("int")))
+        .otherwise(
+            (F.element_at("a", (F.size("a") / 2).cast("int"))
+             + F.element_at("a", (F.size("a") / 2).cast("int") + 1)) / 2
+        )
+    )
+    got = {r2["event_id"]: r2["m"] for r2 in r.select("event_id", med.alias("m")).collect()}
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 6): i + 1]
+        assert got[i] == pytest.approx(statistics.median(frame))

@@ -60,14 +60,20 @@ def _load_all() -> None:
             "dq_check", "profile_table", "funnel_steps",
             "retention_cohorts", "sample_stratified",
             "lm_unigram_score", "bpe_pair_counts", "embed_dim_stats",
-            # (d) rows-only evidence refresh + changed-this-round
+            # (d) changed-this-round (first hash-checked evidence: the
+            # portable-hash dedup family) + brand-new r5 queries +
+            # rows-only evidence refresh. Displaced to make room, all
+            # with current evidence: sim_ivf*/cluster_kmeans/sim_recall
+            # (rows-only ran r4, RNG-free) and multimodal_schema/frames/
+            # agg_approx_distinct (hash-green in BOTH r1 and r2,
+            # implementations unchanged).
             "stream_session", "stream_stateful",
             "sink_parquet_partitioned",
             "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-            "sim_ivf", "sim_ivf_kmeans",
-            "cluster_kmeans", "sim_recall",
-            "udtf_python", "agg_approx_distinct",
-            "multimodal_schema", "multimodal_frames",
+            "ts_downsample_m4", "win_rolling_median",
+            "sql_tpch_q7", "sql_tpch_q10",
+            "ts_outlier_iqr", "split_temporal", "mix_weights",
+            "udtf_python",
         ]
     )
 

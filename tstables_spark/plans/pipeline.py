@@ -66,6 +66,75 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_temporal",
+    oracle="""
+    SELECT event_id, ts,
+           CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split of the event stream (train < Jan 22
+    <= val < Jan 26 <= test) — the leakage-correct split for anything
+    autocorrelated in time: a random or hash split would let the model
+    peek at the future of the very series it predicts. Pure codegen'd
+    CASE at scan level: no shuffle, no state, and the cutoffs prune
+    cleanly on a date-partitioned series."""
+    ev = load(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-22 00:00:00").cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit("2024-01-26 00:00:00").cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    return ev.select("event_id", "ts", split.alias("split"))
+
+
+@query(
+    "mix_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                 CAST(sum(chars) AS BIGINT) AS total_chars FROM s)
+    SELECT s.source, s.n_docs, s.chars,
+           CAST(s.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE) AS natural_share,
+           1.0 / CAST(t.n_sources AS DOUBLE) AS target_share,
+           (1.0 / CAST(t.n_sources AS DOUBLE))
+             / (CAST(s.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE)) AS weight
+    FROM s, t
+    """,
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source corpus shares and the
+    sampling weight that equalizes the mixture (weight = target_share /
+    natural_share, the multiplier a sampler applies per source) — the
+    knob every pretraining data pipeline tunes before tokenizing. One
+    hash aggregate to per-source totals (exact integer char counts),
+    then a 1-row global broadcast back over the handful of sources;
+    the IEEE share/weight expressions are stated identically in the
+    oracle, so they hash-match bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    t = s.agg(
+        F.count("*").alias("n_sources"), F.sum("chars").alias("total_chars")
+    )
+    natural = F.col("chars").cast("double") / F.col("total_chars").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "chars",
+        natural.alias("natural_share"),
+        target.alias("target_share"),
+        (target / natural).alias("weight"),
+    )
+
+
 # -- vocabulary -------------------------------------------------------------
 @query(
     "vocab_topk",

@@ -712,6 +712,72 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q5)
 
 
+_TPCH_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_TPCH_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_tpch_q7", oracle=_TPCH_Q7)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping; nation pair + ship-year adapted to the
+    fixture's NATION_x names and 1995-2001 date span) via ``spark.sql``,
+    verbatim-shared with the oracle. The self-joined nation dimension
+    appears TWICE with a disjunctive pair predicate — the classic case
+    where both copies broadcast and the OR stays above the joins; the
+    shipdate range pushes into lineitem's scan, so the big table is
+    filtered before either hash join."""
+    register_views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_TPCH_Q7)
+
+
+@query("sql_tpch_q10", oracle=_TPCH_Q10)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting; column list trimmed to the
+    fixture's customer schema) via ``spark.sql``, verbatim-shared with
+    the oracle. One quarter of orders joins returned lineitems, grouped
+    per customer with the nation dim broadcast; the top-20 runs as
+    TakeOrderedAndProject on the deterministic (revenue DESC, custkey)
+    key — no global sort, exact cross-engine LIMIT."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_TPCH_Q10)
+
+
 @query(
     "agg_corr",
     oracle=f"""

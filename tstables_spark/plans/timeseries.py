@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 
 from tstables_spark.operators.asof import asof_join
 from tstables_spark.operators.rangejoin import banded_range_join
-from tstables_spark.operators.resample import resample_ohlc
+from tstables_spark.operators.resample import resample_m4, resample_ohlc
 from tstables_spark.plans._exact import exact_sum, exact_wsum, sql_sum, sql_wsum
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
@@ -1305,4 +1305,129 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w_.select(
         "user_id", "t", interp.alias("value_interp"),
         F.col("v").isNotNull().alias("observed"),
+    )
+
+
+# -- M4 visualization downsampling ------------------------------------------
+@query(
+    "ts_downsample_m4",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('minute', ts) AS bucket, ts, event_id, value FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY bucket ORDER BY value, ts, event_id) AS rmin,
+        row_number() OVER (PARTITION BY bucket ORDER BY value DESC, ts DESC, event_id DESC) AS rmax
+      FROM b)
+    SELECT bucket,
+           max(CASE WHEN rf = 1 THEN ts END) AS t_first,
+           max(CASE WHEN rf = 1 THEN value END) AS v_first,
+           max(CASE WHEN rmin = 1 THEN ts END) AS t_min,
+           max(CASE WHEN rmin = 1 THEN value END) AS v_min,
+           max(CASE WHEN rmax = 1 THEN ts END) AS t_max,
+           max(CASE WHEN rmax = 1 THEN value END) AS v_max,
+           max(CASE WHEN rl = 1 THEN ts END) AS t_last,
+           max(CASE WHEN rl = 1 THEN value END) AS v_last,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling to 1-minute pixel columns: the four points
+    (first/last/min/max, each with its timestamp) per bucket that render
+    an error-free line chart of the whole series — the standard
+    time-series visualization reducer (Jugel et al., VLDB 2014).
+    Spark plan is a single hash aggregate (operators/resample.py::
+    resample_m4, min_by/max_by over struct keys — no window sort); the
+    oracle states the same tie-break order via row_number, which on a
+    unique (ts, event_id) key selects identical points."""
+    return resample_m4(load(spark, sf_dir, "events"), "1 minute")
+
+
+# -- rolling median ---------------------------------------------------------
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+      FROM events)
+    SELECT event_id, user_id, ts,
+           CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+                ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS roll_median,
+           CAST(len(a) AS INT) AS roll_n
+    FROM r
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-row median per user — the robust-smoothing twin
+    of win_rolling's mean. Spark has no median window function, so the
+    frame is materialized as a sorted array (collect_list + array_sort
+    over the ROWS frame) and the midpoint formula is stated explicitly;
+    the oracle runs the IDENTICAL list_sort + midpoint arithmetic (not
+    DuckDB's median(), whose even-count interpolation isn't pinned to
+    the same IEEE expression). O(w log w) per row with w=7 — the
+    constant-size frame keeps this linear and shuffle-on-user_id-only
+    at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    r = ev.select(
+        "event_id", "user_id", "ts",
+        F.array_sort(F.collect_list("value").over(w)).alias("a"),
+    )
+    n = F.size("a")
+    odd = F.element_at("a", ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at("a", (n / 2).cast("int"))
+        + F.element_at("a", (n / 2).cast("int") + 1)
+    ) / 2
+    return r.select(
+        "event_id", "user_id", "ts",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("roll_median"),
+        n.alias("roll_n"),
+    )
+
+
+# -- robust outlier flagging ------------------------------------------------
+@query(
+    "ts_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.ts, e.value,
+           (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM events e JOIN q ON e.event_type = q.event_type
+    """,
+)
+def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier flags per event_type: values outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] of their group's exact quartiles — the
+    robust anomaly screen that, unlike win_zscore, a few extreme points
+    cannot drag. Two-pass plan: exact quartiles per group (a per-type
+    aggregate, rows = #types — tiny at any corpus size) BROADCAST back
+    over the stream, so the big side never shuffles. Quartiles are
+    6dp-rounded on both engines before the fence arithmetic (the same
+    interpolation-ulp discipline as agg_percentiles); the fence
+    expression itself is the identical IEEE tree as the oracle."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select(
+            "event_id", "event_type", "ts", "value",
+            ((F.col("value") < lo) | (F.col("value") > hi)).alias("is_outlier"),
+        )
     )
