@@ -493,3 +493,36 @@ def test_rolling_median_matches_statistics(spark):
     for i in range(len(vals)):
         frame = vals[max(0, i - 6): i + 1]
         assert got[i] == pytest.approx(statistics.median(frame))
+
+
+def test_lttb_properties(spark):
+    from tstables_spark.operators.resample import lttb
+
+    rows = [
+        (u, i, _ts(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"), float((i * 7919 + u) % 101))
+        for u in (1, 2) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = lttb(df, n_out=10, key_cols=("user_id",)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    src = {(u, t.replace(tzinfo=None) if t.tzinfo else t, v) for u, _, t, v in
+           ((u, i, _ts(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}").replace(tzinfo=None),
+             float((i * 7919 + u) % 101)) for u in (1, 2) for i in range(200))}
+    for u, pts in by_user.items():
+        pts.sort()
+        assert len(pts) == 10
+        # endpoints pinned
+        assert pts[0][0].second == 0 and pts[0][0].minute == 0
+        assert (pts[-1][0].minute, pts[-1][0].second) == (3, 19)
+        # every output point is a real input point
+        for t, v in pts:
+            assert (u, t.replace(tzinfo=None), v) in src
+    # short series pass through untouched
+    small = spark.createDataFrame(rows[:5], "user_id long, event_id long, ts timestamp, value double")
+    assert lttb(small, n_out=10, key_cols=("user_id",)).count() == 5
+    # layout-invariant: different partitioning, same picks
+    again = lttb(df.repartition(7), n_out=10, key_cols=("user_id",)).collect()
+    assert {(r["user_id"], r["ts"], r["value"]) for r in again} == \
+           {(r["user_id"], r["ts"], r["value"]) for r in out}

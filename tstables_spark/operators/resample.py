@@ -91,3 +91,66 @@ def resample_m4(
         F.col("pl.v").alias("v_last"),
         "n",
     )
+
+
+def lttb(
+    df: DataFrame,
+    n_out: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) to
+    ``n_out`` points per key — the perceptual line-chart reducer that
+    keeps spikes M4's min/max grid can smear across bucket boundaries.
+
+    LTTB is genuinely sequential (each bucket's pick depends on the
+    previously picked point), so it cannot be a window/aggregate plan:
+    this is the textbook case for a per-key pandas kernel. It runs via
+    ``grouped_apply_in_pandas`` (operators/groupmap.py) — the SAME single
+    shuffle ``applyInPandas`` would pay, but one Python round-trip per
+    PARTITION instead of per key, so a 100 TB table with millions of
+    series keys pays O(rows) Arrow transfer and nothing per key.
+
+    Deterministic on any cluster layout: rows are sorted by
+    (ts, original order) inside the kernel and area ties resolve to the
+    earliest point (np.argmax picks the first maximum).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tstables_spark.operators.groupmap import grouped_apply_in_pandas
+
+    assert n_out >= 3, "LTTB needs at least first + last + one bucket"
+    keys = list(key_cols)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n <= n_out:
+            return g[keys + [ts_col, value_col]]
+        t = g[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        # Fixed bucket edges over the middle n-2 points, first/last pinned.
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        picked = [0]
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nxt_lo, nxt_hi = (edges[b + 1], n) if b == n_out - 3 else (edges[b + 1], edges[b + 2])
+            avg_t, avg_v = t[nxt_lo:nxt_hi].mean(), v[nxt_lo:nxt_hi].mean()
+            area = np.abs(
+                (t[a] - avg_t) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (avg_v - v[a])
+            )
+            a = lo + int(np.argmax(area))
+            picked.append(a)
+        picked.append(n - 1)
+        return g.iloc[picked][keys + [ts_col, value_col]]
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys, ts_col, value_col).schema.fields
+    )
+    return grouped_apply_in_pandas(
+        df.select(*keys, ts_col, value_col), keys, kernel, schema
+    )

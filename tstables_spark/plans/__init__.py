@@ -64,16 +64,17 @@ def _load_all() -> None:
             # portable-hash dedup family) + brand-new r5 queries +
             # rows-only evidence refresh. Displaced to make room, all
             # with current evidence: sim_ivf*/cluster_kmeans/sim_recall
-            # (rows-only ran r4, RNG-free) and multimodal_schema/frames/
-            # agg_approx_distinct (hash-green in BOTH r1 and r2,
-            # implementations unchanged).
-            "stream_session", "stream_stateful",
+            # (rows-only ran r4, RNG-free), multimodal_schema/frames/
+            # agg_approx_distinct (hash-green in BOTH r1 and r2),
+            # stream_session (hash-green r4), udtf_python (rows-only r1,
+            # implementation unchanged).
+            "stream_stateful",
             "sink_parquet_partitioned",
             "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
             "ts_downsample_m4", "win_rolling_median",
             "sql_tpch_q7", "sql_tpch_q10",
             "ts_outlier_iqr", "split_temporal", "mix_weights",
-            "udtf_python",
+            "stream_ohlc", "ts_downsample_lttb",
         ]
     )
 

@@ -29,6 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tstables_spark.plans._exact import sql_sum
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.streaming.ingest import ingest_stream
@@ -372,3 +373,56 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "segment"
     )
     return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_ohlc",
+    oracle=f"""
+    WITH w AS (
+      SELECT date_trunc('minute', ts) AS bucket, value,
+             first_value(value) OVER (PARTITION BY date_trunc('minute', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+             last_value(value) OVER (PARTITION BY date_trunc('minute', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+      FROM events
+    )
+    SELECT bucket, max(open_v) AS open, max(value) AS high, min(value) AS low,
+           max(close_v) AS close, CAST(count(*) AS BIGINT) AS volume,
+           {sql_sum('value')} AS sum_value
+    FROM w GROUP BY bucket
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained 1-minute OHLC bars: the ts_resample_ohlc
+    aggregate run as a REAL streaming aggregation (watermark 10m,
+    complete mode) — min_by/max_by/count/decimal-sum all carry partial
+    merge state, so each bar updates incrementally per micro-batch
+    instead of recomputing. Hash-matching the batch oracle proves the
+    incremental maintenance converges to the exact batch answer — the
+    'derived view stays correct under streaming ingest' contract a
+    tick store needs."""
+    from tstables_spark._exact import exact_sum
+
+    src = _read_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("bucket"),
+        "open", "high", "low", "close",
+        F.col("volume").cast("long").alias("volume"),
+        "sum_value",
+    )

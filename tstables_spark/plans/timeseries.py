@@ -1431,3 +1431,21 @@ def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") < lo) | (F.col("value") > hi)).alias("is_outlier"),
         )
     )
+
+
+@query("ts_downsample_lttb")
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to 20 points per user
+    series (operators/resample.py::lttb) — the perceptual chart reducer
+    that preserves spikes. No oracle BY NATURE: each bucket's pick
+    depends on the previously picked point, a sequential recurrence no
+    SQL window/aggregate expresses — this is the engine's showcase for
+    the per-key pandas kernel path (grouped_apply_in_pandas: one shuffle,
+    one Python round-trip per partition, not per key). Deterministic on
+    any layout (sorted kernel input, first-max tie-break); output-subset
+    + endpoint + layout-invariance properties are pinned in
+    tests/test_operators.py."""
+    from tstables_spark.operators.resample import lttb
+
+    ev = load(spark, sf_dir, "events")
+    return lttb(ev, n_out=20, key_cols=("user_id",))
