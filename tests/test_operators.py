@@ -526,3 +526,32 @@ def test_lttb_properties(spark):
     again = lttb(df.repartition(7), n_out=10, key_cols=("user_id",)).collect()
     assert {(r["user_id"], r["ts"], r["value"]) for r in again} == \
            {(r["user_id"], r["ts"], r["value"]) for r in out}
+
+
+def test_zorder_morton_and_locality(spark):
+    from tstables_spark.operators.zorder import morton_interleave, zorder_key
+
+    # Known Morton values
+    df = spark.createDataFrame([(5, 3), (0, 0), (65535, 65535)], "x long, y long")
+    got = [r["z"] for r in df.select(
+        morton_interleave(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [27, 0, (1 << 32) - 1]
+
+    # Locality: each file_bucket (top 3 bits per dim at shift 26) bounds
+    # BOTH dimensions to 1/8 of their global range.
+    rows = [(i, _ts("2024-01-01 00:00:00").replace(day=1 + (i * 13) % 28,
+                                                   hour=(i * 7) % 24),
+             (i * 31) % 1000) for i in range(2000)]
+    ev = spark.createDataFrame(
+        [(i, t, u) for i, t, u in rows], "event_id long, ts timestamp, user_id long")
+    z = zorder_key(ev)
+    import pyspark.sql.functions as Fn
+    env = z.groupBy("file_bucket").agg(
+        (Fn.max("user_id") - Fn.min("user_id")).alias("xspan"),
+        (Fn.max(Fn.unix_timestamp("ts")) - Fn.min(Fn.unix_timestamp("ts"))).alias("tspan"),
+    ).collect()
+    tot = 28 * 24 * 3600
+    assert len(env) > 1
+    for r in env:
+        assert r["xspan"] <= 8191, "bucket must bound the user dimension"
+        assert r["tspan"] <= tot / 8 + 3600, "bucket must bound the time dimension"

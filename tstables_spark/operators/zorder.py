@@ -1,0 +1,81 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+A date-partitioned, ts-sorted series (tstable.py) prunes perfectly on
+time but not on a second dimension: a query for ONE user over a month
+still scans every row group of every day. Interleaving the bits of two
+dimensions into one sort key (the Morton curve) bounds BOTH dimensions
+inside every contiguous key range, so files/row groups written in
+z-value order carry tight min/max stats on x AND y and a scan filtered
+on either dimension skips most of them — the same layout trick as
+Delta/Iceberg's OPTIMIZE ZORDER, expressed as a plain Spark column +
+``repartitionByRange`` write.
+
+Everything here is codegen'd integer bit arithmetic (shift/and/or) —
+no UDF — and deliberately engine-portable (the DuckDB oracle replays
+it bit-for-bit), like the portable dedup hash family.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_interleave(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of non-negative x and y into a
+    2*bits-bit z-value: x's bit i lands at position 2i, y's at 2i+1."""
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return reduce(lambda a, c: a + c, terms).cast("long")
+
+
+def morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of ``morton_interleave`` over column expressions."""
+    return " + ".join(
+        f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+
+
+def zorder_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    dim_col: str = "user_id",
+    bits: int = 16,
+    bucket_shift: int = 26,
+) -> DataFrame:
+    """Add ``zval`` (Morton key over normalized (dim, time)) and
+    ``file_bucket`` (zval's high bits — the range-partition id a
+    z-ordered write clusters files by).
+
+    Time is min-max normalized to ``bits`` bits with pure integer
+    arithmetic (one 1-row min/max aggregate broadcast back — tiny at
+    any scale); the dim is masked to ``bits`` bits. At 100 TB with a
+    high-cardinality dim, replace the mask with a range-rank (compute
+    ``bits``-quantile boundaries the same broadcast way) — the curve
+    only needs a monotone bounded proxy per dimension. The write path
+    is then ``df.repartitionByRange(n, "zval").sortWithinPartitions
+    ("zval").write...`` — one range shuffle, after which every file's
+    (dim, ts) min/max envelope is tight and scans filtered on EITHER
+    dimension skip non-overlapping files via ordinary parquet stats.
+    """
+    epoch = F.unix_timestamp(ts_col)
+    m = df.agg(
+        F.min(epoch).alias("__e0"), F.max(epoch).alias("__e1")
+    )
+    scale = (1 << bits) - 1
+    j = df.crossJoin(F.broadcast(m))
+    y = F.expr(
+        f"(unix_timestamp({ts_col}) - __e0) * {scale} DIV (__e1 - __e0)"
+    )
+    x = F.col(dim_col).bitwiseAND(F.lit(scale))
+    z = morton_interleave(x, y, bits)
+    return j.select(
+        *df.columns,
+        z.alias("zval"),
+        F.shiftright(z, bucket_shift).alias("file_bucket"),
+    )

@@ -68,7 +68,7 @@ def _load_all() -> None:
             # agg_approx_distinct (hash-green in BOTH r1 and r2),
             # stream_session (hash-green r4), udtf_python (rows-only r1,
             # implementation unchanged).
-            "stream_stateful",
+            "zorder_layout",
             "sink_parquet_partitioned",
             "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
             "ts_downsample_m4", "win_rolling_median",

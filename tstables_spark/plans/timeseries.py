@@ -1449,3 +1449,36 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return lttb(ev, n_out=20, key_cols=("user_id",))
+
+
+# -- z-order clustering -----------------------------------------------------
+def _zorder_oracle() -> str:
+    from tstables_spark.operators.zorder import morton_sql
+
+    z = morton_sql("x", "y", bits=16)
+    return f"""
+    WITH m AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS e0,
+                      max(CAST(floor(epoch(ts)) AS BIGINT)) AS e1 FROM events),
+    n AS (SELECT event_id, user_id & 65535 AS x,
+                 (CAST(floor(epoch(ts)) AS BIGINT) - m.e0) * 65535 // (m.e1 - m.e0) AS y
+          FROM events, m),
+    z AS (SELECT event_id, CAST({z} AS BIGINT) AS zval FROM n)
+    SELECT event_id, zval, zval >> 26 AS file_bucket FROM z
+    """
+
+
+@query("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (user_id, time) — the
+    multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    ZORDER) as a plain codegen'd column: interleaved bits bound BOTH
+    dimensions inside every contiguous key range, so files written in
+    zval order carry tight per-file min/max on user_id AND ts and a
+    scan filtered on either skips non-overlapping files
+    (operators/zorder.py — write path is repartitionByRange("zval") +
+    sortWithinPartitions). Pure integer bit arithmetic, replayed
+    bit-for-bit by the oracle; locality is pinned in unit tests."""
+    from tstables_spark.operators.zorder import zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    return zorder_key(ev).select("event_id", "zval", "file_bucket")
