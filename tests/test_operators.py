@@ -552,6 +552,8 @@ def test_zorder_morton_and_locality(spark):
     ).collect()
     tot = 28 * 24 * 3600
     assert len(env) > 1
+    # Dims are min-max normalized to the full 16-bit range, so each
+    # bucket (top 3 bits per dim) bounds each dim to ~1/8 of its span.
     for r in env:
-        assert r["xspan"] <= 8191, "bucket must bound the user dimension"
+        assert r["xspan"] <= 1000 / 8 + 16, "bucket must bound the user dimension"
         assert r["tspan"] <= tot / 8 + 3600, "bucket must bound the time dimension"

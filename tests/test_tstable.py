@@ -417,3 +417,23 @@ def test_upsert_rejects_map_columns(spark, root):
     t.append(df)  # append is fine — maps are storable, just not orderable
     with pytest.raises(TimeSeriesTableError, match="non-orderable"):
         t.upsert(df)
+
+
+def test_written_files_carry_ts_statistics(spark, root):
+    """Engine-written parquet must use INT64 timestamps WITH row-group
+    min/max stats — Spark's default INT96 encoding writes none, which
+    silently voids read_range's footer-skipping contract."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ts = TimeSeriesTable.create(spark, root, "stats_series", SCHEMA)
+    ts.append(_ticks(spark, datetime(2024, 3, 1, tzinfo=UTC), 48))
+    files = glob.glob(os.path.join(root, "stats_series", "date=*", "*.parquet"))
+    assert files
+    for f in files:
+        md = pq.read_metadata(f)
+        ci = md.schema.names.index("ts")
+        assert md.row_group(0).column(ci).physical_type != "INT96"
+        st = md.row_group(0).column(ci).statistics
+        assert st is not None and st.has_min_max, f"no ts stats in {f}"

@@ -52,27 +52,35 @@ def zorder_key(
     ``file_bucket`` (zval's high bits — the range-partition id a
     z-ordered write clusters files by).
 
-    Time is min-max normalized to ``bits`` bits with pure integer
-    arithmetic (one 1-row min/max aggregate broadcast back — tiny at
-    any scale); the dim is masked to ``bits`` bits. At 100 TB with a
-    high-cardinality dim, replace the mask with a range-rank (compute
-    ``bits``-quantile boundaries the same broadcast way) — the curve
-    only needs a monotone bounded proxy per dimension. The write path
-    is then ``df.repartitionByRange(n, "zval").sortWithinPartitions
-    ("zval").write...`` — one range shuffle, after which every file's
-    (dim, ts) min/max envelope is tight and scans filtered on EITHER
-    dimension skip non-overlapping files via ordinary parquet stats.
+    BOTH dimensions are min-max normalized to the FULL ``bits``-bit
+    range with pure integer arithmetic (one 1-row min/max aggregate
+    broadcast back — tiny at any scale). Full-range normalization is
+    what makes the curve work: a dimension occupying only a corner of
+    its coordinate space (e.g. user ids 0..1500 under a 16-bit mask)
+    would leave its high bits constant, so bucket envelopes would never
+    bound it and pruning on that dimension would be zero — measured
+    exactly so before this normalization. For a skewed dim at 100 TB,
+    upgrade min-max to range-rank (broadcast 2^bits quantile
+    boundaries) — the curve only needs a monotone bounded proxy. The
+    write path is ``df.repartitionByRange(n, "zval")
+    .sortWithinPartitions("zval").write...`` — one range shuffle, after
+    which every file's (dim, ts) min/max envelope is tight and scans
+    filtered on EITHER dimension skip non-overlapping row groups via
+    ordinary parquet stats.
     """
     epoch = F.unix_timestamp(ts_col)
     m = df.agg(
-        F.min(epoch).alias("__e0"), F.max(epoch).alias("__e1")
+        F.min(epoch).alias("__e0"),
+        F.max(epoch).alias("__e1"),
+        F.min(dim_col).alias("__u0"),
+        F.max(dim_col).alias("__u1"),
     )
     scale = (1 << bits) - 1
     j = df.crossJoin(F.broadcast(m))
     y = F.expr(
-        f"(unix_timestamp({ts_col}) - __e0) * {scale} DIV (__e1 - __e0)"
+        f"(unix_timestamp({ts_col}) - __e0) * {scale} DIV greatest(__e1 - __e0, 1)"
     )
-    x = F.col(dim_col).bitwiseAND(F.lit(scale))
+    x = F.expr(f"({dim_col} - __u0) * {scale} DIV greatest(__u1 - __u0, 1)")
     z = morton_interleave(x, y, bits)
     return j.select(
         *df.columns,

@@ -92,6 +92,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # storage contract. Session TZ is UTC (above), so reading as
             # TIMESTAMP preserves wall-clock values and oracle hashes.
             spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+            # Write-side twin of the NTZ read policy: the driver session
+            # defaults to legacy INT96 timestamps, which carry no
+            # row-group stats — any parquet this query writes (storage
+            # round-trips, sinks, streaming ingest) would lose ts
+            # skippability (see session.py).
+            spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
             ensure_shipped(spark)
             return fn(spark, sf_dir)
 

@@ -1458,9 +1458,12 @@ def _zorder_oracle() -> str:
     z = morton_sql("x", "y", bits=16)
     return f"""
     WITH m AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS e0,
-                      max(CAST(floor(epoch(ts)) AS BIGINT)) AS e1 FROM events),
-    n AS (SELECT event_id, user_id & 65535 AS x,
-                 (CAST(floor(epoch(ts)) AS BIGINT) - m.e0) * 65535 // (m.e1 - m.e0) AS y
+                      max(CAST(floor(epoch(ts)) AS BIGINT)) AS e1,
+                      min(user_id) AS u0, max(user_id) AS u1 FROM events),
+    n AS (SELECT event_id,
+                 (user_id - m.u0) * 65535 // greatest(m.u1 - m.u0, 1) AS x,
+                 (CAST(floor(epoch(ts)) AS BIGINT) - m.e0) * 65535
+                   // greatest(m.e1 - m.e0, 1) AS y
           FROM events, m),
     z AS (SELECT event_id, CAST({z} AS BIGINT) AS zval FROM n)
     SELECT event_id, zval, zval >> 26 AS file_bucket FROM z

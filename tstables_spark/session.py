@@ -52,6 +52,13 @@ def get_spark(
         # The engine's contract is instant semantics (UTC), so read
         # tz-less parquet timestamps as TIMESTAMP (LTZ, session TZ=UTC).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO row-group min/max statistics — every file the
+        # engine writes would be un-skippable on ts, silently voiding
+        # the read_range footer-pruning contract (verified: INT96 files
+        # show stats=None in their footers). INT64 micros restores
+        # stats and matches the fixture encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.filterPushdown", "true")
         # MIN/MAX/COUNT over parquet answered from row-group footers
         # (TimeSeriesTable.min_dt/max_dt edge-partition probes).

@@ -38,6 +38,12 @@ def ingest_stream(
     partitions), and the full-table variant on a slower schedule.
     """
     out = src.withWatermark(ts_col, watermark).withColumn("date", F.to_date(F.col(ts_col)))
+    # INT96 (Spark's default) would strip ts min/max stats from every
+    # ingested file — see session.py; set here too so a bare caller
+    # session still writes skippable files.
+    src.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     writer = (
         out.writeStream.format("parquet")
         .option("path", sink_path)

@@ -103,6 +103,11 @@ class TimeSeriesTable:
         # UTC (pytz-based converters); so do we, even on a caller's
         # un-configured session.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Spark's default INT96 parquet timestamps carry NO row-group
+        # min/max stats — files appended by this table would be
+        # un-skippable on ts, voiding read_range's footer-pruning
+        # contract. INT64 micros restores stats (see session.py).
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # -- A1: create ---------------------------------------------------------
     @classmethod
