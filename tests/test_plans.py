@@ -230,3 +230,31 @@ def test_win_corr_single_window_node(spark, sf_dir):
     plan = _plan(spark, sf_dir, "win_corr")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert plan.count("Window") == 1
+
+
+def test_tpch_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is the pushdown canary (relational.py): all its filters are
+    scan-expressible, so the lineitem scan must report a non-empty
+    PushedFilters including the shipdate range — if this regresses,
+    every selective scan in the engine got slower."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q6")
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, plan
+    assert "l_shipdate" in m.group(1), m.group(1)
+    assert "l_quantity" in m.group(1), m.group(1)
+
+
+def test_tpch_q19_part_filter_below_join(spark, sf_dir):
+    """Q19's OR-of-ANDs: CNF extraction must leave a part-side brand
+    disjunction BELOW the join (pushed into part's scan filters), not
+    evaluate the whole predicate post-join."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q19")
+    m = re.search(r"PushedFilters: \[[^\]]*p_brand", plan)
+    assert m, plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS must decorrelate to one LeftSemi join on
+    orderkey — no per-row subquery node in the physical plan."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q4")
+    assert "LeftSemi" in plan, plan

@@ -823,3 +823,172 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((n * sxy - sx * sy) / (n * n)).alias("cov_pop"),
     )
+
+
+_TPCH_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_TPCH_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+"""
+
+_TPCH_Q12 = """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+_TPCH_Q14 = """
+    SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+                * 100.0
+                / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,6))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+_TPCH_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 150
+      )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 20
+"""
+
+_TPCH_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 21)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 40))
+"""
+
+
+@query("sql_tpch_q4", oracle=_TPCH_Q4)
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking; the fixture lacks
+    l_commitdate/l_receiptdate, so "late" is adapted to shipped >30
+    days after order) via ``spark.sql``, verbatim-shared with the
+    oracle. The correlated EXISTS is the decorrelation test: Catalyst
+    rewrites it to a LEFT SEMI hash join on orderkey with the
+    correlated date comparison as the join's extra condition — one
+    pass over lineitem, no per-order subquery execution. The quarter
+    filter prunes orders at the scan."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_TPCH_Q4)
+
+
+@query("sql_tpch_q6", oracle=_TPCH_Q6)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) via ``spark.sql``,
+    verbatim-shared with the oracle. The pure-scan query: zero joins,
+    zero groups — all four predicates (shipdate range, discount band,
+    quantity cap) push to the parquet scan as range filters, and the
+    whole plan is one WholeStageCodegen of scan→filter→partial
+    agg→single final row. The canary for predicate-pushdown health:
+    if PushedFilters is empty here, scan config regressed."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_TPCH_Q6)
+
+
+@query("sql_tpch_q12", oracle=_TPCH_Q12)
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority; the fixture lacks l_shipmode,
+    so groups are l_linestatus and "late" is shipped >60 days after
+    order) via ``spark.sql``, verbatim-shared with the oracle.
+    Conditional-count aggregate over a fact-fact equi-join: the
+    shipdate year pushes to lineitem's scan BEFORE the join, the
+    non-equi lateness comparison rides the join as a post-condition,
+    and COUNT(CASE WHEN..THEN 1 END) keeps both engines in BIGINT
+    (SUM(int) would be HUGEINT in DuckDB — schema mismatch)."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_TPCH_Q12)
+
+
+@query("sql_tpch_q14", oracle=_TPCH_Q14)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect; p_type has flat category names in
+    the fixture, so the PROMO% LIKE collapses to equality) via
+    ``spark.sql``, verbatim-shared with the oracle. A ratio-of-sums
+    aggregate: both numerator and denominator accumulate as exact
+    DECIMAL(30,6) (order-independent), and the division happens ONCE
+    at the end in IEEE double with an explicit a*100/b shape — the
+    only float ops are the final three, identical in both engines.
+    Part broadcasts; one month of lineitem survives the scan filter."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_TPCH_Q14)
+
+
+@query("sql_tpch_q18", oracle=_TPCH_Q18)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) via ``spark.sql``,
+    verbatim-shared with the oracle. The IN-subquery aggregates
+    lineitem per order FIRST (HAVING > 150 on an exact decimal sum),
+    then semi-joins the qualifying keys back — Catalyst plans the
+    subquery once as a shuffle-side aggregate, never per-row; AQE can
+    broadcast the (small) qualifying-key set into the orders join.
+    Top-20 on (totalprice DESC, date, key) runs as
+    TakeOrderedAndProject with a deterministic tiebreak."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_TPCH_Q18)
+
+
+@query("sql_tpch_q19", oracle=_TPCH_Q19)
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue; container/shipmode legs dropped —
+    not in the fixture — leaving the brand x size x quantity
+    disjunction) via ``spark.sql``, verbatim-shared with the oracle.
+    The OR-of-ANDs stress test: Catalyst's CNF conversion extracts the
+    part-only conjuncts (brand/size) below the join so the part scan
+    filters on (brand12 OR brand23 OR brand3) before joining, while
+    the mixed part x lineitem conjuncts stay as the join's residual
+    condition. Guards against the naive plan that joins everything
+    then filters."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_TPCH_Q19)
