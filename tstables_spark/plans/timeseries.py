@@ -273,9 +273,9 @@ def win_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_frame",
     oracle=f"""
     SELECT event_id, user_id, ts,
-           {sql_wsum('value', '''(PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+           {sql_wsum('value', '''(PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)''')} AS sum_5m,
-           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5m
     FROM events
     """,
@@ -283,7 +283,10 @@ def win_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based rolling window: per-user trailing 5-minute sum/count
     (RANGE frame over epoch seconds) — the reference's "last N minutes of
-    ticks" access pattern as a windowed aggregate."""
+    ticks" access pattern as a windowed aggregate. The oracle floors
+    epoch to match Spark's unix_timestamp truncation exactly — a bare
+    CAST rounds in DuckDB, silently shifting frame keys by 1s on
+    sub-second ticks."""
     ev = load(spark, sf_dir, "events")
     secs = F.unix_timestamp("ts")
     w = W.partitionBy("user_id").orderBy(secs.cast("long")).rangeBetween(-300, 0)
@@ -1485,3 +1488,242 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return zorder_key(ev).select("event_id", "zval", "file_bucket")
+
+
+@query(
+    "win_rsi",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts, value,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events
+    ), gl AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN delta IS NULL THEN NULL
+                  WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta IS NULL THEN NULL
+                  WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+      FROM d
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN COUNT(loss) OVER w = 0 THEN NULL
+             WHEN CAST(SUM(CAST(loss AS DECIMAL(30,6))) OVER w AS DOUBLE) = 0.0
+               THEN 100.0
+             ELSE 100.0 - 100.0 / (1.0 +
+               (CAST(SUM(CAST(gain AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  / COUNT(gain) OVER w)
+               / (CAST(SUM(CAST(loss AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  / COUNT(loss) OVER w))
+           END AS rsi
+    FROM gl
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (Cutler's simple-average variant) per user — the
+    classic momentum oscillator, entirely as window expressions.
+
+    Exactness discipline: gains/losses are per-row IEEE deltas (both
+    engines compute identical doubles), the trailing sums accumulate in
+    DECIMAL (order-independent, so Spark's window and DuckDB's agree
+    bit-for-bit), and the final RSI composes those exact sums with a
+    fixed IEEE expression. The all-gain edge (avg loss = 0) is pinned
+    to 100 by CASE on both sides rather than trusting either engine's
+    x/0 behavior. One user_id shuffle, within-partition sort — the same
+    single-exchange shape as every win_* query."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(wo)
+    gl = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.when(delta.isNull(), F.lit(None).cast("double"))
+         .when(delta > 0, delta).otherwise(F.lit(0.0)).alias("gain"),
+        F.when(delta.isNull(), F.lit(None).cast("double"))
+         .when(delta < 0, -delta).otherwise(F.lit(0.0)).alias("loss"),
+    )
+    w = wo.rowsBetween(-13, 0)
+    avg_gain = exact_wsum("gain", w) / F.count("gain").over(w)
+    avg_loss = exact_wsum("loss", w) / F.count("loss").over(w)
+    rsi = (
+        F.when(F.count("loss").over(w) == 0, F.lit(None).cast("double"))
+        .when(exact_wsum("loss", w) == 0.0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss))
+    )
+    return gl.select("event_id", "user_id", "ts", rsi.alias("rsi"))
+
+
+@query(
+    "ts_rate",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER w AS prev_v,
+             lag(ts)    OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - epoch_us(prev_ts) AS usecs,
+           CASE WHEN value >= prev_v THEN value - prev_v ELSE value END AS delta,
+           (CASE WHEN value >= prev_v THEN value - prev_v ELSE value END)
+             / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0) AS rate
+    FROM d
+    WHERE prev_v IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 0
+    """,
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user counter rate with reset detection — PromQL's ``rate()``
+    as a batch operator: value drops mean the counter restarted, so the
+    delta is the raw new value, not a negative difference. Pure lag
+    arithmetic on one user_id shuffle; every expression is per-row IEEE
+    (no accumulation at all), so cross-engine equality is free.
+    Intervals are MICROSECOND-exact integers (unix_micros/epoch_us) —
+    second-granularity casts disagree cross-engine on sub-second ticks
+    (Spark floors, DuckDB rounds). Same-instant duplicates are excluded
+    (usecs > 0) — a rate over a zero interval is undefined."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(wo).alias("prev_v"),
+        F.lag("ts").over(wo).alias("prev_ts"),
+    )
+    usecs = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    delta = F.when(F.col("value") >= F.col("prev_v"), F.col("value") - F.col("prev_v")).otherwise(
+        F.col("value")
+    )
+    return (
+        d.where(F.col("prev_v").isNotNull() & (usecs > 0))
+        .select(
+            "event_id", "user_id", "ts",
+            usecs.alias("usecs"), delta.alias("delta"),
+            (delta / (usecs / F.lit(1000000.0))).alias("rate"),
+        )
+    )
+
+
+@query(
+    "ts_cross_rank",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT epoch_us(ts) // 600000000 AS bucket, user_id,
+             {sql_sum('value')} AS total
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT bucket, user_id, total,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM per_user
+    WINDOW w AS (PARTITION BY bucket ORDER BY total DESC, user_id)
+    """,
+)
+def ts_cross_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional ranking: within each 10-minute bucket, rank
+    users by their total value — the "top movers per interval" shape
+    (leaderboards, per-bar liquidity ranking). Two-level plan: one
+    (bucket, user) partial+final aggregate, then a window over the much
+    smaller per-user-bucket relation — the rank never sees raw events.
+    Totals accumulate in DECIMAL so both engines rank identical values;
+    user_id breaks ties deterministically. The bucket is a
+    MICROSECOND-exact integer division (unix_micros div) — no calendar
+    logic and no second-granularity cast (Spark floors, DuckDB rounds)
+    to disagree on."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 600000000").alias("bucket"),
+            "user_id",
+        )
+        .agg(exact_sum("value").alias("total"))
+    )
+    w = W.partitionBy("bucket").orderBy(F.col("total").desc(), "user_id")
+    return per_user.select(
+        "bucket", "user_id", "total",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+    SELECT event_type,
+           CAST(EXTRACT(DOW FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
+           COUNT(*) AS n,
+           {sql_sum('value')} AS total,
+           {sql_sum('value')} / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile: activity and mean value by (event_type,
+    day-of-week, hour-of-day) — the seasonal-naive baseline every
+    forecasting pipeline starts from, and the capacity-planning heatmap
+    shape. One hash aggregate over at most type x 7 x 24 groups —
+    partial aggregation collapses each scan partition to <=~1200 rows
+    before the tiny shuffle. Calendar mapping pinned cross-engine:
+    Spark's dayofweek is 1=Sunday, DuckDB's DOW is 0=Sunday, so Spark
+    emits dayofweek-1."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value").alias("total"),
+            (exact_sum("value") / F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH m AS (
+      SELECT {sql_sum('value')} / COUNT(*) AS mean FROM events
+    )
+    SELECT event_id, user_id, ts,
+           {sql_wsum('value', 'w')}
+             - (CAST(count(*) OVER w AS BIGINT)) * (SELECT mean FROM m)
+             AS cusum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detector: running sum of deviations from
+    the global mean. The textbook change-detection statistic, computed
+    scale-correctly: the global mean is ONE broadcast row (exact
+    decimal sum / count), and the per-user running sum accumulates the
+    RAW values in decimal — cusum_t = runsum_t - t*mean composes two
+    exact quantities with a fixed IEEE expression, rather than summing
+    (value - mean) floats whose rounding could drift. One 1-row
+    broadcast + one user_id window shuffle."""
+    ev = load(spark, sf_dir, "events")
+    mean_row = ev.agg((exact_sum("value") / F.count("*")).alias("__mean"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.crossJoin(F.broadcast(mean_row))
+        .select(
+            "event_id", "user_id", "ts",
+            (
+                exact_wsum("value", w)
+                - F.count("*").over(w).cast("long") * F.col("__mean")
+            ).alias("cusum"),
+        )
+    )
