@@ -580,3 +580,64 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+def cosine_range(
+    emb: DataFrame,
+    query_pred: Column,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius search: every (query, candidate) pair with cosine >= tau.
+
+    Same scan-side shape as ``cosine_topk`` (broadcast-small collected
+    query side closed over a ``mapInPandas`` kernel; the corpus streams
+    through one narrow pass, no join, no |Q|x|C| plan rows) — but with
+    a THRESHOLD emit instead of a local top-k: output size is the true
+    result size, which for a sane tau is << |Q|x|C|. The kernel
+    pre-filters at tau - 1e-4 (4dp rounding moves a value < 5e-5, so
+    nothing that rounds above tau is lost); the authoritative
+    round(.,4) >= tau happens Spark-side. No shuffle at all — the
+    result needs no rank."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = emb.where(query_pred).select(id_col, vec_col).orderBy(id_col).collect()
+    if not qrows:
+        raise ValueError("query_pred matched no rows")
+    qids = np.array([r[0] for r in qrows])
+    QM = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    d = QM.shape[1]
+    qn2 = np.zeros(len(qids))
+    for i in range(d):
+        qn2 += QM[:, i] * QM[:, i]
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n2 = np.zeros(len(ids))
+            for i in range(d):
+                n2 += M[:, i] * M[:, i]
+            outs = []
+            for qi in range(len(qids)):
+                dot = np.zeros(len(ids))
+                for i in range(d):
+                    dot += QM[qi, i] * M[:, i]
+                cos = dot / np.sqrt(qn2[qi] * n2)
+                sel = (cos >= tau - 1e-4) & (ids != qids[qi])
+                if sel.any():
+                    outs.append(
+                        pd.DataFrame({"qid": qids[qi], "nid": ids[sel], "cosine": cos[sel]})
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    raw = emb.select(id_col, vec_col).mapInPandas(score, "qid long, nid long, cosine double")
+    return (
+        raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))
+        .where(F.col("cosine") >= tau)
+    )

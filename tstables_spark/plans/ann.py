@@ -210,3 +210,82 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean"),
         (F.col("sum_x2") / nd - mean * mean).alias("var"),
     )
+
+
+@query(
+    "embed_pq",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    b AS (SELECT unnest(generate_series(0, 7)) AS blk),
+    s AS (SELECT e.vec_id, b.blk, cb.cid,
+                 round(list_sum(list_transform(generate_series(1, 8),
+                        i -> (e.v[b.blk*8+i] - cb.cv[b.blk*8+i])
+                           * (e.v[b.blk*8+i] - cb.cv[b.blk*8+i]))), 6) AS dist
+          FROM e, b, cb),
+    r AS (SELECT vec_id, blk, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, blk
+                                    ORDER BY dist, cid) AS rn
+          FROM s)
+    SELECT vec_id, CAST(blk AS INT) AS blk, CAST(cid AS INT) AS code, dist
+    FROM r WHERE rn = 1
+    """,
+)
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ in IVF-PQ): split each 64-dim
+    vector into 8 sub-blocks of 8 dims; encode each block as the id of
+    its nearest codebook entry. 8 bytes per vector instead of 256 —
+    the 32x memory cut that makes billion-vector ANN fit RAM (Jégou et
+    al., TPAMI'11).
+
+    Codebook: the sub-slices of the first 16 vectors (deterministic,
+    collected — contract-small like every codebook in this engine; a
+    production run would Lloyd-refine it with operators/clustering.py,
+    exactly as sim_ivf_kmeans does for the coarse quantizer).
+    Assignment is pure scan-side codegen'd expression work: per block,
+    an array of (dist, cid) structs over 16 literal centroids reduced
+    by array_min (lexicographic struct order = min dist, tie -> lowest
+    cid) — no join, no shuffle, no Python; linear at any scale.
+    Distances are 6dp-rounded left-to-right folds, so DuckDB's
+    list_sum reproduces them bit-for-bit and the argmin is stable
+    cross-engine."""
+    m, w, k = 8, 8, 16
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda c: c.cast("double")).alias("v")
+    )
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.where(F.col("vec_id") < k).collect()
+    }
+
+    def block_best(b: int):
+        sub = F.slice("v", b * w + 1, w)
+        cands = []
+        for cid in sorted(cents):
+            c = F.array(*[F.lit(x) for x in cents[cid][b * w : b * w + w]])
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            cands.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cid")))
+        return F.array_min(F.array(*cands))
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("blk"), block_best(b).alias("best"))
+            for b in range(m)
+        ]
+    )
+    return (
+        emb.select("vec_id", F.explode(entries).alias("e"))
+        .select(
+            "vec_id",
+            F.col("e.blk").alias("blk"),
+            F.col("e.best.cid").cast("int").alias("code"),
+            F.col("e.best.dist").alias("dist"),
+        )
+    )

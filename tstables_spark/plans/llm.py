@@ -505,3 +505,78 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.join(thumbs, "doc_id").select(
         "doc_id", "frame_idx", "frame_feat", "thumb_bytes"
     )
+
+
+@query(
+    "dedup_ngram_coverage",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           count(*) AS n_sh,
+           COUNT(CASE WHEN d.df >= 2 THEN 1 END) AS n_common,
+           CAST(COUNT(CASE WHEN d.df >= 2 THEN 1 END) AS DOUBLE)
+             / count(*) AS coverage
+    FROM sh JOIN dfreq d ON sh.shingle = d.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-text coverage: the fraction of a doc's
+    distinct 3-grams that appear in at least one OTHER document — the
+    RefinedWeb/Dolma-style 'fuzzy duplication' metric used to gate docs
+    that are mostly boilerplate even when no single pair crosses a
+    Jaccard threshold.
+
+    Plan shape: inverted index WITHOUT pair expansion — document
+    frequency per shingle (one shuffle), then a shingle-keyed join back
+    and a doc-keyed aggregate (second/third shuffle). Cost is linear in
+    total shingle mass (Σ df, not Σ df²) — strictly cheaper than any
+    pair-emitting dedup, so it scales wherever the index itself does.
+    df >= 2 means 'this exact shingle exists elsewhere'; per-doc
+    distinctness (from shingles()) makes df a true document frequency."""
+    from tstables_spark.operators.dedup import shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"), 3)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    common = F.count(F.when(F.col("df") >= 2, F.lit(1)))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            common.alias("n_common"),
+            (common.cast("double") / F.count("*")).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 5)
+    SELECT qid, c.vec_id AS nid,
+           round(list_sum(list_transform(generate_series(1, len(qv)),
+                                         i -> qv[i] * c.v[i]))
+                 / sqrt(qn2 * c.n2), 4) AS cosine
+    FROM q, n c
+    WHERE qid != c.vec_id
+      AND round(list_sum(list_transform(generate_series(1, len(qv)),
+                                        i -> qv[i] * c.v[i]))
+                / sqrt(qn2 * c.n2), 4) >= 0.15
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius similarity search: every corpus vector within cosine >=
+    0.15 of the query vectors (vec_id < 5) — the 'find everything this
+    close' complement to top-k (dedup candidate mining, semantic recall
+    sweeps). Scan-side threshold kernel, zero shuffles:
+    operators/similarity.py::cosine_range."""
+    from tstables_spark.operators.similarity import cosine_range
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_range(emb, F.col("vec_id") < 5, tau=0.15)
