@@ -437,3 +437,61 @@ def test_written_files_carry_ts_statistics(spark, root):
         assert md.row_group(0).column(ci).physical_type != "INT96"
         st = md.row_group(0).column(ci).statistics
         assert st is not None and st.has_min_max, f"no ts stats in {f}"
+
+
+def test_purge_before_drops_whole_days(spark, root):
+    from datetime import date
+
+    ts = TimeSeriesTable.create(spark, root, "purge_s", SCHEMA)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    ts.append(_ticks(spark, start, 96))  # 4 UTC days
+    days = ts._partition_dates()
+    assert days == [date(2024, 3, 1) + timedelta(days=i) for i in range(4)]
+    purged = ts.purge_before(date(2024, 3, 3))
+    assert purged == [date(2024, 3, 1), date(2024, 3, 2)]
+    assert ts._partition_dates() == [date(2024, 3, 3), date(2024, 3, 4)]
+    lo = ts.min_dt()
+    assert lo is not None and lo.date() == date(2024, 3, 3)
+    assert ts.to_df().count() == 48
+    # datetime cutoffs use the UTC date; purging everything empties the series
+    ts.purge_before(datetime(2100, 1, 1, tzinfo=UTC))
+    assert ts._partition_dates() == []
+    assert ts.min_dt() is None
+    with pytest.raises(TimeSeriesTableError):
+        ts.purge_before("2024-01-01")  # type: ignore[arg-type]
+
+
+def test_snapshot_time_travel(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "tt_s", SCHEMA)
+    assert ts.versions() == []
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    b1 = _ticks(spark, start, 40)
+    ts.append(b1)
+    v1 = ts.snapshot()
+    assert v1 == 1 and ts.versions() == [1]
+    ts.append(_ticks(spark, start + timedelta(hours=40), 32))
+    v2 = ts.snapshot()
+    assert ts.versions() == [1, 2]
+    assert ts.read_version(v1).count() == 40
+    assert ts.read_version(v2).count() == 72
+    # v1 content is exactly batch 1 (set equality both directions)
+    assert ts.read_version(v1).subtract(b1).count() == 0
+    assert b1.subtract(ts.read_version(v1)).count() == 0
+    # range pruning composes on top of a snapshot read (date col preserved)
+    assert (
+        ts.read_version(v2)
+        .where(F.col("ts") >= start + timedelta(hours=70))
+        .count()
+        == 2
+    )
+    with pytest.raises(TimeSeriesTableError):
+        ts.read_version(99)
+
+
+def test_snapshot_invalidated_by_purge(spark, root):
+    ts = TimeSeriesTable.create(spark, root, "ttp_s", SCHEMA)
+    ts.append(_ticks(spark, datetime(2024, 3, 1, tzinfo=UTC), 72))
+    v1 = ts.snapshot()
+    ts.purge_before(ts._partition_dates()[-1])
+    with pytest.raises(TimeSeriesTableError, match="vacuum"):
+        ts.read_version(v1)

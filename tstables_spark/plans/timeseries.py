@@ -1727,3 +1727,58 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum"),
         )
     )
+
+
+@query(
+    "ts_retention_purge",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+    """,
+)
+def ts_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle: append the fixture, purge every day
+    partition before Jan 15, read back the survivors
+    (tstable.py::purge_before). The purge is a metadata-only partition
+    drop — O(days dropped), no scan, no rewrite of surviving files —
+    which is the only retention shape that works on a 100 TB series.
+    The oracle keeps rows whose UTC day >= the cutoff: a hash match
+    proves the drop is exactly day-granular and survivors are
+    untouched."""
+    from datetime import date
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tstable_purge_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+    ts.purge_before(date(2024, 1, 15))
+    return ts.to_df().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "ts_time_travel",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+)
+def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: append half the fixture, snapshot v1,
+    append the rest, snapshot v2, then read AS OF v1
+    (tstable.py::snapshot/read_version — manifest-pinned file sets,
+    Delta/Iceberg-style without a txn log, valid because appends are
+    directory-append-only). The oracle is exactly batch 1: a hash match
+    proves v1 sees none of batch 2's rows and all of its own —
+    reproducible-corpus reads for audits and training runs."""
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tstable_tt_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev.where(F.col("event_id") % 2 == 0))
+    v1 = ts.snapshot()
+    ts.append(ev.where(F.col("event_id") % 2 == 1))
+    ts.snapshot()
+    return ts.read_version(v1).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

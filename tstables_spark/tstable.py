@@ -536,6 +536,127 @@ class TimeSeriesTable:
         """Latest timestamp (edge-partition walk, not a full scan)."""
         return self._edge_dt(reverse=True)
 
+    # -- lifecycle: retention purge -----------------------------------------
+    def purge_before(self, cutoff) -> list:
+        """Drop every whole-day partition strictly older than ``cutoff``
+        (a date, or a datetime whose UTC date is used). Returns the list
+        of purged partition dates.
+
+        This is the data-lifecycle half the reference never needed (an
+        .h5 file you delete whole) but a 100 TB series cannot live
+        without: retention is a METADATA operation — enumerate partition
+        directory names, delete the expired ones — cost O(days dropped),
+        never a scan or rewrite of surviving data. Deletes go through
+        the Hadoop FileSystem API so the same code runs on HDFS/S3.
+        Partition granularity is the contract (like SQL engines'
+        DROP PARTITION): a cutoff inside a day does not split that day —
+        callers wanting sub-day trims rewrite via upsert/compact.
+
+        Snapshots recorded before a purge refer to deleted files — purge
+        is this layout's VACUUM, and invalidates older versions
+        (documented in ``snapshot``)."""
+        from datetime import date as _date
+        from datetime import datetime as _datetime
+
+        if isinstance(cutoff, _datetime):
+            cutoff = _as_utc(cutoff).date()
+        if not isinstance(cutoff, _date):
+            raise TimeSeriesTableError(f"cutoff must be a date/datetime, got {type(cutoff)}")
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        purged = []
+        for d in self._partition_dates():
+            if d < cutoff:
+                fs.delete(hpath(os.path.join(self.path, f"{DATE_COL}={d}")), True)
+                purged.append(d)
+        return purged
+
+    # -- lifecycle: snapshots / time travel ---------------------------------
+    def _versions_dir(self) -> str:
+        return os.path.join(self.path, "_ts_versions")
+
+    def snapshot(self) -> int:
+        """Record the series' current data-file set as a new version;
+        returns the version number. ``read_version`` later reconstructs
+        exactly this state — time travel for audits and reproducible
+        training runs ("the corpus as of the Tuesday snapshot").
+
+        Design: a version is a MANIFEST (relative paths of live data
+        files), like Delta/Iceberg snapshots but without a transaction
+        log — appends here are directory-append-only, so a file listing
+        IS a consistent snapshot. Cost is one recursive listing of the
+        series (metadata-only; a production writer would record its own
+        written-files list instead of re-listing — same manifest,
+        no listing). Manifests pin logical file sets, NOT bytes:
+        compaction/purge/upsert delete files, so older snapshots
+        spanning rewritten days become unreadable — the standard
+        vacuum trade every snapshotting table format makes."""
+        manifest = []
+        base = self.path.rstrip("/") + "/"
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath(self.path), True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[p.index(base) + len(base):] if base in p else p
+            if rel.startswith(f"{DATE_COL}=") and rel.endswith(".parquet"):
+                manifest.append(rel)
+        os.makedirs(self._versions_dir(), exist_ok=True)
+        existing = self.versions()
+        v = (existing[-1] + 1) if existing else 1
+        tmp = os.path.join(self._versions_dir(), f"v{v}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "files": sorted(manifest)}, f)
+        os.replace(tmp, os.path.join(self._versions_dir(), f"v{v}.json"))
+        return v
+
+    def versions(self) -> list[int]:
+        """Recorded snapshot versions, ascending."""
+        try:
+            names = os.listdir(self._versions_dir())
+        except OSError:
+            return []
+        out = []
+        for n in names:
+            m = re.fullmatch(r"v(\d+)\.json", n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """The series exactly as of ``snapshot()`` number ``version``.
+
+        Reads only the manifest's files; ``basePath`` keeps Hive
+        partition-column derivation (and therefore date pruning on top
+        of this frame) working even though individual files are listed.
+        An empty manifest yields an empty frame of the declared schema."""
+        vpath = os.path.join(self._versions_dir(), f"v{version}.json")
+        if not os.path.exists(vpath):
+            raise TimeSeriesTableError(
+                f"no snapshot v{version}; have {self.versions()}"
+            )
+        with open(vpath) as f:
+            files = json.load(f)["files"]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        missing = [rel for rel in files if not os.path.exists(os.path.join(self.path, rel))]
+        if missing:
+            raise TimeSeriesTableError(
+                f"snapshot v{version} references files removed by a later "
+                f"compact/purge/upsert (vacuum invalidates old versions): {missing[:3]}"
+            )
+        read_schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(DATE_COL, T.DateType())]
+        )
+        df = (
+            self.spark.read.schema(read_schema)
+            .option("basePath", self.path)
+            .parquet(*[os.path.join(self.path, rel) for rel in files])
+        )
+        return df.select(*self.schema.fieldNames())
+
 
 def list_series(root: str) -> list[str]:
     """Names of all series under a catalog root (the reference's File
