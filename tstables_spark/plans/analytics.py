@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tstables_spark.plans._exact import exact_sum, sql_sum
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -344,4 +345,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("cohort_week", off.alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    p AS (SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase'),
+    a AS (
+      SELECT p.value,
+             CASE WHEN p.ts - t.ts <= INTERVAL 3 DAY THEN t.channel END AS channel
+      FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+           COUNT(*) AS conversions,
+           {sql_sum('value')} AS revenue
+    FROM a GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within a 3-day window; purchases
+    with no qualifying touch fall into 'none'. This is the as-of join
+    wearing its other production hat (revenue attribution instead of
+    tick enrichment): one single-shuffle union+window as-of with a
+    staleness bound (operators/asof.py), then a tiny channel rollup of
+    exact decimal revenue. Touches collapse to one row per (user, ts)
+    first — max event_id wins — so the same-instant case is
+    deterministic in both engines."""
+    from tstables_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("channel"))
+        .select(F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"), "channel")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        left_on="ts",
+        right_on="t_ts",
+        left_by="user_id",
+        right_by="t_user",
+        right_values=["channel"],
+        tolerance_seconds=3 * 86400,
+    )
+    return (
+        joined.groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(F.count("*").alias("conversions"), exact_sum("value").alias("revenue"))
     )

@@ -992,3 +992,116 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     then filters."""
     register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_TPCH_Q19)
+
+
+@query(
+    "agg_skew_kurt",
+    oracle=f"""
+    WITH kk AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS k FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(k AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS s1,
+             CAST(SUM(CAST(k*k AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS s2,
+             CAST(SUM(CAST(k*k*k AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s3,
+             CAST(SUM(CAST(k*k*k*k AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS s4
+      FROM kk GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n AS mean,
+           s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+             - 3, 6) AS kurtosis
+    FROM s
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per group: population skewness and
+    excess kurtosis — the profiling aggregates behind drift monitors
+    and outlier-prone-column detection. NOT Spark's built-in
+    skewness()/kurtosis(): those accumulate running central moments in
+    float (partition-order-dependent — unfixable for the exact hash
+    gate). Instead ONE partial+final aggregate collects exact decimal
+    power sums Σx..Σx⁴ (order-independent, map-side combinable), and
+    both engines compose the moments with an identical IEEE expression
+    (sqrt, not pow(x,1.5) — pow's last-ulp behavior is libm-specific).
+    The power sums run on INTEGER TICKS (value is 2-decimal fixed
+    point, verified at every SF; k = round(100·value) is exact in
+    BIGINT through k⁴ < 2⁶³): x⁴ as a double carries ~16 significant
+    digits against 11 integer digits, so casting it to any decimal
+    scale lands in tie territory where the engines' rounding modes
+    differ — measured 1-ulp, then 1e-12, kurtosis skew at scales 6 and
+    3. Integer powers summed in decimal have NO rounding boundary
+    anywhere; the only float ops are the final shared composition,
+    whose two derived statistics round at 6dp — Σk⁴ exceeds 2⁵³, and
+    the engines' DECIMAL(38,0)→double conversions differ by 1 ulp
+    there (measured), which 6dp absorbs with 9 orders of margin.
+    Single scan, 5 groups out — the 100 TB plan is the same one."""
+    ev = load(spark, sf_dir, "events")
+    k = F.round(F.col("value") * 100).cast("long")
+    kk = ev.select("event_type", k.alias("k"))
+    kc = F.col("k")
+    s = kk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(kc.cast("decimal(28,0)")).cast("double") / F.lit(100.0)).alias("s1"),
+        (F.sum((kc * kc).cast("decimal(28,0)")).cast("double") / F.lit(10000.0)).alias("s2"),
+        (F.sum((kc * kc * kc).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("s3"),
+        (F.sum((kc * kc * kc * kc).cast("decimal(38,0)")).cast("double") / F.lit(100000000.0)).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - F.lit(3) * mean * (F.col("s2") / n) + F.lit(2) * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4) * mean * (F.col("s3") / n)
+        + F.lit(6) * mean * mean * (F.col("s2") / n)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    return s.select(
+        "event_type", "n",
+        mean.alias("mean"),
+        m2.alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), r AS (
+      SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent user per event type) with a PINNED
+    tie-break — deliberately not Spark's mode() / DuckDB's mode(),
+    whose tie behavior is engine-private. Two-level plan: the
+    (type, user) count aggregate collapses the fact table first
+    (partial agg map-side), then the argmax runs over the small count
+    relation as a WindowGroupLimit — the rank never sees raw events."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "cnt")
+    )

@@ -426,3 +426,75 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume").cast("long").alias("volume"),
         "sum_value",
     )
+
+
+@query(
+    "stream_asof",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment: each micro-batch of the event stream
+    is as-of joined (union+window single-shuffle plan, operators/asof)
+    against a static, pre-collapsed order book via ``foreachBatch`` —
+    the production shape for "stamp each tick with the prevailing
+    reference price". Against a STATIC right side the as-of result is
+    per-row independent, so multi-batch equals single-batch; the input
+    is split over three files consumed one per trigger to prove it.
+    State stays ZERO (no stream-stream watermark bookkeeping) — at
+    100 TB the right side is a broadcast or hash side per micro-batch,
+    never growing state. The oracle is the batch twin (DuckDB ASOF):
+    the hash match proves batch boundaries don't leak into results."""
+    from tstables_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    sdir = tempfile.mkdtemp(prefix="asof_src_") + "/events"
+    ev.repartition(3).write.parquet(sdir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out = tempfile.mkdtemp(prefix="asof_out_") + "/enriched"
+
+    def enrich(batch: DataFrame, _id: int) -> None:
+        (
+            asof_join(
+                batch.select("event_id", "user_id", "ts"),
+                od,
+                left_on="ts",
+                right_on="o_orderdate",
+                left_by="user_id",
+                right_by="o_custkey",
+                right_values=["o_orderkey", "o_totalprice"],
+            )
+            .select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="asof_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
