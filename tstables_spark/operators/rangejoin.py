@@ -73,3 +73,56 @@ def banded_range_join(
         .where(cond)
         .drop("__band")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: pairs whose [start, end] ranges
+    intersect, for the same ``by`` key.
+
+    Banding: each interval is exploded into every band of width
+    ``band_seconds`` its extent touches, and candidates come from an
+    equi-join on (key, band) with the exact overlap predicate as the
+    residual — comparisons are bounded by per-band occupancy, never
+    |L| x |R| (the cartesian degeneration a bare non-equi join has at
+    scale). ``band_seconds`` should be >= the typical interval extent
+    so each interval touches O(1) bands.
+
+    Exactly-once WITHOUT a distinct shuffle: a pair overlapping in k
+    shared bands would be emitted k times, so the join additionally
+    requires the band to be the one containing max(left_start,
+    right_start) — both intervals provably cover that band (overlap
+    means max(start) <= min(end)), and only one band satisfies it, so
+    each qualifying pair survives exactly once. This trades the
+    O(pairs) dedup exchange for one codegen'd comparison per
+    candidate."""
+    w_us = band_seconds * 1_000_000
+
+    def banded(df: DataFrame, start: str, end: str, prefix: str) -> DataFrame:
+        b0 = F.expr(f"unix_micros({start}) div {w_us}")
+        b1 = F.expr(f"unix_micros({end}) div {w_us}")
+        return df.withColumn(f"{prefix}_b0", b0).withColumn(
+            "band", F.explode(F.sequence(b0, b1))
+        )
+
+    lb = banded(left, left_start, left_end, "l").alias("l")
+    rb = banded(right, right_start, right_end, "r").alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col("l.band") == F.col("r.band"))
+        & (F.col(f"l.{left_start}") <= F.col(f"r.{right_end}"))
+        & (F.col(f"r.{right_start}") <= F.col(f"l.{left_end}"))
+        & (F.col("l.band") == F.greatest("l.l_b0", "r.r_b0"))
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns if c != by] + [
+        F.col(f"r.{c}") for c in right.columns if c != by
+    ] + [F.col(f"l.{by}").alias(by)]
+    return lb.join(rb, cond).select(*out_cols)

@@ -364,3 +364,72 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token FROM __docs_for_udtf, "
         "LATERAL tokenize5(doc_id, text) t"
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS s_cust,
+           o_totalprice AS s_price,
+           CAST(o_totalprice > 100000 AS BOOLEAN) AS s_big,
+           'o:' || CAST(o_orderkey AS VARCHAR) AS s_tag
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested-type) function battery: pack columns into a
+    struct, compute a derived field inside it, read fields back out
+    with dotted access. Output is flattened (the driver hash compares
+    scalar columns), but the struct genuinely exists mid-plan — the
+    oracle recomputes the same leaves relationally, proving
+    pack-then-extract is the identity. Catalyst collapses the
+    pack/extract pair into plain column references (visible in the
+    optimized plan), so nesting costs nothing at any scale."""
+    o = load(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_totalprice") > 100000).alias("big"),
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("tag"),
+        ).alias("s"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("s.cust").alias("s_cust"),
+        F.col("s.price").alias("s_price"),
+        F.col("s.big").alias("s_big"),
+        F.col("s.tag").alias("s_tag"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer
+    )
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long): the inverse of agg_pivot, the
+    standard reshape before per-metric grouped processing. Spark's
+    native ``unpivot`` (Expand node — each input row fans out to one
+    row per metric with NO shuffle and no UNION re-scan of the input;
+    a UNION ALL formulation would scan the table once per metric).
+    Values are pre-cast to one type because a long format has exactly
+    one value column — the declared melt contract."""
+    c = load(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")

@@ -1782,3 +1782,97 @@ def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.read_version(v1).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "ts_state_durations",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_entries,
+           CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_usecs
+    FROM s
+    WHERE next_ts IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def ts_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream -> time-in-state: each event opens a state that
+    lasts until the user's next event; total dwell time per
+    (user, state). The telemetry workhorse (screen time, machine-state
+    uptime, order-status latency): ONE lead() over the same single
+    user_id shuffle every win_* query uses, then a partial+final
+    aggregate. Durations are microsecond-exact integers — summing
+    BIGINTs is order-independent, so no decimal discipline is even
+    needed. The last event of each user is open-ended and excluded
+    (declared semantics, matching islands-style sessionization)."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "ts",
+        F.lead("ts").over(wo).alias("next_ts"),
+    )
+    return (
+        s.where(F.col("next_ts").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.sum(F.unix_micros("next_ts") - F.unix_micros("ts")).alias("total_usecs"),
+        )
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_start,
+             ts + INTERVAL 10 MINUTE AS c_end
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_start,
+             ts + INTERVAL 10 MINUTE AS p_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.c_start <= p.p_end AND p.p_start <= c.c_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: click attention windows x purchase
+    windows (each event ± a 10-minute extent) that OVERLAP for the same
+    user — the interval-interval case join_range's point-in-interval
+    shape can't express. Plan: equi-join on (user, time-band) with the
+    overlap predicate as residual — each interval lands in the bands
+    its 20-minute maximal extent touches, so banding loses nothing and
+    candidate fanout is bounded by band occupancy, never |clicks| x
+    |purchases| (the cross-join a naive non-equi formulation degrades
+    to at scale). Duplicate (click, purchase) candidates from
+    multi-band spans are deduped exactly once
+    (operators/rangejoin.py::interval_overlap_join)."""
+    from tstables_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    ext = F.expr("INTERVAL 10 MINUTES")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_start"), (F.col("ts") + ext).alias("c_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_start"), (F.col("ts") + ext).alias("p_end"),
+    )
+    return interval_overlap_join(
+        clicks, purchases,
+        left_start="c_start", left_end="c_end",
+        right_start="p_start", right_end="p_end",
+        by="user_id",
+        band_seconds=1200,
+    ).select("click_id", "purchase_id", "user_id")
