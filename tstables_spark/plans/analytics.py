@@ -405,3 +405,58 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
         .agg(F.count("*").alias("conversions"), exact_sum("value").alias("revenue"))
     )
+
+
+@query(
+    "cdc_scd2",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM flagged WHERE chg = 1
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM starts
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    event-type changelog into validity intervals — one row per state
+    RUN with [valid_from, valid_to) and an is_current flag, consecutive
+    duplicates collapsed (the warehouse-standard dimension-history
+    shape, and the reverse of a point-in-time as-of lookup). Plan: lag
+    to flag state changes, filter to change points, lead for the
+    closing edge — two window passes over ONE user_id shuffle
+    (identical sort keys, no second exchange), no joins, no islands
+    aggregation needed because only boundaries survive the filter."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wo)
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    )
+    starts = flagged.where(F.col("chg") == 1).select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"), "event_id",
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return starts.select(
+        "user_id", "state", "valid_from",
+        nxt.alias("valid_to"), nxt.isNull().alias("is_current"),
+    )

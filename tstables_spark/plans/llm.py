@@ -580,3 +580,135 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return cosine_range(emb, F.col("vec_id") < 5, tau=0.15)
+
+
+@query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+      FROM toks
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(t[(i-1)*10+1 : i*10], ' ')) AS h
+      FROM chunks
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS kept_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup accounting: documents are
+    chunked into fixed 10-token paragraphs (the fixture text has no
+    natural newlines; real corpora split on them — same plan), each
+    paragraph is hashed corpus-wide, and only the FIRST occurrence
+    (lowest doc_id, then position) of each hash is kept. Output is the
+    per-doc kept fraction — the gate CCNet/Dolma use to drop documents
+    that are mostly boilerplate shared with other pages, even when no
+    document pair is a near-dup as a whole.
+
+    Plan: one explode (linear in token mass), one hash-keyed window for
+    first-occurrence (rn=1 — no self-join, no pair expansion ever), one
+    doc-keyed aggregate. Strictly cheaper than any pairwise dedup; the
+    hash shuffle is the only wide edge and it carries (doc, pos, hash)
+    triples, not text."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.lower("text"), " ")
+    chunks = docs.select(
+        "doc_id", toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), F.ceil(F.size(toks) / F.lit(10.0)).cast("long"))).alias("i"),
+    )
+    paras = chunks.select(
+        "doc_id",
+        F.col("i").cast("int").alias("pos"),
+        F.md5(F.concat_ws(" ", F.slice("t", (F.col("i") - 1) * 10 + 1, 10))).alias("h"),
+    )
+    w = W.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = paras.select("doc_id", "pos", F.row_number().over(w).alias("rn"))
+    kept = F.count(F.when(F.col("rn") == 1, F.lit(1)))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        kept.alias("n_kept"),
+        (kept.cast("double") / F.count("*")).alias("kept_frac"),
+    )
+
+
+@query(
+    "doc_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf, df, n WHERE tf.term = df.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — doc_top_terms' corpus-aware
+    upgrade (IDF discounts terms common across documents). Plan: one
+    explode + (doc, term) aggregate; term document-frequency aggregates
+    FROM that relation (never re-scanning text); one term-keyed join
+    carries df back; the corpus size joins as a broadcast 1-row
+    aggregate; top-3 runs as a WindowGroupLimit. Ranking uses the
+    6dp-ROUNDED score with a term tiebreak — ln() is libm territory,
+    and last-ulp differences must not reorder ranks cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
