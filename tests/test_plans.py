@@ -258,3 +258,18 @@ def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
     orderkey — no per-row subquery node in the physical plan."""
     plan = _plan(spark, sf_dir, "sql_tpch_q4")
     assert "LeftSemi" in plan, plan
+
+
+def test_interval_overlap_no_cartesian(spark, sf_dir):
+    """join_interval_overlap must plan as an equi-join on (key, band) —
+    never a cartesian/BNLJ with the overlap predicate as a filter."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_existence_prefilter_reaches_scan(spark, sf_dir):
+    """The collected min/max runtime filter must appear as literal
+    range predicates in the lineitem scan's PushedFilters."""
+    plan = _plan(spark, sf_dir, "join_existence_prefilter")
+    m = re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey", plan)
+    assert m, plan

@@ -1105,3 +1105,126 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_type", F.col("user_id").alias("mode_user"), "cnt")
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (Spark's second first-class columnar
+    format; zlib, vectorized reader, predicate pushdown — the exchange
+    format when a downstream Hive/Trino stack is ORC-native). The
+    oracle is the projected fixture itself: a hash match proves the
+    write/read cycle is lossless for longs, doubles, strings and
+    timestamps alike. Same partitioned-write discipline as the parquet
+    sinks would apply at scale; kept single-dir here because the
+    roundtrip property, not layout, is under test."""
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    )
+    out = tempfile.mkdtemp(prefix="orc_sink_") + "/lineitem"
+    li.write.mode("overwrite").format("orc").save(out)
+    return spark.read.schema(li.schema).orc(out)
+
+
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS exact_daily
+      FROM events GROUP BY 1
+    ),
+    total AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST((SELECT exact_total FROM total) AS BIGINT) AS exact_total,
+           TRUE AS union_close,
+           TRUE AS daily_close
+    FROM daily
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern that makes
+    100 TB distinct counting incremental: build one Datasketches HLL
+    per day (hll_sketch_agg), then UNION the per-day sketches
+    (hll_union_agg) instead of re-scanning history for every reporting
+    window. The oracle pins exact counts and the driver-checkable
+    claims are tolerance booleans (like agg_approx_distinct): the
+    unioned estimate and every daily estimate must sit within 5% of
+    exact. Sketch bytes themselves are engine-private, so they never
+    cross the oracle boundary."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    per_day_ok = daily.select(
+        "day", "exact_daily",
+        F.expr("hll_sketch_estimate(sk)").alias("est_daily"),
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.min(
+            (F.abs(F.col("est_daily") - F.col("exact_daily"))
+             <= 0.05 * F.col("exact_daily"))
+        ).alias("daily_close"),
+    )
+    unioned = daily.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_total"))
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    return (
+        per_day_ok.crossJoin(F.broadcast(unioned))
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            "n_days",
+            "exact_total",
+            (F.abs(F.col("est_total") - F.col("exact_total"))
+             <= 0.05 * F.col("exact_total")).alias("union_close"),
+            F.col("daily_close"),
+        )
+    )
+
+
+@query(
+    "join_existence_prefilter",
+    oracle="""
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 200000)
+    GROUP BY l_orderkey
+    """,
+)
+def join_existence_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an EXPLICIT min/max runtime filter: one
+    tiny aggregate computes the key range of the filtered build side,
+    broadcasts it as a single row, and the fact scan pre-filters with
+    BETWEEN — a scan-pushable predicate that skips parquet row groups
+    whose key stats fall outside the range — before the exact
+    semi-join runs on the survivors. False positives only, so the
+    result is identical to the plain semi-join (the oracle IS the
+    plain semi-join); what changes at 100 TB is that non-candidate
+    fact volume dies at the scan — row groups whose key stats fall
+    outside the range are never read — instead of crossing the
+    exchange. The range is COLLECTED (two values — contract-small,
+    like every codebook in this engine) and planted as literals,
+    because only literal predicates reach PushedFilters; a
+    broadcast-joined range filters above the scan, not in it (the
+    plan-shape test pins the literal form). This is the hand-placeable
+    analog of Spark's runtime filters (bloom_filter_agg is not exposed
+    as a user routine in Spark 4.1, and the min/max form pushes into
+    row-group skipping, which a bloom cannot)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    lo, hi = od.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    pre = li.where(F.col("l_orderkey").between(F.lit(lo), F.lit(hi)))
+    return (
+        pre.join(od.select("o_orderkey"), pre["l_orderkey"] == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
