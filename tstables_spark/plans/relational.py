@@ -1228,3 +1228,64 @@ def join_existence_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): members per
+    nation, comma-joined in a PINNED sort order — unordered listagg is
+    nondeterministic under any parallel engine, so the sort inside the
+    aggregate is the whole contract. Spark side: collect_list under a
+    hash aggregate, then array_sort + concat_ws ABOVE the aggregate —
+    ordering applied once per group (cheap), not via a window sort of
+    raw rows. Group payloads are bounded by group size; at 100 TB this
+    op is only sane with bounded groups, same as every listagg."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members"),
+        )
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS lo_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS mixed,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function battery (mask/flag/mix/shift/popcount) — the
+    substrate of every hash/bitmap/bloom technique in the engine, all
+    codegen'd JVM integer ops."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("mixed"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )

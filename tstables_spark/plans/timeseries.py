@@ -1876,3 +1876,116 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id",
         band_seconds=1200,
     ).select("click_id", "purchase_id", "user_id")
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           first_value(value) OVER w AS day_open,
+           last_value(value) OVER
+             (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS day_close,
+           nth_value(value, 2) OVER
+             (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS day_second
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value battery per (user, UTC day): every row
+    stamped with its day's opening, closing and second print — the
+    window-function complement of the ts_resample_ohlc AGGREGATE
+    (bars collapse; this annotates every row, the feature-engineering
+    shape). last/nth use an explicit unbounded-both-ends frame — the
+    default frame stops at CURRENT ROW, a classic silent-wrong-answer
+    both engines agree to only when the frame is spelled out. One
+    (user, day) shuffle serves all three."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    wo = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    wfull = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.first("value").over(wo).alias("day_open"),
+        F.last("value").over(wfull).alias("day_close"),
+        F.nth_value("value", 2).over(wfull).alias("day_second"),
+    )
+
+
+@query(
+    "join_scd2_pit",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type != 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM flagged WHERE chg = 1
+    ),
+    fact AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_id, f.user_id, f.ts, f.value, d.state
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension cdc_scd2 builds:
+    each purchase joined to the browsing-state version VALID at its
+    instant ([valid_from, valid_to) semantics, open-ended current
+    rows; the dimension is the non-purchase changelog, so purchases
+    genuinely look up history rather than themselves). This is the
+    consumption side of dimension history — the equi-key (user) bounds
+    the join and the validity range is the residual condition, exactly
+    the interval_join shape: linear in matched key groups, never a
+    cartesian. At most ONE dim version matches per fact row by
+    construction (intervals partition time), so the join is also
+    multiplicity-safe."""
+    from tstables_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    nonp = ev.where(F.col("event_type") != "purchase")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wo)
+    flagged = nonp.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    )
+    dim = (
+        flagged.where(F.col("chg") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wo).alias("valid_to"),
+        )
+        .withColumnRenamed("user_id", "d_user")
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        fact,
+        dim,
+        on=fact["user_id"] == dim["d_user"],
+        lower=fact["ts"] >= dim["valid_from"],
+        upper=dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]),
+    )
+    return joined.select("purchase_id", "user_id", "ts", "value", "state")
