@@ -358,3 +358,32 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "pos").agg(
         (F.sum(dec).cast("double") / F.count("*")).alias("centroid")
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < (n_chars * 1000000) / 4000
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sampling: each document keeps with
+    probability proportional to its size (n_chars / 4000, capped at 1
+    by arithmetic) — the importance-sampling gate training pipelines
+    use to bias toward substantive documents while staying
+    REPRODUCIBLE: the 'coin flip' is an md5 bucket of the doc id, so
+    the same corpus yields the same sample on any engine, any
+    partitioning, any day (same contract as sample_hash /
+    sample_stratified). All-integer threshold arithmetic — no float
+    probability ever compared, so no rounding boundary exists. Pure
+    codegen'd scan filter; zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    return d.where(bucket < (F.col("n_chars") * 1000000) / 4000).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -433,3 +433,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+           LEAST(o_totalprice, 250000.0) AS capped,
+           GREATEST(o_totalprice, 50000.0) AS floored
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression battery: searched CASE, NULLIF+COALESCE
+    normalization, IF, LEAST/GREATEST clamps — all codegen'd branch
+    expressions (Catalyst folds constant branches and reorders cheap
+    predicates first). LEAST/GREATEST here always see two non-null
+    args, sidestepping the engines' divergent null-propagation
+    policies on purpose (documented: Spark ignores nulls, ANSI
+    propagates)."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000, "big").when(p > 100000, "mid").otherwise("small").alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+        F.least(p, F.lit(250000.0)).alias("capped"),
+        F.greatest(p, F.lit(50000.0)).alias("floored"),
+    )

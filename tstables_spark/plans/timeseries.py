@@ -1989,3 +1989,62 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]),
     )
     return joined.select("purchase_id", "user_id", "ts", "value", "state")
+
+
+@query(
+    "ts_twap",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    h AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+             value, dt_us
+      FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+    )
+    SELECT user_id, hour_bucket,
+           CAST(SUM(CAST(dt_us AS DECIMAL(28,0))) AS BIGINT) AS held_us,
+           round(
+             (CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) * dt_us
+                            AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+               / CAST(CAST(SUM(CAST(dt_us AS DECIMAL(28,0))) AS BIGINT) AS DOUBLE),
+           6) AS twap
+    FROM h GROUP BY user_id, hour_bucket
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (user, hour) — ts_vwap's
+    execution-benchmark sibling: each tick's value is weighted by how
+    long it PREVAILED (time to the user's next tick), so sparse quiet
+    prints don't get drowned by bursts. One lead() on the shared user
+    shuffle computes microsecond-exact holding times; the weighted sum
+    runs ENTIRELY in integer space — value is 2-decimal fixed point
+    (the agg_skew_kurt lemma), so tick·µs products are exact BIGINTs
+    summed in decimal, and no float-to-decimal rounding boundary
+    exists anywhere. TWAP is the one final IEEE ratio, rounded at 6dp
+    (its magnitude is bounded by the price range, giving ~7 orders of
+    rounding margin over conversion ulps). The open-ended last tick
+    per user carries no duration and is excluded (declared semantics,
+    as in ts_state_durations)."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id", "ts", "value",
+        (F.unix_micros(F.lead("ts").over(wo)) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    h = d.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        "value", "dt_us",
+    )
+    k = F.round(F.col("value") * 100).cast("long")
+    held = F.sum(F.col("dt_us").cast("decimal(28,0)")).cast("long")
+    kvt = F.sum((k * F.col("dt_us")).cast("decimal(38,0)")).cast("double")
+    return h.groupBy("user_id", "hour_bucket").agg(
+        held.alias("held_us"),
+        F.round((kvt / F.lit(100.0)) / held.cast("double"), 6).alias("twap"),
+    )
