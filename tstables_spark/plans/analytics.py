@@ -460,3 +460,109 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state", "valid_from",
         nxt.alias("valid_to"), nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ts_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM events WHERE value > 0
+    ),
+    n AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit,
+           COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n), 6)
+             AS observed,
+           round(log10(1.0 + 1.0 / CAST(digit AS INT)), 6) AS benford
+    FROM d GROUP BY digit
+    """,
+)
+def ts_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of the value column vs the Benford
+    expectation log10(1+1/d) — the classic fabricated-data / fault
+    detector for financial streams. The leading digit comes from the
+    exact integer tick (round(100·value) — no float formatting
+    divergence between engines), counts are one tiny aggregate (≤9
+    groups after map-side combine), and both ratios round at 6dp
+    (log10 is libm territory). Single scan, 9 rows out at any scale."""
+    ev = load(spark, sf_dir, "events")
+    digit = F.substring(F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1)
+    d = ev.where(F.col("value") > 0).select(digit.alias("digit"))
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit", "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("int")), 6).alias(
+                "benford"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS tick
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, tick,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY tick, tick) AS rnk
+      FROM k
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(tick AS DECIMAL(28,0))) AS BIGINT) AS sum_tick,
+             CAST(SUM(CAST(rnk * tick AS DECIMAL(38,0))) AS BIGINT) AS sum_rt
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((2.0 * CAST(sum_rt AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sum_tick AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of value per event type (is revenue
+    dominated by a few big prints?) via the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values. All
+    sums run on exact integer ticks × integer ranks in decimal — no
+    float accumulates — and the final composition rounds at 6dp
+    (Σ rank·tick exceeds 2⁵³, the agg_skew_kurt conversion lemma).
+    The rank window shuffles once per group key; ties order by the
+    value itself so duplicate ticks get consecutive ranks — the
+    formula is tie-stable because Σ(i·x) over equal x is invariant to
+    their rank order."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tick = F.round(F.col("value") * 100).cast("long")
+    k = ev.select("event_type", tick.alias("tick"))
+    w = W.partitionBy("event_type").orderBy("tick", "tick")
+    r = k.select("event_type", "tick", F.row_number().over(w).alias("rnk"))
+    s = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("tick").cast("decimal(28,0)")).cast("long").alias("sum_tick"),
+        F.sum((F.col("rnk") * F.col("tick")).cast("decimal(38,0)")).cast("long").alias("sum_rt"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "event_type", "n",
+        F.round(
+            (F.lit(2.0) * F.col("sum_rt").cast("double"))
+            / (n * F.col("sum_tick").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

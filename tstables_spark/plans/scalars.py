@@ -469,3 +469,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(p, F.lit(250000.0)).alias("capped"),
         F.greatest(p, F.lit(50000.0)).alias("floored"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT o_orderkey,
+           md5('orders|' || CAST(o_orderkey AS VARCHAR)
+                         || '|' || CAST(o_custkey AS VARCHAR)) AS sk,
+           substr(md5('orders|' || CAST(o_orderkey AS VARCHAR)
+                         || '|' || CAST(o_custkey AS VARCHAR)), 1, 16) AS sk16
+    FROM orders
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: md5 over a namespaced natural-key
+    string ('table|k1|k2') — the warehouse-standard engine-independent
+    stable ID (same corpus → same keys on any engine, any run — the
+    same portability contract as the dedup hash family). Pure codegen
+    scan; the pipe delimiter prevents concatenation ambiguity between
+    adjacent key parts."""
+    o = load(spark, sf_dir, "orders")
+    nat = F.concat_ws(
+        "|", F.lit("orders"), F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        F.md5(nat).alias("sk"),
+        F.substring(F.md5(nat), 1, 16).alias("sk16"),
+    )

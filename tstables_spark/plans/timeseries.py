@@ -2048,3 +2048,49 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         held.alias("held_us"),
         F.round((kvt / F.lit(100.0)) / held.cast("double"), 6).alias("twap"),
     )
+
+
+@query(
+    "ts_peak_detect",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value)  OVER w AS prev_v,
+             lead(value) OVER w AS next_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, value,
+           value - CASE WHEN prev_v > next_v THEN prev_v ELSE next_v END
+             AS prominence
+    FROM d
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND value > prev_v AND value > next_v
+      AND value - CASE WHEN prev_v > next_v THEN prev_v ELSE next_v END >= 50
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection with a prominence floor: ticks strictly
+    above BOTH neighbors by at least 50 — the spike detector (alert
+    candidates, local tops) in its simplest exact form. One lag + one
+    lead on the shared single user shuffle; every comparison is
+    per-row IEEE on raw doubles (no accumulation), so cross-engine
+    equality is free. Series edges can't be peaks (both neighbors
+    required), and the neighbor max is an explicit CASE rather than
+    GREATEST — the engines' null policies for GREATEST differ."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(wo).alias("prev_v"),
+        F.lead("value").over(wo).alias("next_v"),
+    )
+    nmax = F.when(F.col("prev_v") > F.col("next_v"), F.col("prev_v")).otherwise(F.col("next_v"))
+    return (
+        d.where(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+            & (F.col("value") > F.col("prev_v")) & (F.col("value") > F.col("next_v"))
+            & ((F.col("value") - nmax) >= 50)
+        )
+        .select("event_id", "user_id", "ts", "value", (F.col("value") - nmax).alias("prominence"))
+    )
