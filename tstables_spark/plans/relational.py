@@ -1289,3 +1289,148 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+_TPCH_Q8 = """
+    SELECT o_year,
+           round(CAST(SUM(CAST(CASE WHEN nation = 'NATION_2'
+                                    THEN volume ELSE 0 END
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND p_type = 'PROMO'
+    ) AS all_nations
+    GROUP BY o_year
+"""
+
+_TPCH_Q13 = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+"""
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+_TPCH_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+_TPCH_Q17 = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@query("sql_tpch_q8", oracle=_TPCH_Q8)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share; target nation/type adapted to
+    the fixture domain) via ``spark.sql``, verbatim-shared with the
+    oracle. The EIGHT-way join graph with the nation dimension joined
+    twice on different roles (customer's region membership vs
+    supplier's identity) — the widest optimizer test in the suite;
+    part's equality filter and the two-year order window prune both
+    fact paths before the joins. The market-share ratio divides two
+    exact decimal sums once in IEEE, rounded 6dp."""
+    register_views(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    return spark.sql(_TPCH_Q8)
+
+
+@query("sql_tpch_q13", oracle=_TPCH_Q13)
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the comment-LIKE
+    exclusion adapted to an order-priority filter) via ``spark.sql``,
+    verbatim-shared. The double-aggregation shape: LEFT join keeps
+    customers with zero orders (COUNT(o_orderkey) counts non-null —
+    0 for them), first aggregate per customer, second aggregate over
+    the count itself. The join's extra non-key condition rides the
+    join, not a post-filter — a post-filter would turn LEFT into
+    INNER and silently drop the zero bucket."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_TPCH_Q13)
+
+
+@query("sql_tpch_q15", oracle=_TPCH_Q15)
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) via ``spark.sql``, verbatim-shared.
+    The shared-subquery test: the revenue CTE appears both as a join
+    input and inside the scalar MAX subquery; equality on the exact
+    decimal-summed revenue is deterministic cross-engine because both
+    compare values from the identical aggregation."""
+    register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_TPCH_Q15)
+
+
+@query("sql_tpch_q16", oracle=_TPCH_Q16)
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship; the fixture has no
+    partsupp table so lineitem plays the part-supplier link, and the
+    supplier-complaints NOT EXISTS is dropped with the absent comment
+    column) via ``spark.sql``, verbatim-shared. COUNT(DISTINCT) per
+    3-column group over an IN-list-pruned dimension join — the
+    distinct expands once, after the join keys prune."""
+    register_views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(_TPCH_Q16)
+
+
+@query("sql_tpch_q17", oracle=_TPCH_Q17)
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) via ``spark.sql``,
+    verbatim-shared. The correlated scalar subquery (per-part average
+    quantity) decorrelates to an aggregate + join — never per-row
+    execution. The 0.2*avg threshold is cross-engine exact because
+    quantities are small integers: their double sum is exact in any
+    order, so both engines derive the identical threshold."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_TPCH_Q17)

@@ -2094,3 +2094,135 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "value", (F.col("value") - nmax).alias("prominence"))
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > lag(value) OVER w THEN 1
+                  WHEN value < lag(value) OVER w THEN -1
+                  ELSE 0 END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, dir,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, dir
+                                  ORDER BY ts, event_id) AS island
+      FROM d WHERE dir IS NOT NULL
+    ),
+    lens AS (
+      SELECT user_id, dir, island, COUNT(*) AS len
+      FROM runs GROUP BY user_id, dir, island
+    )
+    SELECT user_id,
+           CAST(COALESCE(MAX(CASE WHEN dir = 1 THEN len END), 0) AS BIGINT)
+             AS longest_up,
+           CAST(COALESCE(MAX(CASE WHEN dir = -1 THEN len END), 0) AS BIGINT)
+             AS longest_down
+    FROM lens GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest up/down streak per user — momentum-run detection via
+    the gaps-and-islands double-row_number trick: the difference of a
+    global and a per-direction row number is constant exactly within a
+    maximal run, so runs become group keys with no iteration. Both
+    row_numbers sort the SAME (user, ts, event_id) order, so the whole
+    pipeline (two windows + two aggregates) rides one user_id shuffle;
+    run lengths are integers — nothing floats anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(wo)
+    d = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") > prev, 1)
+         .when(F.col("value") < prev, -1)
+         .when(prev.isNull(), F.lit(None).cast("int"))
+         .otherwise(0).alias("dir"),
+    )
+    wdir = W.partitionBy("user_id", "dir").orderBy("ts", "event_id")
+    runs = d.where(F.col("dir").isNotNull()).select(
+        "user_id", "dir",
+        (F.row_number().over(wo) - F.row_number().over(wdir)).alias("island"),
+    )
+    lens = runs.groupBy("user_id", "dir", "island").agg(F.count("*").alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.coalesce(F.max(F.when(F.col("dir") == 1, F.col("len"))), F.lit(0))
+        .cast("long").alias("longest_up"),
+        F.coalesce(F.max(F.when(F.col("dir") == -1, F.col("len"))), F.lit(0))
+        .cast("long").alias("longest_down"),
+    )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,0))) AS BIGINT) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,0))) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS BIGINT) AS syy,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS BIGINT) AS sxy
+      FROM k WHERE y IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS autocorr
+    FROM s
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user (is the series trending or
+    mean-reverting?): Pearson r over (xₜ, xₜ₋₁) pairs from one lag()
+    on the shared user shuffle. Every sum is integer-tick exact in
+    decimal and below 2⁵³ when converted (ticks ≤ 49k, ≤ tens of
+    thousands of pairs per key), so both engines compose r from
+    bit-identical operands; the composition itself is the shared
+    moment formula with sqrt (never pow), rounded 6dp with |r| ≤ 1
+    margin."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * 100).cast("long")
+    k = ev.select(
+        "user_id", x.alias("x"), F.lag(x).over(wo).alias("y"),
+    )
+    s = k.where(F.col("y").isNotNull()).groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("long").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("long").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
+    )
+    return s.select(
+        "user_id", "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("autocorr"),
+    )
