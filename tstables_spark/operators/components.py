@@ -2,16 +2,17 @@
 near-duplicate PAIRS into duplicate CLUSTERS (pick one survivor per
 component), finishing the dedup pipeline.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node takes the minimum label among itself
-and its neighbors; fixpoint is reached when no label changes. Rounds
-needed = graph diameter (near-dup graphs are shallow — dup clusters are
-cliques or near-cliques, so 2-3 rounds typical). Each round is one
-join + one aggregate, both keyed shuffles; the driver only sees the
-single changed-label COUNT per round (an O(1) convergence probe, not
-data). This is the textbook distributed CC; the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce") drops in
-for adversarially deep graphs.
+Algorithm: iterative min-label propagation WITH pointer doubling.
+Every node starts labeled with itself; each round every node takes the
+minimum among its own label, its neighbors' labels, and the label of
+its current label (the path-halving jump — the same device as
+large-star/small-star, Kiveris et al., "Connected Components in
+MapReduce"). The jump makes convergence O(log diameter) instead of
+O(diameter): near-dup graphs are usually near-cliques (2-3 rounds),
+but sf0.1 produced a chain deeper than 20 hops and diameter-bound
+propagation timed out. Each round is two keyed joins + one aggregate;
+the driver only sees the single changed-label COUNT per round (an O(1)
+convergence probe, not data).
 
 Determinism: min() over labels is order-independent, so the fixpoint is
 unique regardless of partitioning — safe for exact oracle comparison
@@ -62,9 +63,22 @@ def connected_components(
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
+        # pointer doubling (path halving): also adopt the label OF my
+        # current label. Min-propagation alone needs diameter rounds —
+        # a sf0.1 near-dup chain blew past 20 (found by the sf0.1
+        # parity sweep); with the jump the label distance halves each
+        # round, so convergence is O(log diameter) and the 20-round cap
+        # covers diameters up to ~2^20. One extra component-keyed join
+        # per round; the fixpoint (min reachable label) is unchanged.
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.component").alias("component"))
+        )
         new_labels = (
             labels.select("node", "component")
             .union(nbr)
+            .union(jump)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )

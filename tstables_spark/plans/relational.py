@@ -1004,8 +1004,10 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n,
              CAST(SUM(CAST(k AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS s1,
              CAST(SUM(CAST(k*k AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS s2,
-             CAST(SUM(CAST(k*k*k AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s3,
-             CAST(SUM(CAST(k*k*k*k AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS s4
+             CAST(SUM(CAST(k*k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))
+                  AS DOUBLE) / 1000000.0 AS s3,
+             CAST(SUM(CAST(k*k AS DECIMAL(19,0)) * CAST(k*k AS DECIMAL(19,0)))
+                  AS DOUBLE) / 100000000.0 AS s4
       FROM kk GROUP BY event_type
     )
     SELECT event_type, n,
@@ -1034,8 +1036,11 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compose the moments with an identical IEEE expression
     (sqrt, not pow(x,1.5) — pow's last-ulp behavior is libm-specific).
     The power sums run on INTEGER TICKS (value is 2-decimal fixed
-    point, verified at every SF; k = round(100·value) is exact in
-    BIGINT through k⁴ < 2⁶³): x⁴ as a double carries ~16 significant
+    point, verified at every SF; k = round(100·value)); k² stays in
+    BIGINT, and k³/k⁴ promote to DECIMAL(19,0)×DECIMAL(19,0) products
+    — k⁴ exceeds 2⁶³ already at sf0.1's 560.21 max value (ANSI
+    overflow, found by the sf0.1 parity sweep), and (19,0)·(19,0)
+    is exact at width 38 in both engines: x⁴ as a double carries ~16 significant
     digits against 11 integer digits, so casting it to any decimal
     scale lands in tie territory where the engines' rounding modes
     differ — measured 1-ulp, then 1e-12, kurtosis skew at scales 6 and
@@ -1053,8 +1058,14 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(kc.cast("decimal(28,0)")).cast("double") / F.lit(100.0)).alias("s1"),
         (F.sum((kc * kc).cast("decimal(28,0)")).cast("double") / F.lit(10000.0)).alias("s2"),
-        (F.sum((kc * kc * kc).cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)).alias("s3"),
-        (F.sum((kc * kc * kc * kc).cast("decimal(38,0)")).cast("double") / F.lit(100000000.0)).alias("s4"),
+        (
+            F.sum((kc * kc).cast("decimal(19,0)") * kc.cast("decimal(19,0)"))
+            .cast("double") / F.lit(1000000.0)
+        ).alias("s3"),
+        (
+            F.sum((kc * kc).cast("decimal(19,0)") * (kc * kc).cast("decimal(19,0)"))
+            .cast("double") / F.lit(100000000.0)
+        ).alias("s4"),
     )
     n = F.col("n")
     mean = F.col("s1") / n

@@ -703,7 +703,8 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     )
-    WHERE prev_ts IS NOT NULL AND ts - prev_ts > INTERVAL 6 HOUR
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 21600000000
     """,
 )
 def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,14 +712,19 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring query behind data-freshness SLAs (the reference's
     append-only series make gaps purely a read-side question). lag +
     filter over one user_id shuffle; emitted rows are (gap_start,
-    gap_end, seconds). Linear, no join."""
+    gap_end, seconds). Linear, no join. The 6h threshold compares
+    MICROSECOND-exact integers on both sides — a floored-seconds
+    comparison against the oracle's exact interval diverged on exactly
+    one boundary row at sf0.1 (found by the sf0.1 parity sweep);
+    gap_seconds stays the floored-second difference, where both
+    engines' truncation semantics agree."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
     ).where(
         F.col("prev_ts").isNotNull()
-        & (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 6 * 3600)
+        & (F.unix_micros("ts") - F.unix_micros("prev_ts") > 21_600_000_000)
     )
     return gaps.select(
         "user_id",
@@ -1294,15 +1300,17 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(wf).alias("nv"),
         F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
     )
-    frac = (
-        (F.unix_timestamp("t") - F.unix_timestamp("pt")).cast("double")
-        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
-    )
+    # Association order matters: the oracle's `(nv - pv) * X / Y`
+    # parses left-assoc as ((nv - pv) * X) / Y, NOT (nv-pv) * (X/Y) —
+    # the two round differently (87 cells diverged at sf0.1). Mirror
+    # the exact grouping.
+    num = (F.unix_timestamp("t") - F.unix_timestamp("pt")).cast("double")
+    den = (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+            F.col("pv") + (F.col("nv") - F.col("pv")) * num / den,
         )
     )
     return w_.select(
