@@ -712,3 +712,84 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+@query(
+    "token_pmi",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+    ),
+    pair_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    uni AS (
+      SELECT token, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tok,
+                   CAST(SUM(len(t) - 1) AS BIGINT) AS n_bi
+            FROM toks),
+    scored AS (
+      SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+             round(ln((CAST(p.c12 AS DOUBLE) / t.n_bi)
+                      / ((CAST(u1.c AS DOUBLE) / t.n_tok)
+                         * (CAST(u2.c AS DOUBLE) / t.n_tok))), 6) AS pmi
+      FROM pair_c p, uni u1, uni u2, tot t
+      WHERE p.w1 = u1.token AND p.w2 = u2.token AND p.c12 >= 20
+    )
+    SELECT w1, w2, c12, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information —
+    the phrase-mining statistic (word2vec-era PMI over adjacent
+    pairs): which token pairs co-occur far above chance. Plan: one
+    positional explode feeds the bigram counts; unigram counts and the
+    two corpus totals aggregate from the same tokenization; the two
+    unigram joins are token-keyed (the small side after counting);
+    support floor c12 >= 20 keeps the statistic out of noise. PMI
+    composes counts with one shared IEEE expression rounded 6dp (ln is
+    libm) and ranks on the ROUNDED value with a lexicographic
+    tiebreak, so the global top-50 cut is deterministic cross-engine
+    (TakeOrderedAndProject — no global sort)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = toks.select(F.explode("t").alias("token")).groupBy("token").agg(
+        F.count("*").alias("c")
+    )
+    tot = toks.agg(
+        F.sum(F.size("t")).cast("long").alias("n_tok"),
+        F.sum(F.size("t") - 1).cast("long").alias("n_bi"),
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pair_c.where(F.col("c12") >= 20)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_tok"))
+                        * (F.col("c2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)

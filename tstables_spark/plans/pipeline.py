@@ -387,3 +387,52 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < (F.col("n_chars") * 1000000) / 4000).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM cnt
+              JOIN sizes sa ON cnt.doc_a = sa.doc_id
+              JOIN sizes sb ON cnt.doc_b = sb.doc_id
+              WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.6),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS node, LEAST(a, min(b)) AS component
+             FROM reach GROUP BY a),
+    csz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM csz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram + removable-doc accounting —
+    the dedup pipeline's REPORT: for each cluster size, how many
+    clusters exist and how many documents deleting all-but-one
+    survivor would remove (the number a data lead actually asks for
+    before signing off a dedup run). Two tiny aggregates on top of the
+    connected-components labels; all the heavy lifting is the same
+    pair+CC pipeline dedup_clusters runs, so this query also
+    regression-pins the component STRUCTURE (size distribution), not
+    just per-node labels."""
+    from tstables_spark.operators.components import connected_components
+
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    csz = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return csz.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
+    )

@@ -2234,3 +2234,42 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr"),
     )
+
+
+@query(
+    "win_minmax_norm",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(min(round(value * 100)) AS BIGINT) AS kmin,
+             CAST(max(round(value * 100)) AS BIGINT) AS kmax
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN s.kmax = s.kmin THEN 0.5
+                ELSE CAST(CAST(round(e.value * 100) AS BIGINT) - s.kmin AS DOUBLE)
+                     / CAST(s.kmax - s.kmin AS DOUBLE)
+           END AS value_norm
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+)
+def win_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max feature scaling to [0,1] — the grouped-stats-
+    join normalization template (same shape as ts_outlier_iqr): the
+    per-key extrema are a TINY aggregate (rows = #users) joined back,
+    so the fact stream shuffles once at most and AQE can broadcast the
+    stats side; the big side is never windowed. Extrema and the
+    normalized ratio run on exact integer ticks — min/max of doubles
+    would be exact anyway, but the integer form keeps the subtraction
+    and the one IEEE division bit-identical with zero caveats.
+    Constant series pin to 0.5 by CASE on both engines."""
+    ev = load(spark, sf_dir, "events")
+    k = F.round(F.col("value") * 100).cast("long")
+    stats = ev.groupBy("user_id").agg(
+        F.min(k).alias("kmin"), F.max(k).alias("kmax")
+    )
+    j = ev.join(stats, "user_id")
+    norm = F.when(F.col("kmax") == F.col("kmin"), F.lit(0.5)).otherwise(
+        (k - F.col("kmin")).cast("double") / (F.col("kmax") - F.col("kmin")).cast("double")
+    )
+    return j.select("event_id", "user_id", "ts", norm.alias("value_norm"))
