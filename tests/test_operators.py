@@ -557,3 +557,67 @@ def test_zorder_morton_and_locality(spark):
     for r in env:
         assert r["xspan"] <= 1000 / 8 + 16, "bucket must bound the user dimension"
         assert r["tspan"] <= tot / 8 + 3600, "bucket must bound the time dimension"
+
+
+def test_spread_small_scan_raises_floor_only_when_needed(spark):
+    from tstables_spark.operators.dedup import spread_small_scan
+
+    one = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id long, text string").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    spread = spread_small_scan(one)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+    # already at/above the floor -> untouched (no gratuitous shuffle)
+    wide = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string").repartition(
+        spark.sparkContext.defaultParallelism + 3
+    )
+    assert (
+        spread_small_scan(wide).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism + 3
+    )
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Randomized intervals: the banded exactly-once join must emit the
+    same pair set as the naive non-equi join, each pair exactly once —
+    including pairs whose overlap spans several bands (long intervals)
+    and same-start ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tstables_spark.operators.rangejoin import interval_overlap_join
+
+    rnd = random.Random(7)
+    base = 1_700_000_000
+    rows_l, rows_r = [], []
+    for i in range(300):
+        k = rnd.randint(0, 5)
+        s = base + rnd.randint(0, 50_000)
+        rows_l.append((i, k, s, s + rnd.randint(0, 5_000)))
+        s2 = base + rnd.randint(0, 50_000)
+        rows_r.append((i, k, s2, s2 + rnd.randint(0, 5_000)))
+    L = spark.createDataFrame(rows_l, "lid long, k long, s long, e long").select(
+        "lid", "k",
+        F.timestamp_seconds("s").alias("ls"), F.timestamp_seconds("e").alias("le"),
+    )
+    R = spark.createDataFrame(rows_r, "rid long, k long, s long, e long").select(
+        "rid", "k",
+        F.timestamp_seconds("s").alias("rs"), F.timestamp_seconds("e").alias("re"),
+    )
+    got = interval_overlap_join(
+        L, R, left_start="ls", left_end="le", right_start="rs", right_end="re",
+        by="k", band_seconds=1000,
+    ).select("lid", "rid")
+    brute = (
+        L.alias("l").join(
+            R.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.ls") <= F.col("r.re"))
+            & (F.col("r.rs") <= F.col("l.le")),
+        ).select(F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid"))
+    )
+    g = {(r.lid, r.rid) for r in got.collect()}
+    b = {(r.lid, r.rid) for r in brute.collect()}
+    assert g == b
+    assert got.count() == len(g)  # exactly once, no duplicate emissions
