@@ -2273,3 +2273,107 @@ def win_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - F.col("kmin")).cast("double") / (F.col("kmax") - F.col("kmin")).cast("double")
     )
     return j.select("event_id", "user_id", "ts", norm.alias("value_norm"))
+
+
+@query(
+    "ts_catalog",
+    oracle="""
+    SELECT 'clicks' AS series,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'purchases',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT),
+           min(ts), max(ts)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog manifest: enumerate every series under a catalog root
+    (list_series — the reference's many-series-per-File concept) and
+    report rows / day-partition count / ts extent per series. The
+    partition count comes from DIRECTORY NAMES (_partition_dates, a
+    pure metadata walk) and the extents from the edge-partition
+    min_dt/max_dt probes — nothing here scans a series end to end
+    except the row count, and at scale that too would come from
+    footer row counts. The oracle recomputes all of it relationally
+    from the fixture: a hash match proves the storage metadata agrees
+    with the data's ground truth."""
+    from datetime import timezone
+
+    from tstables_spark.tstable import TimeSeriesTable, list_series
+
+    ev = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="catalog_")
+    for name, etype in (("clicks", "click"), ("purchases", "purchase")):
+        sub = ev.where(F.col("event_type") == etype)
+        t = TimeSeriesTable.create(spark, root, name, ev.schema)
+        t.append(sub)
+    rows = []
+    for name in list_series(root):
+        t = TimeSeriesTable.open(spark, root, name)
+        n = t.to_df().count()
+        lo = t.min_dt().astimezone(timezone.utc).replace(tzinfo=None)
+        hi = t.max_dt().astimezone(timezone.utc).replace(tzinfo=None)
+        rows.append((name, n, len(t._partition_dates()), lo, hi))
+    return spark.createDataFrame(
+        rows, "series string, n_rows long, n_days long, min_ts timestamp, max_ts timestamp"
+    )
+
+
+@query(
+    "ts_multi_series_align",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    p AS (SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ts_multi_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LIBRARY story in one query: split the event
+    stream into two TimeSeriesTable series (clicks, purchases) in a
+    catalog, write both through the partitioned-sorted storage path,
+    REOPEN them cold, and as-of align every purchase with the user's
+    prevailing click value — multi-instrument alignment (trade vs
+    quote, sensor vs reference) exactly as a user of the reference
+    would compose it. The oracle computes the same alignment straight
+    off the fixture: the hash match proves storage round-trip + as-of
+    compose losslessly (any write-path corruption or ordering loss
+    would surface as a wrong carried value). Clicks collapse to one
+    row per (user, instant) before the join — same determinism rule
+    as every as-of here."""
+    from tstables_spark.tstable import TimeSeriesTable
+
+    ev = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="align_")
+    for name, etype in (("clicks", "click"), ("purchases", "purchase")):
+        t = TimeSeriesTable.create(spark, root, name, ev.schema)
+        t.append(ev.where(F.col("event_type") == etype))
+    clicks = (
+        TimeSeriesTable.open(spark, root, "clicks").to_df()
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "click_value")
+    )
+    purchases = (
+        TimeSeriesTable.open(spark, root, "purchases").to_df()
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="c_ts",
+        left_by="user_id",
+        right_by="c_user",
+        right_values=["click_value"],
+    ).select("event_id", "user_id", "ts", "value", "click_value")
