@@ -42,19 +42,15 @@ def _load_all() -> None:
     # Everything displaced is hash-green in r01/r02/r04 with an
     # unchanged implementation and covered by repo-local parity tests.
     #
-    # ROUND-6 ROTATION POOL: the second half of round 5 added ~45 new
-    # queries (TPC-H Q4/Q6/Q12/Q14/Q18/Q19, win_rsi/ts_rate/
-    # ts_cross_rank/ts_seasonal_profile/ts_cusum, dedup_ngram_coverage/
-    # dedup_paragraphs/doc_tfidf, sim_range_search/embed_pq,
-    # ts_retention_purge/ts_time_travel, stream_asof, agg_skew_kurt/
-    # agg_mode/agg_gini/agg_string_agg/agg_unpivot/agg_hll_sketch_union,
-    # attribution_last_touch, fn_struct/fn_bitwise/fn_conditional/
-    # fn_surrogate_key, ts_state_durations/cdc_scd2/join_scd2_pit,
-    # join_interval_overlap/join_existence_prefilter, win_first_last,
-    # sink_orc_roundtrip, ts_twap/sample_weighted, ts_benford/
-    # ts_peak_detect) — all hash-green in repo pytest but none yet in a
-    # driver window. Next round: rotate them into slots 3-50, keeping
-    # (a) pinned.
+    # ROUND-6 ROTATION POOL: the second half of round 5 added ~57 new
+    # queries (the tail of SURVEY.md §2 Table B, from sql_tpch_q4
+    # through ts_multi_series_align: 11 more TPC-H, the tick-analytics
+    # family, storage lifecycle/time-travel, SCD2 build+consume,
+    # interval-overlap and runtime-filter joins, corpus dedup reports,
+    # PMI/TF-IDF, PQ/radius search, streaming as-of, sketch unions,
+    # scalar batteries) — all hash-green in repo pytest at sf0.001,
+    # sf0.01 AND sf0.1, but none yet in a driver window. Next round:
+    # rotate them into slots 3-50, keeping (a) pinned.
     registry.prioritize(
         [
             # (a) reference identity, pinned
