@@ -793,3 +793,72 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
+@query(
+    "sim_matryoshka",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pfx AS (SELECT vec_id, v[1:16] AS p,
+                   list_sum(list_transform(v[1:16], x -> x * x)) AS pn2
+            FROM e),
+    full_n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2
+               FROM e),
+    q AS (SELECT vec_id AS qid, p AS qp, pn2 AS qn2 FROM pfx WHERE vec_id < 10),
+    ps AS (SELECT qid, c.vec_id AS nid,
+                  round(list_sum(list_transform(generate_series(1, 16),
+                                                i -> qp[i] * c.p[i]))
+                        / sqrt(qn2 * c.pn2), 4) AS cosine
+           FROM q, pfx c WHERE qid != c.vec_id),
+    pr AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, nid) AS rn
+           FROM ps),
+    qf AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM full_n WHERE vec_id < 10),
+    fs AS (SELECT qid, c.vec_id AS nid,
+                  round(list_sum(list_transform(generate_series(1, len(qv)),
+                                                i -> qv[i] * c.v[i]))
+                        / sqrt(qn2 * c.n2), 4) AS cosine
+           FROM qf, full_n c WHERE qid != c.vec_id),
+    fr AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, nid) AS rn
+           FROM fs)
+    SELECT p.qid,
+           CAST(COUNT(f.nid) AS BIGINT) AS hits,
+           CAST(COUNT(f.nid) AS DOUBLE) / 5.0 AS recall5
+    FROM (SELECT qid, nid FROM pr WHERE rn <= 5) p
+    LEFT JOIN (SELECT qid, nid FROM fr WHERE rn <= 5) f
+      ON p.qid = f.qid AND p.nid = f.nid
+    GROUP BY p.qid
+    """,
+)
+def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation quality: top-5 neighbors
+    computed on the FIRST 16 of 64 dims, scored by overlap with the
+    full-dimension top-5 (recall@5 per query) — the measurement behind
+    'can we search at a quarter of the bandwidth?'. Both retrievals
+    run the zero-shuffle scan-side kernel (operators/similarity.py);
+    the overlap is one tiny per-query join of two 5-row sets. Every
+    cosine is 4dp-rounded before ranking, so both engines cut
+    identical top-5 sets and the recall itself is hash-exact — an
+    EXACT metric about an approximation, same contract as
+    agg_hll_sketch_union."""
+    from tstables_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    pfx = emb.select("vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding"))
+    top_p = cosine_topk(pfx, F.col("vec_id") < 10, k=5).select("qid", "nid")
+    top_f = cosine_topk(emb, F.col("vec_id") < 10, k=5).select(
+        F.col("qid").alias("f_qid"), F.col("nid").alias("f_nid")
+    )
+    hits = F.count(F.col("f_nid"))
+    return (
+        top_p.join(
+            top_f,
+            (top_p["qid"] == top_f["f_qid"]) & (top_p["nid"] == top_f["f_nid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(hits.alias("hits"), (hits.cast("double") / F.lit(5.0)).alias("recall5"))
+    )

@@ -1445,3 +1445,43 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so both engines derive the identical threshold."""
     register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_TPCH_Q17)
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.45) AS lo50,
+             quantile_cont(value, 0.55) AS hi50,
+             quantile_cont(value, 0.94) AS lo99,
+             quantile_cont(value, 1.00) AS hi99
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, TRUE AS p50_ok, TRUE AS p99_ok FROM b
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile, accuracy 100 → rank
+    error <= 1%): the constant-memory, MERGEABLE path for percentile
+    monitoring at 100 TB, where exact per-group sort-based quantiles
+    (agg_percentiles) are the expensive alternative. The sketch's
+    merge order is partition-dependent, so raw estimates can't be
+    value-hashed; the driver-checkable claims are the GUARANTEE
+    itself: each estimate must land between the exact quantiles at
+    p ± 1% rank distance (computed Spark-side with exact percentile(),
+    oracle-side with quantile_cont) — the oracle expects TRUE, so a
+    sketch drifting past its contract fails the hash."""
+    ev = load(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.99), 100)").alias("ap"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.94)").alias("lo99"),
+        F.expr("percentile(value, 1.00)").alias("hi99"),
+    )
+    return approx.select(
+        "event_type",
+        ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias("p50_ok"),
+        ((F.col("ap")[1] >= F.col("lo99")) & (F.col("ap")[1] <= F.col("hi99"))).alias("p99_ok"),
+    )
