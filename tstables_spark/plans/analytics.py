@@ -566,3 +566,156 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "graph_degree_dist",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 600000000 AS bucket
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.user_id < b2.user_id
+    ),
+    deg AS (
+      SELECT u AS node, COUNT(*) AS degree
+      FROM (SELECT u FROM edges UNION ALL SELECT v FROM edges)
+           AS both_ends(u)
+      GROUP BY u
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence graph degree distribution: users active in the
+    same 10-minute bucket are neighbors; output = how many users have
+    each degree (the first chart of any graph analysis, and the input
+    to skew planning for graph algorithms). Plan: DISTINCT
+    (user, bucket) first — collapsing repeat activity BEFORE the
+    self-join is what bounds the pair expansion to Σ occupancy² over
+    buckets instead of Σ events²; edges dedup once (a pair can share
+    many buckets); degrees come from one union+count. The bucket key
+    is exact µs integer division — the same no-calendar rule as
+    ts_cross_rank."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 600000000").alias("bucket")
+    ).distinct()
+    l, r = b.alias("l"), b.alias("r")
+    edges = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.user_id") < F.col("r.user_id")))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "k_anonymity_check",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
+             CAST(EXTRACT(DOW FROM ts) AS INT) AS dow,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           COUNT(CASE WHEN n_users < 5 THEN 1 END) AS violating_groups,
+           CAST(MIN(n_users) AS BIGINT) AS min_k,
+           COUNT(CASE WHEN n_users < 5 THEN 1 END) = 0 AS k5_anonymous
+    FROM g
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    hour-of-day, day-of-week): how many equivalence classes exist,
+    how many contain fewer than k=5 distinct users (re-identification
+    risk), and the minimum class size — the privacy gate run before a
+    dataset leaves a safe boundary, complementing pii_redact's
+    masking. One partial+final aggregate to ≤ type×24×7 groups, then a
+    4-row summary; the DOW mapping is pinned cross-engine as in
+    ts_seasonal_profile."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count("*").alias("group_size"), F.countDistinct("user_id").alias("n_users"))
+    viol = F.count(F.when(F.col("n_users") < 5, F.lit(1)))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        viol.alias("violating_groups"),
+        F.min("n_users").cast("long").alias("min_k"),
+        (viol == 0).alias("k5_anonymous"),
+    )
+
+
+@query(
+    "forecast_naive_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tick_sum
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, h, tick_sum,
+             lag(tick_sum, 24) OVER (PARTITION BY event_type ORDER BY h)
+               AS forecast
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(COUNT(forecast) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(tick_sum - forecast)) AS BIGINT) AS abs_err_ticks,
+           round(CAST(SUM(abs(tick_sum - forecast)) AS DOUBLE)
+                 / COUNT(forecast) / 100.0, 6) AS mae
+    FROM f WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest scaffold: the seasonal-naive forecast (same
+    hour yesterday) evaluated by MAE per event type — the baseline
+    every real forecasting model must beat, and the eval-loop shape
+    (build series → shift → score) that generalizes to any model
+    whose predictions land in a column. The hourly series is a SUM of
+    integer ticks (not a mean), so series, forecast, and absolute
+    errors are all BIGINT-exact; MAE is one final IEEE division
+    rounded at 6dp. Note the lag is over the ROW sequence of observed
+    hours — the fixture's hourly series is gapless per type; a gappy
+    series would densify first (ts_densify) to keep 'yesterday' honest."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("tick_sum"))
+    wo = W.partitionBy("event_type").orderBy("h")
+    f = hourly.select(
+        "event_type", "h", "tick_sum", F.lag("tick_sum", 24).over(wo).alias("forecast")
+    )
+    err = F.abs(F.col("tick_sum") - F.col("forecast"))
+    return (
+        f.where(F.col("forecast").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("forecast").alias("n_eval"),
+            F.sum(err).cast("long").alias("abs_err_ticks"),
+            F.round(F.sum(err).cast("double") / F.count("forecast") / F.lit(100.0), 6).alias(
+                "mae"
+            ),
+        )
+    )
