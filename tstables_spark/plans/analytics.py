@@ -719,3 +719,74 @@ def forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "drift_psi_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(c) AS n FROM d GROUP BY day),
+    p AS (
+      SELECT d.day, d.event_type,
+             CAST(d.c AS DOUBLE) / t.n AS share
+      FROM d JOIN tot t ON d.day = t.day
+    ),
+    pairs AS (
+      SELECT cur.day, cur.event_type,
+             cur.share AS p_today,
+             prev.share AS p_yesterday
+      FROM p cur JOIN p prev
+        ON cur.event_type = prev.event_type
+       AND prev.day = cur.day - INTERVAL 1 DAY
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           round(SUM((p_today - p_yesterday)
+                     * ln(p_today / p_yesterday)), 6) AS psi
+    FROM pairs GROUP BY day
+    """,
+)
+def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day population stability index of the event-type mix —
+    the industry drift alarm (PSI > 0.2 = investigate) for monitoring
+    whether today's traffic still looks like yesterday's. Plan: one
+    (day, type) count aggregate, shares against per-day totals, and a
+    type-keyed self-join offset by one calendar day — every relation
+    after the first aggregate has at most days × types rows, so the
+    heavy table is scanned exactly once. Shares are exact-integer
+    ratios (one IEEE division each); PSI composes them with a shared
+    ln expression and rounds at 6dp, the same libm discipline as
+    doc_tfidf/token_pmi. Categories missing on either day drop out of
+    the pair join — the declared semantics (PSI's log is undefined at
+    zero; production smoothing is a caller-side epsilon)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    tot = d.groupBy("day").agg(F.sum("c").alias("n"))
+    p = d.join(tot, "day").select(
+        "day", "event_type", (F.col("c").cast("double") / F.col("n")).alias("share")
+    )
+    cur, prev = p.alias("cur"), p.alias("prev")
+    pairs = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("prev.event_type"))
+        & (F.col("prev.day") == F.date_sub(F.col("cur.day"), 1)),
+    ).select(
+        F.col("cur.day").alias("day"),
+        F.col("cur.share").alias("p_today"),
+        F.col("prev.share").alias("p_yesterday"),
+    )
+    return pairs.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n_categories"),
+        F.round(
+            F.sum(
+                (F.col("p_today") - F.col("p_yesterday"))
+                * F.log(F.col("p_today") / F.col("p_yesterday"))
+            ),
+            6,
+        ).alias("psi"),
+    )
