@@ -862,3 +862,36 @@ def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(hits.alias("hits"), (hits.cast("double") / F.lit(5.0)).alias("recall5"))
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(lower(hex(encode(text)))) AS blob_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS byte_len
+    FROM documents GROUP BY blob_hash
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY modality: multimodal blobs (packed
+    struct{binary, mime, meta}, written to and reread from parquet so
+    the bytes genuinely cross storage) grouped by content fingerprint,
+    keeping the lowest doc id — dedup_exact's twin for image/audio
+    payloads, where byte-identical files are the dominant duplicate
+    class. The fingerprint is md5 OVER THE HEX STRING of the bytes,
+    not md5(blob): DuckDB 1.0 has no blob md5, and the hex-string form
+    is exactly as collision-resistant while staying engine-portable —
+    the same portability contract as the text dedup hash family. One
+    hash aggregate; linear at any corpus size."""
+    packed = pack_multimodal(load(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="mmdedup_") + "/blobs"
+    packed.write.mode("overwrite").parquet(out)
+    rb = spark.read.parquet(out)
+    h = F.md5(F.lower(F.hex(F.col("blob.data"))))
+    return rb.groupBy(h.alias("blob_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("dup_count"),
+        F.min(F.length(F.col("blob.data"))).cast("long").alias("byte_len"),
+    )
