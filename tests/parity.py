@@ -34,12 +34,25 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns + normalize dtypes for order-insensitive compare.
+
+    Deliberately does NOT strip timezones: the driver's schema check
+    treats tz-aware (DuckDB TIMESTAMPTZ) vs naive (Spark TIMESTAMP) as a
+    mismatch, and the r5 ``stream_sliding`` failure shipped exactly
+    because an earlier version of this function normalized it away.
+    A tz-aware column keeps a distinct dtype string so ``compare``'s
+    dtype check fails, mirroring driver strictness.
+    """
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
         s = pdf[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             if getattr(s.dtype, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                # Keep tz-awareness visible as a dtype difference; only
+                # unify the unit and zone label so aware-vs-aware still
+                # compares by instant.
+                pdf[c] = s.dt.tz_convert("UTC").astype("datetime64[us, UTC]")
+                continue
             pdf[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
             pdf[c] = s.astype("float64")

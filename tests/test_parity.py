@@ -26,3 +26,24 @@ def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert len(df.schema.fields) > 0
     assert df.count() >= 0
+
+
+def test_tz_aware_vs_naive_is_schema_mismatch():
+    """Regression for the r5 stream_sliding driver failure: DuckDB
+    ``to_timestamp()`` returns TIMESTAMPTZ while Spark emits naive
+    TIMESTAMP. The driver treats that as a schema mismatch; the local
+    harness must too (it used to normalize it away and shipped green)."""
+    import pandas as pd
+
+    from tests.parity import compare
+
+    naive = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:00"])})
+    aware = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 00:00:00"]).tz_localize("UTC")}
+    )
+    res = compare("tz_regression", naive, aware)
+    assert not res.ok
+    assert any("dtype differs" in p for p in res.problems), str(res)
+    # Same instant, both tz-aware: still fine.
+    res2 = compare("tz_aware_both", aware.copy(), aware.copy())
+    assert res2.ok, str(res2)

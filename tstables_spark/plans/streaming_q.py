@@ -112,7 +112,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding",
     oracle="""
-    SELECT to_timestamp((floor(epoch(ts) / 20) - k) * 20) AS window_start,
+    SELECT CAST(to_timestamp((floor(epoch(ts) / 20) - k) * 20) AS TIMESTAMP) AS window_start,
            CAST(count(*) AS BIGINT) AS n
     FROM events, (VALUES (0), (1), (2)) AS t(k)
     GROUP BY 1
