@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tstables_spark.operators.clustering import kmeans_lloyd
+from tstables_spark.operators.clustering import kmeans_fit
 from tstables_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
@@ -43,19 +43,67 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cluster_kmeans")
+@query(
+    "cluster_kmeans",
+    oracle="SELECT vec_id, TRUE AS nearest_ok, TRUE AS nondegenerate_ok FROM embeddings",
+)
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd) cell assignment over the embeddings corpus —
     the mixture-balancing / stratified-sampling / codebook-training
     primitive (operators/clustering.py). 8 cells, 2 rounds,
-    deterministic id-ordered seeding. Rows-only: the fixpoint depends
-    on float centroid arithmetic no portable SQL reproduces; stability
-    and non-degeneracy are pinned by unit tests."""
+    deterministic id-ordered seeding.
+
+    The float fixpoint itself is engine-specific, so the hash-checked
+    surface is the tolerance-boolean pattern (same as
+    agg_approx_distinct): per vector, ``nearest_ok`` re-verifies the
+    Lloyd assignment invariant — squared-L2 to the ASSIGNED final
+    centroid equals the minimum over all k final centroids — through an
+    INDEPENDENT code path (JVM ``aggregate``/``zip_with`` expression
+    fold vs the numpy Arrow kernel that produced the assignment), and
+    ``nondegenerate_ok`` asserts all k cells are populated (seeded from
+    k distinct vectors; an empty cell would mean the update step
+    collapsed). The oracle expects TRUE for every embeddings row, which
+    also pins the one-assignment-per-vector row contract."""
+    k = 8
     emb = load(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=8, iters=2)
+    assigned, cents = kmeans_fit(emb, k=k, iters=2)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dist_to(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[dist_to(c) for c in cents])
+    nearest_ok = (
+        F.element_at(dists, F.col("cell") + 1) <= F.array_min(dists) + F.lit(1e-9)
+    )
+    used = assigned.agg(F.countDistinct("cell").alias("cells_used"))
+    return (
+        assigned.select("vec_id", nearest_ok.alias("nearest_ok"))
+        .crossJoin(F.broadcast(used))
+        .select(
+            "vec_id",
+            "nearest_ok",
+            (F.col("cells_used") == k).alias("nondegenerate_ok"),
+        )
+    )
 
 
-@query("sim_recall")
+@query(
+    "sim_recall",
+    oracle="""
+    WITH nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE vec_id < 10)
+    SELECT v.variant, nq.n_queries, 0.8 AS recall_floor,
+           TRUE AS recall_ok
+    FROM (VALUES ('sim_ivf'), ('sim_ivf_centroid'), ('sim_ivf_kmeans'))
+         AS v(variant), nq
+    """,
+)
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of every approximate-similarity variant against the
     exact brute-force ``cosine_topk`` on the same 10 queries — the
@@ -63,8 +111,14 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round instead of it living only in pytest. Deterministic:
     every variant is RNG-free and ties are id-broken, so these numbers
     are stable across runs, partitionings, and cluster layouts.
-    Rows-only (the metric grades engine-specific approximations; its
-    ground truth, sim_topk, IS hash-checked)."""
+
+    Hash-checked via the tolerance-boolean pattern: the exact recall is
+    engine-specific (it grades this engine's approximations), but the
+    quality CONTRACT — recall@5 >= 0.8 for every variant — is a
+    portable boolean the oracle expects TRUE. Measured recalls are
+    0.90–1.00 across sf0.001/0.01/0.1, so the 0.8 floor has real
+    margin; a bucketing/probing regression in any variant flips the
+    boolean and fails the driver hash."""
     emb = load(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     k = 5
@@ -93,9 +147,10 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for name, make in variants:
         approx = pairs(make())
-        rows.append((name, n_queries, round(len(exact & approx) / len(exact), 4)))
+        recall = len(exact & approx) / len(exact)
+        rows.append((name, n_queries, 0.8, recall >= 0.8))
     return spark.createDataFrame(
-        rows, "variant string, n_queries long, recall_at_5 double"
+        rows, "variant string, n_queries long, recall_floor double, recall_ok boolean"
     )
 
 

@@ -233,14 +233,58 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-@query("stream_stateful")
+@query(
+    "stream_stateful",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id)
+    SELECT c.user_id, c.n_events, l.last_value, TRUE AS total_ok
+    FROM c JOIN l ON c.user_id = l.user_id AND l.rn = 1
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    running count/sum/last over the stream. Rows-only: emission
-    granularity is per-micro-batch, an execution detail no batch SQL
-    reproduces."""
+    running count/sum/last over the stream, checked against its batch
+    twin via the tolerance-boolean pattern. The query really runs the
+    stream (update mode: one row per user per micro-batch), then keeps
+    each user's FINAL state (max n_events — the running count is
+    strictly monotone). n_events and last_value are deterministic
+    (last is by event time, max (ts, event_id) — streaming/stateful.py
+    STATE_SCHEMA note) and hash-checked exactly; total_value floats
+    accumulate in micro-batch arrival order, so the oracle instead
+    expects ``total_ok`` TRUE = within 1e-9 relative of the
+    order-independent decimal-exact batch sum."""
+    from pyspark.sql import Window
+
     src = _read_stream(spark, sf_dir)
-    return _run_to_memory(running_user_stats(src), "update")
+    out = _run_to_memory(running_user_stats(src), "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("exact_total")
+        )
+    )
+    return (
+        final.join(F.broadcast(batch), "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "last_value",
+            (
+                F.abs(F.col("total_value") - F.col("exact_total"))
+                <= F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs("exact_total"))
+            ).alias("total_ok"),
+        )
+    )
 
 
 # NOTE: running_user_stats_tws (transformWithStateInPandas, the Spark

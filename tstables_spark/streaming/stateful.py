@@ -17,21 +17,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_value double"
-STATE_SCHEMA = "n bigint, total double, last double"
+# "last" is by EVENT TIME (max (ts, event_id)), not arrival order: the
+# state carries the winning key so late/out-of-order micro-batches — and
+# a group's rows arriving split across several Arrow chunks within one
+# batch — can never regress it. This is what makes the end-of-stream
+# state deterministic and batch-reproducible (stream_stateful's oracle).
+STATE_SCHEMA = "n bigint, total double, last_ts bigint, last_eid bigint, last double"
+
+
+def _chunk_last(pdf: pd.DataFrame) -> tuple[int, int, float]:
+    """(ts_micros, event_id, value) of the chunk's max-(ts, event_id) row."""
+    idx = pdf[["ts", "event_id"]].sort_values(["ts", "event_id"]).index[-1]
+    row = pdf.loc[idx]
+    return int(pd.Timestamp(row["ts"]).value // 1000), int(row["event_id"]), float(row["value"])
 
 
 def _update(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, last = state.get if state.exists else (0, 0.0, float("nan"))
+    n, total, last_ts, last_eid, last = (
+        state.get if state.exists else (0, 0.0, -1, -1, float("nan"))
+    )
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        if not len(pdf):
+            continue
         n += len(pdf)
         total += float(pdf["value"].sum())
-        if len(pdf):
-            last = float(pdf["value"].iloc[-1])
-    state.update((n, total, last))
+        c_ts, c_eid, c_val = _chunk_last(pdf)
+        if (c_ts, c_eid) > (last_ts, last_eid):
+            last_ts, last_eid, last = c_ts, c_eid, c_val
+    state.update((n, total, last_ts, last_eid, last))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "total_value": [total], "last_value": [last]}
     )
@@ -66,14 +82,18 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("agg", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total, last = self._state.get() if self._state.exists() else (0, 0.0, float("nan"))
+            n, total, last_ts, last_eid, last = (
+                self._state.get() if self._state.exists() else (0, 0.0, -1, -1, float("nan"))
+            )
             for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
+                if not len(pdf):
+                    continue
                 n += len(pdf)
                 total += float(pdf["value"].sum())
-                if len(pdf):
-                    last = float(pdf["value"].iloc[-1])
-            self._state.update((n, total, last))
+                c_ts, c_eid, c_val = _chunk_last(pdf)
+                if (c_ts, c_eid) > (last_ts, last_eid):
+                    last_ts, last_eid, last = c_ts, c_eid, c_val
+            self._state.update((n, total, last_ts, last_eid, last))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_value": [last]}
             )
