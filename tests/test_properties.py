@@ -161,3 +161,27 @@ def test_editdist_banding_is_complete(spark, sf_dir):
     ).fetchall()
     assert got == {tuple(r) for r in brute}
     assert len(got) > 0  # non-vacuous at this sf
+
+
+def test_degree_dist_hot_bucket_guard(spark):
+    """A synthetic viral bucket (10k users in one 10-minute window) must
+    not go quadratic: the occupancy cap keeps only the 256 lowest
+    user_ids, so the hot bucket contributes a 256-clique (each kept user
+    degree 255) instead of 50M pairs, and the job completes in seconds.
+    A cold 4-user bucket alongside is untouched (degree 3)."""
+    from pyspark.sql import functions as F
+
+    from tstables_spark.plans.analytics import cooccurrence_degree_dist
+
+    hot = spark.range(10_000).select(
+        F.col("id").alias("user_id"), F.lit(0).cast("long").alias("bucket")
+    )
+    cold = spark.range(4).select(
+        (F.col("id") + 100_000).alias("user_id"),
+        F.lit(1).cast("long").alias("bucket"),
+    )
+    out = {
+        (r["degree"], r["n_nodes"])
+        for r in cooccurrence_degree_dist(hot.unionAll(cold), cap=256).collect()
+    }
+    assert out == {(255, 256), (3, 4)}
