@@ -204,27 +204,40 @@ def minhash_lsh_pairs(
     Jaccard. Returns (doc_a, doc_b, jaccard >= threshold)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # Materialize the shingle set ONCE: three branches read it (the
-    # signature aggregate, and the two sides of the exact-verify join),
-    # and each would otherwise re-evaluate the interpreted n-gram
-    # lambda over the full corpus — ReuseExchange can't help because
-    # the three consumers shuffle on different keys. At 100 TB this is
-    # the standard persist-the-tokenization trade: one materialization
-    # of Σ tokens rows vs three recomputations of the corpus scan.
-    sh = shingles(docs, n, with_size=True).localCheckpoint(eager=True)
-    # k hash functions from ONE portable base hash + k affine maps (see
-    # portable_hash60): one md5 per shingle, then k codegen'd integer
-    # ops — cheaper than k seeded-xxhash64 calls AND reproducible by the
-    # DuckDB oracle, so the full LSH output is hash-checked, not
-    # rows-only. Deliberately exploded rows + codegen'd projection +
-    # groupBy min, NOT scan-side array_min(transform(...)) per seed: the
-    # HOF variant eliminates the signature shuffle but runs k
-    # interpreted array walks per doc, measured 1.5-2x slower end-to-end
-    # at sf0.1 (and the shuffle it saves is small: one row per doc of k
-    # longs). CPU-bound hashing wants whole-stage codegen at any scale.
-    based = sh.select(
-        "doc_id", (portable_hash60("shingle") % PORTABLE_PRIME).alias("__h")
+    # Materialize the shingle set ONCE — as 60-bit portable fingerprints,
+    # not strings. Three branches read it (the signature aggregate and
+    # the two sides of the verify join), and each would otherwise
+    # re-evaluate the interpreted n-gram lambda over the full corpus —
+    # ReuseExchange can't help because the three consumers shuffle on
+    # different keys. Hashing BEFORE the checkpoint (one codegen'd md5
+    # per shingle row, scan-side) means (a) the materialization holds 3
+    # longs per row instead of a ~25-byte string, (b) the signature
+    # branch needs no hash stage of its own, and (c) the verify joins
+    # shuffle and compare longs. The verify therefore intersects
+    # FINGERPRINTS, not strings: a 60-bit within-doc collision
+    # (p ~ n_sh²/2^61 per doc) could in principle perturb a Jaccard,
+    # but the oracle intersects the identical md5-derived fingerprints,
+    # so both engines would see the same perturbation — the contract is
+    # fingerprint-set Jaccard, bit-reproducible anywhere with md5().
+    # At 100 TB this is the standard persist-the-tokenization trade:
+    # one materialization of Σ tokens rows vs three corpus re-scans.
+    sh = (
+        shingles(docs, n, with_size=True)
+        .select("doc_id", "n_sh", portable_hash60("shingle").alias("h"))
+        .localCheckpoint(eager=True)
     )
+    # k hash functions from ONE portable base hash + k affine maps (see
+    # portable_hash60): k codegen'd integer ops on the checkpointed
+    # fingerprint — cheaper than k seeded-xxhash64 calls AND
+    # reproducible by the DuckDB oracle, so the full LSH output is
+    # hash-checked, not rows-only. Deliberately exploded rows +
+    # codegen'd projection + groupBy min, NOT scan-side
+    # array_min(transform(...)) per seed: the HOF variant eliminates
+    # the signature shuffle but runs k interpreted array walks per doc,
+    # measured 1.5-2x slower end-to-end at sf0.1 (and the shuffle it
+    # saves is small: one row per doc of k longs). CPU-bound hashing
+    # wants whole-stage codegen at any scale.
+    based = sh.select("doc_id", (F.col("h") % PORTABLE_PRIME).alias("__h"))
     hashed = based.select(
         "doc_id",
         *[
@@ -264,22 +277,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify only on candidates: intersect shingle sets by join.
-    # The checkpointed shingle rows carry n_sh (stamped scan-side), so
-    # the Jaccard denominators fall out of the verify aggregate itself —
-    # no per-doc sizes relation, no sizes join (a sizes table is one row
-    # per doc: billions at 100 TB, not broadcastable).
+    # Exact verify only on candidates: intersect fingerprint sets by
+    # join (long equi-keys — see the checkpoint note above). The
+    # checkpointed rows carry n_sh (stamped scan-side), so the Jaccard
+    # denominators fall out of the verify aggregate itself — no per-doc
+    # sizes relation, no sizes join (a sizes table is one row per doc:
+    # billions at 100 TB, not broadcastable).
     sh_a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "h"
     )
     sh_b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
-        F.col("shingle").alias("shingle_b"),
+        F.col("h").alias("h_b"),
     )
     shared = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
+        .where(F.col("h") == F.col("h_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
     )

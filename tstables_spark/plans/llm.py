@@ -101,21 +101,24 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.6
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     hs AS (SELECT doc_id,
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {PORTABLE_PRIME} AS h
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
            FROM sh),
     sig AS (SELECT doc_id,
            {mins}
-           FROM hs GROUP BY doc_id),
+           FROM (SELECT doc_id, h60 % {PORTABLE_PRIME} AS h FROM hs)
+           GROUP BY doc_id),
     bands AS (
       {band_rows}
     ),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    -- verify intersects the 60-bit fingerprints, mirroring the engine's
+    -- fingerprint-set Jaccard contract (operators/dedup.py)
     shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
                FROM cand c
-               JOIN sh sa ON sa.doc_id = c.doc_a
-               JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+               JOIN hs sa ON sa.doc_id = c.doc_a
+               JOIN hs sb ON sb.doc_id = c.doc_b AND sa.h60 = sb.h60
                GROUP BY 1, 2)
     SELECT s.doc_a, s.doc_b,
            CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
