@@ -1485,3 +1485,204 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias("p50_ok"),
         ((F.col("ap")[1] >= F.col("lo99")) & (F.col("ap")[1] <= F.col("hi99"))).alias("p99_ok"),
     )
+
+
+_TPCH_Q2 = """
+    WITH supply AS (
+      SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS supplycost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = sp_partkey AND s_suppkey = sp_suppkey
+      AND p_size < 10 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supplycost = (
+        SELECT min(s2.supplycost)
+        FROM supply s2, supplier sp2, nation n2, region r2
+        WHERE s2.sp_partkey = p_partkey AND sp2.s_suppkey = s2.sp_suppkey
+          AND sp2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE'
+      )
+"""
+
+_TPCH_Q9 = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * 0.08 * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) AS profit
+    GROUP BY nation, o_year
+"""
+
+_TPCH_Q11 = """
+    SELECT l_partkey AS partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) > (
+      SELECT 2.0 * CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(DISTINCT l_partkey)
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_1'
+    )
+"""
+
+_TPCH_Q20 = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+      )
+      AND s_nationkey = n_nationkey
+"""
+
+_TPCH_Q21 = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+"""
+
+_TPCH_Q22 = """
+    WITH active AS (
+      SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_custkey % 7 IN (0, 1, 2, 3)
+    )
+    SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+    FROM active
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (0, 1, 2, 3)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY cntrycode
+"""
+
+
+@query("sql_tpch_q2", oracle=_TPCH_Q2)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) via ``spark.sql``, verbatim-
+    shared with the oracle. The fixture has no partsupp table, so the
+    part-supplier supply relation is DERIVED from lineitem (min
+    observed unit price per (part, supplier) — 6dp-rounded so the
+    min-equality correlation compares identical doubles cross-engine).
+    The shape under test is Q2's: a correlated scalar MIN subquery over
+    the same supply relation joined through supplier->nation->region
+    twice, decorrelated by Catalyst into an aggregate + join rather
+    than per-row re-execution."""
+    register_views(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    return spark.sql(_TPCH_Q2)
+
+
+@query("sql_tpch_q9", oracle=_TPCH_Q9)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year) via
+    ``spark.sql``, verbatim-shared. ps_supplycost does not exist in the
+    fixture; the cost term is the deterministic proxy
+    p_retailprice * 0.08 * l_quantity (same column roles, same
+    expression tree both engines). The 5-way join graph filters part by
+    the name LIKE before the fact join; profit amounts are summed with
+    the decimal discipline so the per-(nation, year) totals hash
+    exactly."""
+    register_views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return spark.sql(_TPCH_Q9)
+
+
+@query("sql_tpch_q11", oracle=_TPCH_Q11)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) via ``spark.sql``,
+    verbatim-shared. Inventory value is adapted to lineitem revenue
+    mass (no partsupp): per-part sum of l_extendedprice * l_quantity
+    from NATION_1's suppliers, kept when above 2x the nation's MEAN
+    per-part value (Q22's fixed fraction of total goes vacuous as part
+    count grows — the mean-relative threshold selects a stable tail at
+    every scale). The HAVING-over-scalar-subquery shape: the same
+    aggregate appears per-group and globally; both sides are
+    decimal-exact sums cast once to double, so the threshold
+    comparison is identical cross-engine."""
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_TPCH_Q11)
+
+
+@query("sql_tpch_q20", oracle=_TPCH_Q20)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) via ``spark.sql``,
+    verbatim-shared. The nested-IN shape: suppliers who moved more
+    than 50 units of any single PROMO part in 1997 (the availqty
+    half-threshold adapted to shipped quantity — no partsupp). The IN
+    subquery aggregates per (supplier, part) with HAVING before the
+    semi-join back to supplier; Catalyst plans it as aggregate ->
+    LeftSemi, never a per-row IN probe."""
+    register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_TPCH_Q20)
+
+
+@query("sql_tpch_q21", oracle=_TPCH_Q21)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) via ``spark.sql``,
+    verbatim-shared. The fixture has no commitdate/receiptdate, so
+    "late" is adapted to l_shipdate > o_orderdate + 90 days; the shape
+    under test is Q21's signature EXISTS + NOT EXISTS pair on the SAME
+    fact table: the only-late-supplier-in-a-multi-supplier-order
+    semantics plan as a semi-join and an anti-join against lineitem
+    keyed on l_orderkey, with the correlated o_orderdate reference
+    pushed into the anti-join condition."""
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(_TPCH_Q21)
+
+
+@query("sql_tpch_q22", oracle=_TPCH_Q22)
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) via ``spark.sql``,
+    verbatim-shared. c_phone's country code is adapted to
+    c_custkey % 7 (no phone column); "no orders" is scoped to orders
+    since 2000 so the anti-join is non-vacuous on the fixture. The
+    shape: scalar AVG subquery threshold (computed as decimal-exact
+    sum / count so the boundary membership is identical cross-engine)
+    + NOT EXISTS anti-join + final rollup by country code."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_TPCH_Q22)
