@@ -344,3 +344,65 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.best.dist").alias("dist"),
         )
     )
+
+
+@query(
+    "embed_whiten",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS x
+          FROM e CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)),
+    s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 {{sum_x}} AS sum_x, {{sum_x2}} AS sum_x2
+          FROM x GROUP BY dim),
+    st AS (SELECT dim,
+                  sum_x / CAST(n AS DOUBLE) AS mean,
+                  sum_x2 / CAST(n AS DOUBLE)
+                    - (sum_x / CAST(n AS DOUBLE)) * (sum_x / CAST(n AS DOUBLE)) AS var
+           FROM s)
+    SELECT x.vec_id, x.dim,
+           (x.x - st.mean) / sqrt(st.var + 1e-9) AS xw
+    FROM x JOIN st ON x.dim = st.dim
+    WHERE x.vec_id < 200
+    """.format(sum_x=_sql_sum('x'), sum_x2=_sql_sum('x * x')),
+)
+def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening without rotation):
+    x' = (x - mean_d) / sqrt(var_d + 1e-9) using CORPUS-WIDE moments —
+    the feature-scaling step before PCA/PQ codebook training or any
+    distance metric that assumes isotropy (embed_dim_stats is the
+    read-only view of the same moments; this op applies them).
+
+    Scale shape: one dim-keyed aggregate (64 partial rows per map task
+    cross the shuffle — the embed_dim_stats plan) broadcast back onto
+    the scan; the apply side is map-only. Determinism: moments ride
+    decimal-exact sums, and mean/var/sqrt compose the SAME IEEE
+    expression tree in both engines (sqrt is correctly-rounded per
+    IEEE 754, unlike ln/exp, so no rounding is needed). Output is
+    exploded to (vec_id, dim, xw) scalars bounded to vec_id < 200 for
+    the hash check; the production form keeps the array column."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda c: c.cast("double"))).alias(
+            "dim", "x"
+        ),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "x")
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        _exact_sum("x").alias("sum_x"),
+        _exact_sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sum_x") / nd
+    st = s.select(
+        "dim", mean.alias("mean"), (F.col("sum_x2") / nd - mean * mean).alias("var")
+    )
+    return (
+        x.where(F.col("vec_id") < 200)
+        .join(F.broadcast(st), "dim")
+        .select(
+            "vec_id", "dim",
+            ((F.col("x") - F.col("mean")) / F.sqrt(F.col("var") + F.lit(1e-9))).alias("xw"),
+        )
+    )

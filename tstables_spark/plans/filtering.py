@@ -381,3 +381,56 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    head AS (SELECT token FROM vocab ORDER BY cnt DESC, token LIMIT 16)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN h.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN h.token IS NULL THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN head h ON t.token = h.token
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus head
+    vocabulary (top-16 tokens by frequency, ties broken
+    lexicographically — 16 because the synthetic fixture has only 31
+    distinct tokens; a production run uses the tokenizer's real vocab).
+    High OOV = the document's tokens will fragment into many subword
+    pieces — the signal tokenizer-aware quality filters gate on.
+
+    Scale shape: the head vocab is a TakeOrdered of the token-keyed
+    count aggregate (K rows — broadcast by construction, unlike a full
+    vocab relation), left-broadcast-joined onto the token stream, then
+    one doc-keyed count aggregate. Two shuffles (vocab agg, doc agg);
+    the OOV flag itself is free at the join. Rate = one IEEE division
+    of exact counts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    head = vocab.orderBy(F.col("cnt").desc(), "token").limit(16).select(
+        "token", F.lit(1).alias("in_head")
+    )
+    return (
+        toks.join(F.broadcast(head), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_head").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

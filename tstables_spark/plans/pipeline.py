@@ -436,3 +436,89 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
     )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS start
+      FROM toks WHERE len(t) >= 1),
+    chunks AS (
+      SELECT doc_id, start, list_slice(t, start + 1, start + 64) AS c
+      FROM starts)
+    SELECT doc_id, CAST(start AS BIGINT) AS start_word,
+           CAST(len(c) AS BIGINT) AS n_words,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: split every document into 64-word
+    chunks on a 48-word stride (16-word overlap so no sentence is ever
+    split across a boundary without a copy that contains it whole).
+    Output is (doc_id, start_word, n_words, chunk_hash) — the md5
+    identity of each chunk's text, which is what a chunk-level dedup
+    or an embedding-ingest manifest keys on; emitting the hash keeps
+    the result relation narrow while still pinning the exact chunk
+    CONTENT cross-engine.
+
+    Scale shape: tokenize once, generate start offsets with
+    ``sequence`` and slice per offset — all scan-side array ops on the
+    already-held token array, zero shuffles, linear in total words
+    (each word lands in at most ceil(64/48)=2 chunks). The same
+    explode-free-until-the-end discipline as shingles()."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
+    starts = base.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))).alias("start"),
+    )
+    chunk = F.slice("t", F.col("start") + 1, 64)
+    return starts.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start_word"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "domain_quota_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most 20 documents per source,
+    chosen by md5(doc_id) order — the domain-balancing step that stops
+    one crawl domain from dominating the mixture, reproducible across
+    engines and runs because the 'random' order is a content-free
+    portable hash, not an RNG.
+
+    Scale shape: one window rank per source partition. The rank is
+    EXACT quota enforcement; its cost is a per-source sort, so a
+    pathologically hot domain concentrates on one task. At 100 TB with
+    known per-domain counts, swap the rank for the zero-shuffle
+    md5-bucket threshold filter (sample_hash's shape) at the price of
+    a binomial quota instead of an exact one — both forms are
+    hash-reproducible; this query pins the exact-quota contract."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
