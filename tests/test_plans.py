@@ -273,3 +273,35 @@ def test_existence_prefilter_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_existence_prefilter")
     m = re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey", plan)
     assert m, plan
+
+
+def test_tpch_q21_semi_and_anti_join(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair must decorrelate to one LeftSemi
+    and one LeftAnti join on l_orderkey — never a nested-loop or
+    per-row subquery plan."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_tpch_q2_min_subquery_decorrelates(spark, sf_dir):
+    """Q2's correlated scalar MIN subquery must decorrelate to an
+    aggregate + join (no nested-loop re-execution per outer row)."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q2")
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_doc_chunk_overlap_shuffle_free(spark, sf_dir):
+    """The chunker is pure scan-side array work: no exchange, no join,
+    no aggregate anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "doc_chunk_overlap")
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_embed_whiten_broadcasts_stats(spark, sf_dir):
+    """The 64-row dim-stats relation must broadcast back onto the
+    exploded scan — a shuffle join here would shuffle the whole
+    corpus on dim (64 hot keys) at scale."""
+    plan = _plan(spark, sf_dir, "embed_whiten")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -41,14 +41,18 @@ def _load_all() -> None:
     # with the reference-adjacent storage/lifecycle set and the 11
     # unchecked TPC-H shapes per the r5 verdict.
     #
-    # ROUND-7 ROTATION POOL (17 deferred never-checked + newly gated):
-    # fn_struct, agg_unpivot, fn_conditional, fn_surrogate_key,
-    # embed_pq, ts_benford, agg_gini, k_anonymity_check,
-    # forecast_naive_eval, agg_skew_kurt, agg_mode,
+    # ROUND-7 ROTATION POOL (17 deferred never-checked + newly gated +
+    # new-this-round): fn_struct, agg_unpivot, fn_conditional,
+    # fn_surrogate_key, embed_pq, ts_benford, agg_gini,
+    # k_anonymity_check, forecast_naive_eval, agg_skew_kurt, agg_mode,
     # agg_hll_sketch_union, agg_string_agg, fn_bitwise,
     # agg_approx_percentile, sample_weighted, dedup_cluster_sizes —
-    # plus sim_recall / cluster_kmeans / stream_stateful once their
-    # tolerance-boolean oracles (added this round) need driver rows.
+    # plus sim_recall / cluster_kmeans / stream_stateful (tolerance-
+    # boolean oracles added r6), the six TPC-H completions
+    # (sql_tpch_q2/q9/q11/q20/q21/q22), and the four r6 pipeline ops
+    # (doc_chunk_overlap, domain_quota_sample, embed_whiten,
+    # vocab_oov_rate): 30 total, fits one 50-slot window with the
+    # pinned pair and re-check slots to spare.
     # Everything displaced is hash-green in a prior round with an
     # unchanged implementation and covered by repo-local parity tests.
     registry.prioritize(
