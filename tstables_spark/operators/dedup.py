@@ -160,7 +160,14 @@ def jaccard_pairs(
     shared-shingle evidence — denominators stay exact, so it can only
     lower recall, never create false positives.
     """
-    sh = shingles(docs, n, with_size=True)
+    # Shingles become 60-bit portable fingerprints scan-side (same
+    # contract as minhash_lsh_pairs: fingerprint-set Jaccard, md5-based
+    # so the oracle reproduces collisions identically) — the inverted
+    # index then shuffles 8-byte longs instead of ~25-byte strings,
+    # through BOTH shuffles (shingle-keyed agg + pair agg feed).
+    sh = shingles(docs, n, with_size=True).select(
+        "doc_id", "n_sh", portable_hash60("shingle").alias("h")
+    )
     # sort_array at agg time: posting lists are sorted by doc_id (the
     # struct's leading field; unique within a list), so the strict
     # upper triangle can be GENERATED (posexplode + suffix slice from
@@ -168,7 +175,7 @@ def jaccard_pairs(
     # slice carries only the suffixes (Σ df²/2 elements through the
     # Generate) and emits no filtered rows. Half the bytes through the
     # expansion — the half that matters at 100 TB.
-    counted = sh.groupBy("shingle").agg(
+    counted = sh.groupBy("h").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"),
         F.count("*").alias("df"),
     )
@@ -328,13 +335,15 @@ def incremental_jaccard_pairs(
     when the corpus has boilerplate.
     """
     shn = shingles(new, n, with_size=True).select(
-        F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na"), "shingle"
+        F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na"),
+        portable_hash60("shingle").alias("h"),
     )
     sho = shingles(old, n, with_size=True).select(
-        F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("nb"), "shingle"
+        F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("nb"),
+        portable_hash60("shingle").alias("h"),
     )
     shared = (
-        shn.join(sho, "shingle")
+        shn.join(sho, "h")
         .groupBy("new_doc", "old_doc")
         .agg(F.count(F.lit(1)).alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
     )

@@ -60,8 +60,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
            CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
@@ -148,9 +149,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
     pairs AS (
       SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      FROM hs a JOIN hs b ON a.h = b.h
       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
       GROUP BY 1, 2)
     SELECT p.new_doc, p.old_doc, CAST(p.shared AS BIGINT) AS shared,

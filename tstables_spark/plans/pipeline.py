@@ -170,10 +170,11 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 15),
-    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+    kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 15),
+    shf AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept USING (h)),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
            CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
@@ -263,8 +264,9 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
     cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
     pairs AS (SELECT doc_a, doc_b FROM cnt
               JOIN sizes sa ON cnt.doc_a = sa.doc_id
@@ -397,8 +399,9 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
     cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
     pairs AS (SELECT doc_a, doc_b FROM cnt
               JOIN sizes sa ON cnt.doc_a = sa.doc_id
