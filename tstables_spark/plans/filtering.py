@@ -434,3 +434,65 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2),
+    vocab AS (SELECT bigram, count(*) AS cnt FROM big GROUP BY bigram),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    per_doc AS (
+      SELECT b.doc_id,
+             CAST(sum(v.cnt) AS BIGINT) AS sum_counts,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM big b JOIN vocab v ON b.bigram = v.bigram
+      GROUP BY b.doc_id)
+    SELECT doc_id, sum_counts, n_bigrams,
+           CAST(sum_counts AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(n_bigrams AS DOUBLE)) AS score
+    FROM per_doc, tot
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-level fluency score: mean corpus-typicality of a
+    document's word BIGRAMS (lm_unigram_score's order-sensitive
+    sibling — a doc of common words in uncommon order scores high on
+    unigrams but low here, which is exactly the gibberish/boilerplate
+    split CCNet's LM filter wants). Same hash-stability trick as the
+    unigram form: exact integer count sums with ONE final IEEE
+    multiply+divide, no per-token transcendental.
+
+    Scale shape: positional bigram construction is scan-side
+    (``transform`` over the held token array, then one explode);
+    the bigram-keyed vocab aggregate and the doc-keyed scoring
+    aggregate are the only shuffles, identical to the unigram plan
+    with the token stream replaced by the (larger-keyed) bigram
+    stream."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+    )
+    big = base.select("doc_id", F.explode(grams).alias("bigram"))
+    vocab = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        big.join(vocab, "bigram")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("sum_counts"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id", "sum_counts", "n_bigrams",
+        (
+            F.col("sum_counts").cast("double")
+            / (F.col("total").cast("double") * F.col("n_bigrams").cast("double"))
+        ).alias("score"),
+    )

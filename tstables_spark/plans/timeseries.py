@@ -2377,3 +2377,73 @@ def ts_multi_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_by="c_user",
         right_values=["click_value"],
     ).select("event_id", "user_id", "ts", "value", "click_value")
+
+
+@query(
+    "ts_watermark_lateness",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             greatest(0, max(epoch_us(ts)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY epoch_us(ts) // 60000000,
+                          md5(CAST(event_id AS VARCHAR)), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - epoch_us(ts)) AS late_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT) AS n_late,
+           CAST(count(CASE WHEN late_us > 30000000 THEN 1 END) AS BIGINT)
+             AS n_past_30s_watermark,
+           CAST(max(late_us) AS DOUBLE) / 1000000.0 AS max_lateness_sec
+    FROM x GROUP BY event_type
+    """,
+)
+def ts_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that JUSTIFIES a
+    watermark before anyone sets one: per event type, how far events
+    arrive behind the running maximum event time seen so far, how many
+    would fall past a 30-second watermark (i.e. would actually be
+    dropped by a streaming agg using it), and the worst lateness
+    observed.
+
+    ARRIVAL MODEL: the fixture is perfectly time-sorted (zero natural
+    lateness — verified, every event_id order is ts order), so arrival
+    is simulated deterministically: events within the same minute
+    arrive in portable-md5 order — the parallel-producers-flushing-
+    within-a-window pattern. Production use replaces the simulated
+    order with the real ingest sequence; the audit logic is identical.
+    Max simulated lateness is bounded by the bucket width (60 s), which
+    is why the audited watermark is 30 s here.
+
+    Scale shape: one window max per (event_type, arrival order) — the
+    same single shuffle any per-type window query pays — then a tiny
+    per-type aggregate. All lateness arithmetic is exact integer
+    microseconds (unix_micros), divided once to seconds in IEEE; no
+    calendar functions, no floats in the comparison path."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(
+            F.expr("unix_micros(ts) div 60000000"),
+            F.md5(F.col("event_id").cast("string")),
+            "event_id",
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+    )
+    x = ev.select("event_type", late.alias("late_us"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).alias("n_late"),
+        F.count(F.when(F.col("late_us") > 30_000_000, 1)).alias(
+            "n_past_30s_watermark"
+        ),
+        (F.max("late_us").cast("double") / F.lit(1_000_000.0)).alias(
+            "max_lateness_sec"
+        ),
+    )
