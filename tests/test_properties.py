@@ -185,3 +185,34 @@ def test_degree_dist_hot_bucket_guard(spark):
         for r in cooccurrence_degree_dist(hot.unionAll(cold), cap=256).collect()
     }
     assert out == {(255, 256), (3, 4)}
+
+
+def test_chunker_covers_every_word(spark, sf_dir):
+    """Every document position must land in at least one chunk, chunks
+    must start on the stride grid, and the last chunk must end exactly
+    at the document's word count (no tail loss, no overrun)."""
+    from pyspark.sql import functions as F
+
+    from tstables_spark.plans.registry import QUERIES
+    from tstables_spark.plans.tables import load
+
+    chunks = QUERIES["doc_chunk_overlap"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_words")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("start_word").alias("first_start"),
+        F.max(F.col("start_word") + F.col("n_words")).alias("covered_to"),
+        F.max(F.col("start_word") % 48).alias("max_off_grid"),
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .where(
+            (F.col("first_start") != 0)
+            | (F.col("covered_to") != F.col("n_words"))
+            | (F.col("max_off_grid") != 0)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert per_doc.count() == docs.where(F.col("n_words") >= 1).count()
