@@ -621,3 +621,80 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     b = {(r.lid, r.rid) for r in brute.collect()}
     assert g == b
     assert got.count() == len(g)  # exactly once, no duplicate emissions
+
+
+def test_knn_graph_contract(spark):
+    """knn_graph: per-vector ≤k rows, neighbors stay inside the label
+    block, ranks are 1..k dense by descending (cosine, nn_id), and the
+    top-1 neighbor matches a brute-force recomputation."""
+    import math
+
+    from tstables_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_graph(emb, k=5, block_col="label").collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    assert set(by_q) == set(labels)  # every vector got a neighborhood
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        for r in rows:
+            assert labels[r["nn_id"]] == labels[q]
+            assert r["nn_id"] != q
+        # ordering: cosine desc, nn_id asc on ties
+        key = [(-r["cosine"], r["nn_id"]) for r in rows]
+        assert key == sorted(key)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+
+    # brute-force the top-1 for the three smallest ids
+    for q in sorted(by_q)[:3]:
+        best = max(
+            ((cos(vecs[q], vecs[o]), -o) for o in vecs
+             if o != q and labels[o] == labels[q]),
+        )
+        got = by_q[q][0]
+        assert abs(got["cosine"] - best[0]) <= 1e-9
+        assert got["nn_id"] == -best[1]
+
+
+def test_tick_bars_sizes_and_ohlc(spark):
+    """ts_tick_bars: every bar but the last per series holds exactly 200
+    ticks; open/close equal the first/last tick by (ts, event_id); high
+    >= max(open, close) >= min(open, close) >= low."""
+    from tstables_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bars = QUERIES["ts_tick_bars"](spark, sf).collect()
+    per_type: dict = {}
+    for b in bars:
+        per_type.setdefault(b["event_type"], []).append(b)
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    ticks: dict = {}
+    for r in ev:
+        ticks.setdefault(r["event_type"], []).append(r)
+    for t, bs in per_type.items():
+        bs.sort(key=lambda b: b["bar"])
+        n_ticks = len(ticks[t])
+        assert [b["bar"] for b in bs] == list(range(len(bs)))
+        assert sum(b["n_ticks"] for b in bs) == n_ticks
+        for b in bs[:-1]:
+            assert b["n_ticks"] == 200
+        srt = sorted(ticks[t], key=lambda r: (r["ts"], r["event_id"]))
+        for b in bs:
+            chunk = srt[b["bar"] * 200 : b["bar"] * 200 + b["n_ticks"]]
+            assert b["open"] == chunk[0]["value"]
+            assert b["open_ts"] == chunk[0]["ts"]
+            assert b["close"] == chunk[-1]["value"]
+            vals = [c["value"] for c in chunk]
+            assert b["high"] == max(vals) and b["low"] == min(vals)

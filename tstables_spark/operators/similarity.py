@@ -641,3 +641,77 @@ def cosine_range(
         raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))
         .where(F.col("cosine") >= tau)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph by cosine, blocked by
+    ``block_col``: every vector's top-k neighbors WITHIN its block —
+    the neighborhood structure graph-based dedup (SemDeDup-style
+    cluster pruning) and kNN-graph ANN indexes consume.
+
+    Scale shape: same contract as ``embedding_near_dup_pairs`` — the
+    block key (shard / cluster / LSH bucket) bounds the pairwise work
+    to Σ_b n_b²·d, and each block is ONE Arrow batch through
+    ``applyInPandas``: rows cross the shuffle, never pairs. The kernel
+    emits only each vector's local top-k with a 1.1e-4 raw-cosine
+    slack below the k-th best (4dp rounding moves a value by ≤ 5e-5,
+    so nothing below the slack can reach the rounded top-k — the same
+    exactness argument as ``cosine_topk``); the authoritative
+    round(·,4) + (cosine DESC, nn_id) rank runs Spark-side. Output is
+    O(k) rows per vector regardless of block size.
+
+    Bit-exactness: dots/norms accumulate dimension-by-dimension
+    (left-to-right float order), matching DuckDB's sequential
+    ``list_sum(list_transform(...))`` — see embedding_near_dup_pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"qid": ids[:0], "nid": ids[:0], "cosine": []})
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        d = M.shape[1]
+        n2 = np.zeros(n)
+        for i in range(d):
+            n2 += M[:, i] * M[:, i]
+        outs = []
+        for qi in range(n):
+            dot = np.zeros(n)
+            for i in range(d):
+                dot += M[qi, i] * M[:, i]
+            cos = dot / np.sqrt(n2[qi] * n2)
+            mask = ids != ids[qi]
+            c, nid = cos[mask], ids[mask]
+            if len(c) > k:
+                kth = np.partition(c, -k)[-k]
+                sel = c >= kth - 1.1e-4
+                c, nid = c[sel], nid[sel]
+            outs.append(pd.DataFrame({"qid": ids[qi], "nid": nid, "cosine": c}))
+        return pd.concat(outs, ignore_index=True)
+
+    raw = (
+        emb.select(F.col(block_col).alias("blk"), F.col(id_col), vec_col)
+        .groupBy("blk")
+        .applyInPandas(_block_knn, "qid long, nid long, cosine double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col), F.col("nid").alias("nn_id"), "cosine", "rank"
+        )
+    )

@@ -49,10 +49,13 @@ def _load_all() -> None:
     # agg_approx_percentile, sample_weighted, dedup_cluster_sizes —
     # plus sim_recall / cluster_kmeans / stream_stateful (tolerance-
     # boolean oracles added r6), the six TPC-H completions
-    # (sql_tpch_q2/q9/q11/q20/q21/q22), and the four r6 pipeline ops
+    # (sql_tpch_q2/q9/q11/q20/q21/q22), the four r6 pipeline ops
     # (doc_chunk_overlap, domain_quota_sample, embed_whiten,
-    # vocab_oov_rate): 30 total, fits one 50-slot window with the
-    # pinned pair and re-check slots to spare.
+    # vocab_oov_rate), lm_bigram_score + ts_watermark_lateness, and the
+    # five late-r6 additions (sim_knn_graph, ts_tick_bars,
+    # ts_calendar_sessions, agg_entropy, agg_markov_transitions):
+    # 37 total, fits one 50-slot window with the pinned pair and
+    # re-check slots to spare.
     # Everything displaced is hash-green in a prior round with an
     # unchanged implementation and covered by repo-local parity tests.
     registry.prioritize(

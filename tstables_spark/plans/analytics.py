@@ -826,3 +826,102 @@ def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(c) AS n, CAST(count(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(t.n AS BIGINT) AS n_events, t.n_types,
+           round(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                      * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.n, t.n_types
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type mix — the
+    information-theoretic diversity profile: ~0 bits = a bot hammering
+    one action, log2(5) ≈ 2.32 bits = uniform use of all five types.
+    The same shape profiles label balance per source in a training
+    corpus or per-day traffic mix.
+
+    Scale shape: two keyed hash aggregates — (user, type) counts, then
+    a user-keyed roll-up — both partial-agg friendly; the entropy sum
+    folds ≤ |event_type| exact-integer shares per user. The only
+    transcendental is log2 at the very end over exact count ratios,
+    rounded at 6dp on both engines (the drift_psi_daily discipline:
+    round AFTER the sum, never hash raw transcendental floats)."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "entropy_bits",
+        )
+    )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (event_type → next event_type) step inside a user's timeline, the
+    count and the row-normalized transition probability — the
+    behavioral fingerprint session-anomaly and bot detectors compare
+    against (and the event-stream analog of token bigrams).
+
+    Scale shape: lead() needs one shuffle+sort on user_id (the standard
+    per-series window discipline), the transition count is a
+    partial-agg hash aggregate to ≤ |types|² rows, and the
+    normalization window runs on that tiny relation — effectively free.
+    p divides two exact BIGINTs, one correctly-rounded IEEE op, so no
+    rounding is needed for cross-engine hashing."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )

@@ -20,6 +20,7 @@ from tstables_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     ivf_topk_kmeans,
+    knn_graph,
     lsh_topk,
 )
 from tstables_spark.plans._exact import exact_sum as _exact_sum
@@ -406,3 +407,36 @@ def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("x") - F.col("mean")) / F.sqrt(F.col("var") + F.lit(1e-9))).alias("xw"),
         )
     )
+
+
+@query(
+    "sim_knn_graph",
+    oracle="""
+    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT label, vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS n2 FROM e),
+    s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                               i -> a.v[i] * b.v[i]))
+                       / sqrt(a.n2 * b.n2), 4) AS cosine
+          FROM n a JOIN n b
+            ON a.label = b.label AND a.vec_id != b.vec_id),
+    r AS (SELECT vec_id, nn_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, nn_id) AS rank
+          FROM s)
+    SELECT vec_id, nn_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph (k=5) blocked by label — every vector's
+    neighborhood, the input structure for SemDeDup-style semantic
+    pruning and graph-based ANN indexes. One Arrow kernel per block,
+    O(k) output rows per vector; see operators/similarity.py::
+    knn_graph for the scale/exactness argument (the oracle's pair join
+    is the semantics spec, not the plan — the kernel never
+    materializes pair rows)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, block_col="label")

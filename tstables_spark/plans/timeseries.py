@@ -2447,3 +2447,119 @@ def ts_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lateness_sec"
         ),
     )
+
+
+@query(
+    "ts_tick_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events),
+    b AS (SELECT event_type, rn // 200 AS bar, ts, event_id, value FROM r),
+    w AS (SELECT event_type, bar, ts, value,
+                 first_value(ts) OVER win AS open_ts,
+                 first_value(value) OVER win AS open_v,
+                 last_value(value) OVER win AS close_v
+          FROM b
+          WINDOW win AS (PARTITION BY event_type, bar ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(bar AS BIGINT) AS bar,
+           min(open_ts) AS open_ts, max(open_v) AS open,
+           max(value) AS high, min(value) AS low, max(close_v) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           {dv} AS dollar_volume
+    FROM w GROUP BY event_type, bar
+    """.format(dv=sql_sum("abs(value)")),
+)
+def ts_tick_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-driven bars (de Prado tick bars): every 200 ticks per
+    series becomes one OHLC bar, so bar density follows ACTIVITY
+    instead of the wall clock — the sampling scheme
+    information-driven finance pipelines use instead of time bars
+    (ts_resample_ohlc is the time-bar twin). dollar_volume (Σ|value|
+    per bar) is the statistic dollar-bar thresholds would cut on.
+
+    Scale shape: the global per-series tick sequence is inherently a
+    per-series ordered scan — ONE shuffle on event_type and one
+    in-partition sort (the same per-series window discipline as every
+    win_* query; series count is the parallelism unit at 100 TB, and a
+    single pathological series degrades to the reference's own
+    single-node scan). Bars then aggregate with ordinary partial-agg
+    min/max-of-struct — open/close need no second window pass, and the
+    bar agg reuses the window's (event_type) partitioning, so the sort
+    output feeds the hash agg with NO extra exchange. Σ|value| rides
+    the decimal-exact sum (plans/_exact.py)."""
+    ev = load(spark, sf_dir, "events")
+    bars = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.expr(
+            "CAST((row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1) DIV 200 AS BIGINT)"
+        ).alias("bar"),
+    )
+    return bars.groupBy("event_type", "bar").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("__o"),
+        F.max(F.struct("ts", "event_id", "value")).alias("__c"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        exact_sum(F.abs(F.col("value"))).alias("dollar_volume"),
+    ).select(
+        "event_type",
+        "bar",
+        F.col("__o.ts").alias("open_ts"),
+        F.col("__o.value").alias("open"),
+        "high",
+        "low",
+        F.col("__c.value").alias("close"),
+        "n_ticks",
+        "dollar_volume",
+    )
+
+
+@query(
+    "ts_calendar_sessions",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS session_date,
+           CAST((EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+                - 570 AS INT) AS minutes_into_session
+    FROM events
+    WHERE isodow(ts) BETWEEN 1 AND 5
+      AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+          BETWEEN 570 AND 959
+    """,
+)
+def ts_calendar_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-calendar alignment: keep only ticks inside the
+    09:30–16:00 UTC weekday session and stamp each with its session
+    date and minute offset — the calendar gate every market-data
+    pipeline runs before session-relative analytics (TWAP windows,
+    open/close auctions, session VWAP). Weekend and overnight ticks
+    are dropped, not rolled: roll policy belongs to the consumer.
+
+    Scale shape: pure scan-side row predicate + projection — zero
+    shuffles, fully codegen'd, and the date/time arithmetic pushes no
+    filter barrier (partition pruning on a date-partitioned
+    TimeSeriesTable still applies upstream). Session arithmetic stays
+    in integer minutes; no timezone conversion happens because the
+    engine pins instants to UTC (README timestamp policy) — exchange
+    local-time sessions would wrap this same shape around a
+    from_utc_timestamp projection."""
+    ev = load(spark, sf_dir, "events")
+    mins = F.hour("ts") * 60 + F.minute("ts")
+    # Spark dayofweek: 1=Sunday..7=Saturday; Mon-Fri = 2..6.
+    return (
+        ev.where(F.dayofweek("ts").between(2, 6) & mins.between(570, 959))
+        .select(
+            "event_id",
+            "ts",
+            F.col("ts").cast("date").cast("string").alias("session_date"),
+            (mins - 570).cast("int").alias("minutes_into_session"),
+        )
+    )
