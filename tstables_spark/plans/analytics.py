@@ -833,15 +833,14 @@ def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY user_id, event_type),
-    t AS (SELECT user_id, SUM(c) AS n, CAST(count(*) AS BIGINT) AS n_types
-          FROM c GROUP BY user_id)
-    SELECT c.user_id,
-           CAST(t.n AS BIGINT) AS n_events, t.n_types,
-           round(-SUM((CAST(c.c AS DOUBLE) / t.n)
-                      * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits
-    FROM c JOIN t ON c.user_id = t.user_id
-    GROUP BY c.user_id, t.n, t.n_types
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+    FROM c GROUP BY user_id
     """,
 )
 def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,27 +851,24 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus or per-day traffic mix.
 
     Scale shape: two keyed hash aggregates — (user, type) counts, then
-    a user-keyed roll-up — both partial-agg friendly; the entropy sum
-    folds ≤ |event_type| exact-integer shares per user. The only
-    transcendental is log2 at the very end over exact count ratios,
-    rounded at 6dp on both engines (the drift_psi_daily discipline:
-    round AFTER the sum, never hash raw transcendental floats)."""
+    a user-keyed roll-up — both partial-agg friendly, TWO exchanges
+    total and no join-back: the grouped form of the entropy,
+    H = log2(n) − (Σ c·log2 c)/n, needs only per-(user,type) counts
+    and per-user sums, unlike the Σ p·log2 p textbook form whose
+    per-term share p = c/n forces a join (or window) to see n before
+    the final fold. The only transcendental is log2 over exact counts,
+    rounded at 6dp AFTER the final arithmetic on both engines (the
+    drift_psi_daily discipline: never hash raw transcendental
+    floats)."""
     e = load(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    t = c.groupBy("user_id").agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
-    )
-    p = F.col("c").cast("double") / F.col("n")
-    return (
-        c.join(t, "user_id")
-        .groupBy("user_id", "n", "n_types")
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
-        .select(
-            "user_id",
-            F.col("n").cast("long").alias("n_events"),
-            "n_types",
-            "entropy_bits",
-        )
+    cd = F.col("c").cast("double")
+    n = F.sum("c")
+    nd = n.cast("double")
+    return c.groupBy("user_id").agg(
+        n.cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.log2(nd) - F.sum(cd * F.log2(cd)) / nd, 6).alias("entropy_bits"),
     )
 
 
