@@ -305,3 +305,26 @@ def test_embed_whiten_broadcasts_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embed_whiten")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_r6_late_additions_plan_shapes(spark, sf_dir):
+    """Pin the exchange budget of the five late-r6 queries to their
+    documented shapes (SCALE.md 'Round 6 additions'): a regression that
+    adds a shuffle here is a plan bug even if results stay correct."""
+    def exchanges(name):
+        p = _plan(spark, sf_dir, name)
+        return p.count("Exchange hashpartitioning") + p.count(
+            "Exchange rangepartitioning"
+        )
+
+    assert exchanges("ts_calendar_sessions") == 0  # pure scan-side gate
+    # window sort's event_type partitioning satisfies the bar agg's
+    # (event_type, bar) clustering — no second exchange
+    assert exchanges("ts_tick_bars") == 1
+    assert exchanges("agg_entropy") == 2  # grouped-form entropy, no join-back
+    # user window + tiny transition agg + window over <= |types|^2 rows
+    assert exchanges("agg_markov_transitions") == 3
+    # knn graph: one block shuffle for applyInPandas + final rank window
+    p = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", p)
