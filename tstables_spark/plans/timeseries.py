@@ -2563,3 +2563,61 @@ def ts_calendar_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mins - 570).cast("int").alias("minutes_into_session"),
         )
     )
+
+
+@query(
+    "ts_lttb_gate",
+    oracle="""
+    SELECT user_id,
+           CAST(LEAST(20, count(*)) AS BIGINT) AS n_points,
+           TRUE AS subset_ok, TRUE AS endpoints_ok
+    FROM events GROUP BY user_id
+    """,
+)
+def ts_lttb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked gate for the sequential LTTB kernel (the sim_recall
+    pattern: the pick sequence itself is engine-private — a recurrence
+    no SQL window expresses — but its CONTRACT is portable booleans the
+    oracle expects TRUE). Per user series: n_points = least(20, n) rows
+    exactly, every picked (ts, value) is a genuine input row
+    (left-semi re-join against the raw table — an independent code
+    path from the kernel), and both series endpoints survive (LTTB
+    pins first/last by construction). A kernel regression — dropped
+    bucket, interpolated instead of selected points, lost endpoint —
+    flips a boolean and fails the driver hash; the pick QUALITY
+    (triangle-area maximality) stays pinned by unit tests.
+
+    Scale shape: the LTTB pass itself (one shuffle, per-partition
+    Python round-trip — see operators/resample.py::lttb), a semi-join
+    of the 20-per-key output against the raw scan on (user, ts, value),
+    and two per-user aggs. The semi-join's left side is O(keys), not
+    O(rows)."""
+    from tstables_spark.operators.resample import lttb
+
+    ev = load(spark, sf_dir, "events")
+    pts = lttb(ev, n_out=20, key_cols=("user_id",))
+    per_pts = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("ts").alias("p_min"),
+        F.max("ts").alias("p_max"),
+    )
+    matched = (
+        pts.join(ev.select("user_id", "ts", "value"), ["user_id", "ts", "value"], "leftsemi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").alias("e_min"), F.max("ts").alias("e_max")
+    )
+    return (
+        per_pts.join(matched, "user_id")
+        .join(base, "user_id")
+        .select(
+            "user_id",
+            "n_points",
+            (F.col("n_matched") == F.col("n_points")).alias("subset_ok"),
+            ((F.col("p_min") == F.col("e_min")) & (F.col("p_max") == F.col("e_max"))).alias(
+                "endpoints_ok"
+            ),
+        )
+    )
