@@ -921,3 +921,124 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of graph_pagerank. Per-iteration
+    contributions are quantized to DECIMAL(38,18) and summed exactly
+    (order-independent), each new rank is rounded at 12dp — the same
+    two determinism points as the Spark plan."""
+    cte = [
+        """
+    b0 AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 600000000 AS bucket
+      FROM events),
+    b AS (
+      SELECT user_id, bucket FROM (
+        SELECT user_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY user_id) AS rn
+        FROM b0) WHERE rn <= 256),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.user_id < b2.user_id),
+    de AS (SELECT u AS src, v AS dst FROM edges
+           UNION ALL
+           SELECT v AS src, u AS dst FROM edges),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM de GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, degree, 1.0 / nn.n AS pr FROM deg, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        cte.append(f"""
+    c{i} AS (
+      SELECT de.dst AS node,
+             CAST(SUM(CAST(r{i-1}.pr / r{i-1}.degree AS DECIMAL(38,18)))
+                  AS DOUBLE) AS s
+      FROM de JOIN r{i-1} ON de.src = r{i-1}.node GROUP BY de.dst),
+    r{i} AS (
+      SELECT deg.node, deg.degree,
+             round(0.15 / nn.n + 0.85 * c{i}.s, 12) AS pr
+      FROM deg JOIN c{i} ON deg.node = c{i}.node, nn)""")
+    return (
+        "WITH" + ",".join(cte)
+        + f"""
+    SELECT node AS user_id, degree, round(pr, 6) AS pagerank FROM r{iters}
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the capped user
+    co-occurrence graph — the influence/centrality score behind spam
+    farms, seed-user selection, and crawl frontier prioritization, and
+    the engine's demonstration that ITERATIVE algorithms hash-match a
+    SQL oracle when each iteration's float hazards are pinned: the
+    per-node contribution sum runs in DECIMAL(38,18) (exact,
+    order-independent — the _exact.py discipline at rank scale) and
+    each new rank is rounded at 12dp, so three iterations compound
+    zero engine-dependent ulps. Final report rounds at 6dp.
+
+    Scale shape: the edge derivation is graph_degree_dist's (DISTINCT
+    memberships -> capped self-join -> DISTINCT edges), materialized
+    ONCE with an eager localCheckpoint — the persist-the-frontier
+    trade every iterative graph algorithm makes (components.py's
+    min-label iteration, same discipline), which also cuts the lineage
+    so the 3-iteration plan doesn't nest the self-join 3x. Each
+    iteration is then one (src-keyed) join of the O(nodes) rank
+    relation against the edge list plus one dst-keyed partial-agg sum
+    — the standard message-passing round. Every node in the edge set
+    has degree >= 1, so no dangling-mass term is needed; isolated
+    users (no co-occurrence) are out of scope by construction."""
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 600000000").alias("bucket")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("user_id")
+    b = b0.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 256).drop("rn")
+    l, r = b.alias("l"), b.alias("r")
+    edges = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.user_id") < F.col("r.user_id")),
+        )
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    de = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = de.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "degree", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = de.join(ranks, de["src"] == ranks["node"]).select(
+            "dst", (F.col("pr") / F.col("degree")).alias("m")
+        )
+        s = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum(F.col("m").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        ranks = (
+            deg.join(s, "node")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "degree",
+                "n",
+                F.round(F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"), 12).alias(
+                    "pr"
+                ),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("user_id"), "degree", F.round("pr", 6).alias("pagerank")
+    )
