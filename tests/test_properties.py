@@ -216,3 +216,39 @@ def test_chunker_covers_every_word(spark, sf_dir):
     )
     assert bad == 0
     assert per_doc.count() == docs.where(F.col("n_words") >= 1).count()
+
+
+def test_exact_mean_fast_path_matches_decimal_reference():
+    """_exact_mean's vectorized int-micros fast path must be
+    bit-identical to the all-Decimal reference on adversarial inputs:
+    exact half-micro ties, magnitudes past the int64-safety gate,
+    values at the quantization floor, and tick-like rounded data."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tstables_spark.plans.scalars import _exact_mean
+
+    def reference(values):
+        q = Decimal("0.000001")
+        total = sum(
+            (Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) for v in values),
+            Decimal(0),
+        )
+        return float(total) / len(values)
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(-(10**9), 10**9, 5_000)
+    cases = [
+        rng.uniform(-1000, 1000, 20_000),
+        rng.uniform(-1e9, 1e9, 5_000),
+        np.array([0.0000005, -0.0000005, 1.0000005, 2.5e-7, -2.5e-7, 0.1, 0.2, 0.3]),
+        np.round(rng.uniform(0, 100, 5_000), 2),
+        np.array([1e12, -1e12, 3.14159, 2**50 / 1e6, 2**52 / 1e6]),
+        rng.normal(0, 1e-7, 5_000),
+        (k.astype(np.float64) + 0.5) / 1e6,  # exact half-micro ties
+    ]
+    for i, c in enumerate(cases):
+        s = pd.Series(c)
+        assert _exact_mean(s) == reference(s), f"case {i} diverged"
