@@ -525,3 +525,111 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "pipeline_corpus_funnel",
+    oracle=r"""
+    WITH m0 AS (
+      SELECT doc_id, lang = 'en' AS is_en,
+             md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+               AS h,
+             str_split(lower(text), ' ') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id, is_en, h,
+             CASE WHEN len(toks) >= 2 THEN
+               CAST(len(toks) AS BIGINT) >= 20
+               AND 1.0 - CAST(len(list_distinct(
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])))
+                     AS DOUBLE)
+                   / (len(toks) - 1) <= 0.1
+               AND CAST(len(list_filter(toks,
+                     x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                   / len(toks) >= 0.02
+             ELSE FALSE END AS keep_q
+      FROM m0),
+    rep AS (
+      SELECT h, is_en, keep_q FROM (
+        SELECT h, is_en, keep_q,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM m) WHERE rn = 1)
+    SELECT 1 AS stage, 'raw' AS stage_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+    UNION ALL
+    SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM rep
+    UNION ALL
+    SELECT 3, 'quality', CAST(count(CASE WHEN keep_q THEN 1 END) AS BIGINT)
+    FROM rep
+    UNION ALL
+    SELECT 4, 'english', CAST(count(CASE WHEN keep_q AND is_en THEN 1 END)
+                              AS BIGINT) FROM rep
+    """,
+)
+def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning funnel: raw → exact-dedup survivors
+    (min-doc_id representative per normalized-text md5, text_normalize's
+    exact normalization) → Gopher-style quality gate (quality_filter's
+    predicate: ≥20 tokens, dup-bigram ≤ 0.1, stopword ratio ≥ 0.02) →
+    English subset. One row per stage with the surviving doc count —
+    the per-stage attrition report every pretraining data run publishes,
+    and the audit that catches a gate silently dropping 90% of a crawl.
+
+    Scale shape: ONE scan computes the normalization hash and all
+    quality signals scan-side (per-row higher-order expressions, no
+    explode); dedup + representative selection is a single
+    min-of-struct hash aggregate on the text hash (the flags ride the
+    struct, so stages 3–4 need NO join back to the corpus); the funnel
+    itself is a 1-row final aggregate exploded to 4 rows. Two
+    exchanges total regardless of corpus size — each stage is a
+    conditional count over the same aggregate, not a separate pass
+    (contrast funnel_steps, which joins per stage because its stages
+    live on different rows)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    toks = F.split(F.lower("text"), " ")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    n_tokens = F.size(toks)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / (
+        n_tokens - 1
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).cast("double")
+        / n_tokens
+    )
+    keep_q = F.when(
+        F.size(toks) >= 2,
+        (n_tokens.cast("long") >= 20) & (dup_frac <= 0.1) & (stop_ratio >= 0.02),
+    ).otherwise(F.lit(False))
+    m = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.md5(norm).alias("h"),
+        keep_q.alias("keep_q"),
+    )
+    rep = m.groupBy("h").agg(F.min(F.struct("doc_id", "keep_q", "is_en")).alias("r"))
+    counts = rep.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.count(F.when(F.col("r.keep_q"), 1)).alias("n3"),
+        F.count(F.when(F.col("r.keep_q") & F.col("r.is_en"), 1)).alias("n4"),
+    ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n1"))))
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("raw").alias("stage_name"), F.col("n1").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage"), F.lit("exact_dedup").alias("stage_name"), F.col("n2").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage"), F.lit("quality").alias("stage_name"), F.col("n3").alias("n_docs")),
+        F.struct(F.lit(4).alias("stage"), F.lit("english").alias("stage_name"), F.col("n4").alias("n_docs")),
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")
