@@ -222,3 +222,57 @@ def test_compact_preserves_series_meta(spark, tmp_path):
     assert reopened.compression == "snappy"
     got = reopened.read_range(base, base + timedelta(hours=47)).count()
     assert got == 48
+
+
+def test_watermark_drops_late_data_across_restart(spark):
+    """The engine's documented semantic upgrade over the reference
+    (SURVEY §1: late/out-of-order data is handled by watermark instead
+    of rejected): a 5-minute tumbling count with a 2-minute watermark,
+    run as two availableNow micro-batch rounds over the SAME
+    checkpoint. Round 2 delivers an event far behind the recovered
+    watermark — its window must never reach the append-mode sink, while
+    in-order progress keeps emitting."""
+    tmp = tempfile.mkdtemp(prefix="wm_late_")
+    src, sink, chk = (os.path.join(tmp, d) for d in ("src", "sink", "chk"))
+    base = datetime(2024, 5, 1, 10, 0, tzinfo=UTC)
+
+    def run_round(rows):
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Round 1: 10:00..10:10 in order -> watermark advances to 10:08.
+    run_round(
+        [(base + timedelta(minutes=m), 1.0) for m in (0, 1, 4, 5, 7, 10)]
+    )
+    # Round 2: one event 18 min behind the recovered watermark plus
+    # fresh progress at 10:20 (moves the watermark past 10:10).
+    run_round([(base - timedelta(minutes=10), 99.0), (base + timedelta(minutes=20), 1.0)])
+
+    # collect() returns session-TZ-naive datetimes (session TZ is UTC)
+    out = {r["ws"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    naive = base.replace(tzinfo=None)
+    late_window = naive - timedelta(minutes=10)
+    assert late_window not in out, "late event leaked past the watermark"
+    # windows fully below the final watermark (10:18) are all emitted
+    assert out[naive] == 3                              # 10:00-10:05
+    assert out[naive + timedelta(minutes=5)] == 2       # 10:05-10:10
+    assert out[naive + timedelta(minutes=10)] == 1      # 10:10-10:15
+    # the 10:20 window's end is past the watermark -> not emitted yet
+    assert (naive + timedelta(minutes=20)) not in out
