@@ -698,3 +698,33 @@ def test_tick_bars_sizes_and_ohlc(spark):
             assert b["close"] == chunk[-1]["value"]
             vals = [c["value"] for c in chunk]
             assert b["high"] == max(vals) and b["low"] == min(vals)
+
+
+def test_prefix_dup_flags_matches_bruteforce_successor(spark):
+    """prefix_dup_flags must equal the single-node successor rule
+    (sort by (text, id); flag a row iff the next row's text starts
+    with its text) — including pairs that straddle range-partition
+    boundaries, exact-duplicate runs, and the empty string."""
+    from tstables_spark.operators.dedup import prefix_dup_flags
+
+    docs, i = [], 0
+    for c in range(40):  # 40 prefix chains of 3
+        base = f"chain{c:03d} common body"
+        for k in range(3):
+            docs.append((i, base + " more" * k))
+            i += 1
+    for j in range(80):  # unique fillers
+        docs.append((i, f"unique text number {j:04d}"))
+        i += 1
+    docs += [(i, "dup run"), (i + 1, "dup run"), (i + 2, "dup run"), (i + 3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, norm_text string").repartition(7)
+    got = {r["doc_id"]: r["dup_kind"] for r in prefix_dup_flags(df).collect()}
+
+    srt = sorted(docs, key=lambda d: (d[1], d[0]))
+    want = {}
+    for (a, ta), (_, tb) in zip(srt, srt[1:]):
+        if tb.startswith(ta):
+            want[a] = "exact" if ta == tb else "prefix"
+    assert got == want
+    assert any(k == "exact" for k in want.values())  # scenario sanity
+    assert any(k == "prefix" for k in want.values())

@@ -501,3 +501,66 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def prefix_dup_flags(
+    docs: DataFrame, text_col: str = "norm_text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Prefix-duplicate detection: flag every document whose text is a
+    PREFIX of another document's text (the truncated-crawl / partial
+    re-scrape signature exact-hash dedup misses) plus exact duplicates,
+    via the lexicographic-successor identity: X is a prefix of SOME
+    document iff X is a prefix of its immediate successor in the global
+    (text, id) sort order — any document starting with X sorts >= X,
+    and the least such is the successor, which must itself start with X
+    if any does. One comparison per document instead of an all-pairs or
+    inverted-index join.
+
+    Scale shape — a GLOBAL-ORDER lead without the single-task window:
+    a bare ``lead() OVER (ORDER BY ...)`` plans one WindowExec task at
+    any scale. Instead: range-repartition + in-partition sort, pin the
+    partitioning with an eager localCheckpoint (two consumers would
+    otherwise re-sample DIFFERENT range boundaries), lead() per
+    physical partition (``spark_partition_id`` as the window key — the
+    hash exchange on pid keeps each range block whole), and stitch the
+    P partition boundaries through the driver: each partition's
+    (first text) is an O(P) collect — the pack_sequences two-phase
+    discipline — rebroadcast as a literal pid→successor map for each
+    partition's last row. Output rows only for flagged docs: O(dups).
+    """
+    d = (
+        docs.select(id_col, text_col)
+        .repartitionByRange(F.col(text_col), F.col(id_col))
+        .sortWithinPartitions(text_col, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__pid").orderBy(text_col, id_col)
+    led = d.withColumn("__nxt", F.lead(text_col).over(w))
+    firsts = sorted(
+        d.groupBy("__pid").agg(F.min(F.struct(text_col, id_col)).alias("f")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    boundary = {
+        r["__pid"]: firsts[i + 1]["f"][0]
+        for i, r in enumerate(firsts)
+        if i + 1 < len(firsts)
+    }
+    if boundary:
+        bmap = F.create_map(
+            *[x for pid, t in boundary.items() for x in (F.lit(pid), F.lit(t))]
+        )
+        led = led.withColumn(
+            "__nxt", F.coalesce(F.col("__nxt"), bmap.getItem(F.col("__pid")))
+        )
+    t, nxt = F.col(text_col), F.col("__nxt")
+    return (
+        led.where(nxt.isNotNull() & nxt.startswith(t))
+        .select(
+            id_col,
+            F.when(nxt == t, F.lit("exact")).otherwise(F.lit("prefix")).alias("dup_kind"),
+            F.length(t).cast("long").alias("n_norm"),
+        )
+    )

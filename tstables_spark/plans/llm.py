@@ -900,3 +900,50 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dup_count"),
         F.min(F.length(F.col("blob.data"))).cast("long").alias("byte_len"),
     )
+
+
+@query(
+    "dedup_prefix",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+               AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, t,
+             lead(t) OVER (ORDER BY t, doc_id) AS nxt
+      FROM n)
+    SELECT doc_id,
+           CASE WHEN t = nxt THEN 'exact' ELSE 'prefix' END AS dup_kind,
+           CAST(length(t) AS BIGINT) AS n_norm
+    FROM s
+    WHERE nxt IS NOT NULL AND starts_with(nxt, t)
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate audit over normalized text (text_normalize's
+    exact normalization): documents that are a strict PREFIX of another
+    document — the truncated-crawl / partial re-scrape class exact-hash
+    dedup misses — plus exact duplicates, one flag row per affected
+    doc. Uses the lexicographic-successor identity (one comparison per
+    doc); the oracle states the semantics with a bare global lead(),
+    while the engine runs the distributed form — range partition +
+    per-partition lead + O(P) boundary stitch, never a single-task
+    window (operators/dedup.py::prefix_dup_flags)."""
+    from tstables_spark.operators.dedup import prefix_dup_flags
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    return prefix_dup_flags(
+        d.select("doc_id", norm.alias("norm_text")), text_col="norm_text"
+    )
