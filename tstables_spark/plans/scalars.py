@@ -524,3 +524,56 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(nat).alias("sk"),
         F.substring(F.md5(nat), 1, 16).alias("sk16"),
     )
+
+
+@query(
+    "fn_url",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2#s1'
+               AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^[a-z]+://[^/?#]*?([^./?#]+\.[^./?#]+)(?:[/?#]|$)',
+                          1) AS reg_domain
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function battery: protocol / host / path / query /
+    query-parameter extraction plus the registered domain — the
+    parsing every crawl pipeline runs before domain quota sampling
+    (domain_quota_sample) and URL-keyed dedup. URLs are synthesized
+    from fixture columns (the corpus has no URL column), so the parse
+    is fully checkable. Spark side uses the built-in ``parse_url``
+    (JVM, codegen'd) where its contract matches, and regexp for the
+    registered domain; the oracle states everything as regexp — two
+    independent implementations agreeing on every row. Scan-side,
+    zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2#s1"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    pu = lambda part: F.expr(f"parse_url(url, '{part}')")  # noqa: E731
+    return u.select(
+        "doc_id",
+        "url",
+        F.lower(pu("PROTOCOL")).alias("proto"),
+        pu("HOST").alias("host"),
+        pu("PATH").alias("path"),
+        pu("QUERY").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+        F.regexp_extract(
+            "url", r"^[a-z]+://[^/?#]*?([^./?#]+\.[^./?#]+)(?:[/?#]|$)", 1
+        ).alias("reg_domain"),
+    )
