@@ -495,3 +495,42 @@ def test_snapshot_invalidated_by_purge(spark, root):
     ts.purge_before(ts._partition_dates()[-1])
     with pytest.raises(TimeSeriesTableError, match="vacuum"):
         ts.read_version(v1)
+
+
+def test_read_range_column_projection_prunes_scan(spark, root):
+    """read_range(columns=[...]) must reach the parquet scan as
+    ReadSchema column pruning (a 2-column read of a wide series pays 2
+    columns of I/O), keep ts first, and reject unknown columns."""
+    import pytest as _pytest
+
+    from tstables_spark.tstable import TimeSeriesTableError
+
+    wide = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("venue", T.StringType()),
+        ]
+    )
+    tbl = TimeSeriesTable.create(spark, root, "wide", wide)
+    start = datetime(2024, 3, 1, tzinfo=UTC)
+    rows = [
+        (start + timedelta(minutes=i), float(i), i, f"v{i % 3}") for i in range(600)
+    ]
+    tbl.append(spark.createDataFrame(rows, wide))
+
+    out = tbl.read_range(start, start + timedelta(hours=3), columns=["price"])
+    assert out.columns == ["ts", "price"]
+    assert out.count() == 181  # inclusive both ends
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "price" in schema_part and "venue" not in schema_part, schema_part
+
+    # ts is always included exactly once, even if asked for
+    both = tbl.read_range(start, start + timedelta(hours=1), columns=["ts", "size"])
+    assert both.columns == ["ts", "size"]
+
+    with _pytest.raises(TimeSeriesTableError):
+        tbl.read_range(start, start + timedelta(hours=1), columns=["nope"])

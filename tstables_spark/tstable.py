@@ -428,7 +428,9 @@ class TimeSeriesTable:
         return self._df().select(*self.schema.fieldNames())
 
     # -- A4: read_range -----------------------------------------------------
-    def read_range(self, start: datetime, end: datetime) -> DataFrame:
+    def read_range(
+        self, start: datetime, end: datetime, columns: list[str] | None = None
+    ) -> DataFrame:
         """All rows with ``start <= ts <= end`` — inclusive both ends,
         exactly like ``TsTable.read_range`` (SURVEY.md §2 A4).
 
@@ -437,10 +439,26 @@ class TimeSeriesTable:
         ``ts BETWEEN`` predicate is pushed to the Parquet reader where
         row-group min/max stats — tight, thanks to the write-time sort —
         skip non-overlapping row groups (the reference's binary search).
+
+        ``columns`` optionally projects the result to ``ts`` + the named
+        value columns. The projection reaches the Parquet scan
+        (``ReadSchema`` column pruning — asserted in tests), so a
+        2-column read of a wide series pays for 2 columns of I/O, not
+        the full row — the columnar advantage the reference's
+        row-oriented HDF5 layout cannot offer. Unknown names raise
+        immediately (matching the schema-strictness of append).
         """
         start, end = _as_utc(start), _as_utc(end)
+        names = self.schema.fieldNames()
+        if columns is not None:
+            unknown = [c for c in columns if c not in names]
+            if unknown:
+                raise TimeSeriesTableError(
+                    f"read_range columns not in series schema: {unknown}"
+                )
+            names = [TS_COL] + [c for c in columns if c != TS_COL]
         if end < start:
-            return self.to_df().limit(0)
+            return self.to_df().select(*names).limit(0)
         df = self._df()
         pruned = df.where(
             (F.col(DATE_COL) >= F.lit(start.date()))
@@ -448,7 +466,7 @@ class TimeSeriesTable:
             & (F.col(TS_COL) >= F.lit(start))
             & (F.col(TS_COL) <= F.lit(end))
         )
-        return pruned.select(*self.schema.fieldNames())
+        return pruned.select(*names)
 
     # -- pandas edge (the reference's native interface) ---------------------
     def append_pandas(self, pdf, strict_order: bool = False, files_per_day: int = 1) -> None:
