@@ -52,11 +52,12 @@ def _load_all() -> None:
     # (sql_tpch_q2/q9/q11/q20/q21/q22), the four r6 pipeline ops
     # (doc_chunk_overlap, domain_quota_sample, embed_whiten,
     # vocab_oov_rate), lm_bigram_score + ts_watermark_lateness, and the
-    # ten late-r6 additions (sim_knn_graph, ts_tick_bars,
+    # twelve late-r6 additions (sim_knn_graph, ts_tick_bars,
     # ts_calendar_sessions, agg_entropy, agg_markov_transitions,
     # ts_lttb_gate, graph_pagerank, pipeline_corpus_funnel,
-    # dedup_prefix, fn_url): 42 total, fits one 50-slot window with
-    # the pinned pair and re-check slots to spare.
+    # dedup_prefix, fn_url, drift_ks_test, ts_xcorr_lags): 44 total,
+    # fits one 50-slot window with the pinned pair and re-check slots
+    # to spare.
     # Everything displaced is hash-green in a prior round with an
     # unchanged implementation and covered by repo-local parity tests.
     registry.prioritize(

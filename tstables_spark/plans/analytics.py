@@ -1042,3 +1042,90 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("user_id"), "degree", F.round("pr", 6).alias("pagerank")
     )
+
+
+@query(
+    "drift_ks_test",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS tick,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk
+      FROM events),
+    c AS (
+      SELECT tick,
+             count(CASE WHEN wk = 0 THEN 1 END) AS ca,
+             count(CASE WHEN wk = 1 THEN 1 END) AS cb
+      FROM t GROUP BY tick),
+    tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                   CAST(SUM(cb) AS DOUBLE) AS nb FROM c),
+    cum AS (
+      SELECT tick,
+             CAST(SUM(ca) OVER (ORDER BY tick) AS DOUBLE) AS cca,
+             CAST(SUM(cb) OVER (ORDER BY tick) AS DOUBLE) AS ccb
+      FROM c),
+    d AS (SELECT tick, abs(cca / tot.na - ccb / tot.nb) AS d
+          FROM cum, tot),
+    m AS (SELECT max(d) AS md FROM d)
+    SELECT CAST(tot.na AS BIGINT) AS n_weekday,
+           CAST(tot.nb AS BIGINT) AS n_weekend,
+           round(m.md, 6) AS ks_stat,
+           (SELECT min(tick) FROM d WHERE d.d = m.md) AS ks_at_tick
+    FROM tot, m
+    """,
+)
+def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the weekday and
+    weekend value distributions — the nonparametric distribution-shift
+    audit (no binning choice, unlike PSI) a feature store runs before
+    trusting a segment split. D = max |F_wd − F_we| over the integer
+    tick domain (round(100·value), the repo's exact-tick rule), plus
+    the tick where the gap peaks.
+
+    Scale shape: one (tick, segment) partial-agg count over raw rows —
+    the only pass that touches data volume — then the CDF window runs
+    on the AGGREGATED tick domain (bounded by the value range, not the
+    row count; documented single-partition window over that bounded
+    relation). Every F value is an exact-BIGINT-cumsum / exact-total
+    division — one correctly-rounded IEEE op — so both engines build
+    bit-identical CDFs and the argmax tie-break (min tick at max gap)
+    compares identical doubles; only the reported statistic rounds at
+    6dp."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    tick = F.round(F.col("value") * 100).cast("long")
+    wk = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    c = (
+        ev.select(tick.alias("tick"), wk.alias("wk"))
+        .groupBy("tick")
+        .agg(
+            F.count(F.when(F.col("wk") == 0, 1)).alias("ca"),
+            F.count(F.when(F.col("wk") == 1, 1)).alias("cb"),
+        )
+    )
+    tot = c.agg(
+        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
+    )
+    w = Window.orderBy("tick").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = c.select(
+        "tick",
+        F.sum("ca").over(w).cast("double").alias("cca"),
+        F.sum("cb").over(w).cast("double").alias("ccb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "tick",
+        "na",
+        "nb",
+        F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")).alias("d"),
+    )
+    m = d.agg(F.max("d").alias("md"))
+    return (
+        d.crossJoin(F.broadcast(m))
+        .where(F.col("d") == F.col("md"))
+        .agg(
+            F.min(F.col("na")).cast("long").alias("n_weekday"),
+            F.min(F.col("nb")).cast("long").alias("n_weekend"),
+            F.round(F.min("md"), 6).alias("ks_stat"),
+            F.min("tick").alias("ks_at_tick"),
+        )
+    )

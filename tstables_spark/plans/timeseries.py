@@ -2621,3 +2621,152 @@ def ts_lttb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _xcorr_oracle(max_lag: int = 3) -> str:
+    """UNION-stacked DuckDB twin of ts_xcorr_lags: integer moment sums
+    per lag composed into Pearson r with the agg_corr expression tree
+    (BIGINT-exact sums, cast-then-multiply to avoid int64 overflow in
+    the variance product)."""
+    lag_cols = []
+    branches = []
+    for k in range(-max_lag, max_lag + 1):
+        if k < 0:
+            c = f"lag(y, {-k}) OVER w"
+        elif k > 0:
+            c = f"lead(y, {k}) OVER w"
+        else:
+            c = "y"
+        lag_cols.append(f"{c} AS yk_{k + max_lag}")
+        branches.append(
+            f"SELECT {k} AS lag, x, yk_{k + max_lag} AS yk FROM l"
+        )
+    return f"""
+    WITH m AS (
+      SELECT epoch_us(ts) // 60000000 AS minute, event_type FROM events),
+    bounds AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+    grid AS (SELECT unnest(generate_series(bounds.mn, bounds.mx)) AS minute
+             FROM bounds),
+    x AS (SELECT minute, CAST(count(*) AS BIGINT) AS c FROM m
+          WHERE event_type = 'click' GROUP BY minute),
+    y AS (SELECT minute, CAST(count(*) AS BIGINT) AS c FROM m
+          WHERE event_type = 'purchase' GROUP BY minute),
+    s AS (SELECT g.minute, coalesce(x.c, 0) AS x, coalesce(y.c, 0) AS y
+          FROM grid g LEFT JOIN x ON g.minute = x.minute
+                      LEFT JOIN y ON g.minute = y.minute),
+    l AS (SELECT minute, x, y, {", ".join(lag_cols)}
+          FROM s WINDOW w AS (ORDER BY minute)),
+    st AS ({" UNION ALL ".join(branches)}),
+    a AS (SELECT lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(yk) AS sy, SUM(x * yk) AS sxy,
+                 SUM(x * x) AS sx2, SUM(yk * yk) AS sy2
+          FROM st WHERE yk IS NOT NULL GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)) AS xcorr
+    FROM a
+    """
+
+
+@query("ts_xcorr_lags", oracle=_xcorr_oracle())
+def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase
+    per-minute activity series (lags −3..+3 minutes) — the lead–lag
+    discovery tool of tick analytics (does activity in X predict Y k
+    minutes later?). Series are event counts on the DENSE observed
+    minute grid (gaps = 0 — correlating only co-observed minutes would
+    bias toward busy periods).
+
+    Determinism: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is a
+    BIGINT-exact sum of integer counts; Pearson r composes them with
+    agg_corr's IEEE expression tree (cast-then-multiply so the
+    variance product can't overflow int64). No rounding needed — both
+    engines build identical bits.
+
+    Scale shape: the only pass over raw rows is one (minute, type)
+    partial-agg count; the grid join, the ±3 lead/lag window, and the
+    7-way stack all run on the AGGREGATED minute domain (bounded by
+    the time span — 43k rows per month — not the row count; the
+    single-partition grid window is documented bounded-domain, same as
+    drift_ks_test's tick CDF). The stack explodes 7 rows per minute
+    BEFORE one final partial-agg per lag."""
+    from pyspark.sql import Window
+
+    max_lag = 3
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(
+        F.expr("unix_micros(ts) div 60000000").alias("minute"), "event_type"
+    )
+    bounds = m.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("minute")
+    )
+    x = (
+        m.where(F.col("event_type") == "click")
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("xc"))
+    )
+    y = (
+        m.where(F.col("event_type") == "purchase")
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("yc"))
+    )
+    s = (
+        grid.join(x, "minute", "left")
+        .join(y, "minute", "left")
+        .select(
+            "minute",
+            F.coalesce("xc", F.lit(0)).alias("x"),
+            F.coalesce("yc", F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("minute")
+    shift_cols = []
+    for k in range(-max_lag, max_lag + 1):
+        if k < 0:
+            yk = F.lag("y", -k).over(w)
+        elif k > 0:
+            yk = F.lead("y", k).over(w)
+        else:
+            yk = F.col("y")
+        shift_cols.append(yk.alias(f"yk_{k + max_lag}"))
+    # window exprs must be materialized in their own projection before
+    # they can feed the explode (Generate can't host window functions)
+    led = s.select("x", *shift_cols)
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col("x").alias("x"),
+                F.col(f"yk_{k + max_lag}").alias("yk"),
+            )
+            for k in range(-max_lag, max_lag + 1)
+        ]
+    )
+    st = (
+        led.select(F.explode(stacked).alias("p"))
+        .select("p.lag", "p.x", "p.yk")
+        .where(F.col("yk").isNotNull())
+    )
+    a = st.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yk").alias("sy"),
+        F.sum(F.col("x") * F.col("yk")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("yk") * F.col("yk")).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    return a.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        (
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sx2 - sx * sx).cast("double") * (n * sy2 - sy * sy).cast("double")
+            )
+        ).alias("xcorr"),
+    )
