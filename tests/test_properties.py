@@ -252,3 +252,34 @@ def test_exact_mean_fast_path_matches_decimal_reference():
     for i, c in enumerate(cases):
         s = pd.Series(c)
         assert _exact_mean(s) == reference(s), f"case {i} diverged"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_exact_mean_fuzz_matches_decimal_reference(values):
+    """Hypothesis fuzz for _exact_mean's fast path: any float list must
+    reproduce the all-Decimal reference bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from tstables_spark.plans.scalars import _exact_mean
+
+    q = Decimal("0.000001")
+    total = sum(
+        (Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) for v in values),
+        Decimal(0),
+    )
+    ref = float(total) / len(values)
+    assert _exact_mean(pd.Series(values)) == ref
