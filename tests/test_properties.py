@@ -248,6 +248,10 @@ def test_exact_mean_fast_path_matches_decimal_reference():
         np.array([1e12, -1e12, 3.14159, 2**50 / 1e6, 2**52 / 1e6]),
         rng.normal(0, 1e-7, 5_000),
         (k.astype(np.float64) + 0.5) / 1e6,  # exact half-micro ties
+        # int64-overflow regime: same-signed near-gate magnitudes whose
+        # raw micros total passes 2^63 (a single np.int64 sum wraps)
+        np.full(9_000, 2**50 / 1e6),
+        np.full(9_000, -(2**50) / 1e6),
     ]
     for i, c in enumerate(cases):
         s = pd.Series(c)

@@ -528,8 +528,11 @@ def test_read_range_column_projection_prunes_scan(spark, root):
     schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "price" in schema_part and "venue" not in schema_part, schema_part
 
-    # ts is always included exactly once, even if asked for
-    both = tbl.read_range(start, start + timedelta(hours=1), columns=["ts", "size"])
+    # ts is always included exactly once, even if asked for; repeated
+    # names collapse instead of producing ambiguous duplicate columns
+    both = tbl.read_range(
+        start, start + timedelta(hours=1), columns=["ts", "size", "size", "ts"]
+    )
     assert both.columns == ["ts", "size"]
 
     with _pytest.raises(TimeSeriesTableError):

@@ -16,18 +16,16 @@ from pyspark.sql import functions as F
 
 from tstables_spark.operators.dedup import shingles
 from tstables_spark.operators.sampling import hash_split
+from tstables_spark.plans._textnorm import norm_sql, norm_text
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
 
 @query(
     "text_normalize",
-    oracle=r"""
+    oracle=f"""
     WITH n AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
-               AS norm_text
+      SELECT doc_id, {norm_sql('text')} AS norm_text
       FROM documents)
     SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_norm
     FROM n
@@ -37,18 +35,12 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization: lowercase, whitespace→space FIRST
     (so a newline never glues two words together when punctuation is
     stripped), drop non-alphanumerics, collapse runs, trim — the
-    normalization pass exact-dedup and tokenization key on. Pure JVM
-    regex, linear scan, no shuffle."""
+    normalization pass exact-dedup and tokenization key on, defined
+    once in plans/_textnorm.py (dedup_prefix and
+    pipeline_corpus_funnel share it). Pure JVM regex, linear scan, no
+    shuffle."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
-            ),
-            " +",
-            " ",
-        )
-    )
+    norm = norm_text("text")
     return d.select(
         "doc_id",
         norm.alias("norm_text"),

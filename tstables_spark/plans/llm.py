@@ -34,6 +34,8 @@ from tstables_spark.operators.similarity import (
     lsh_topk,
 )
 from tstables_spark.plans._portable_sql import simhash_fp_sql
+from tstables_spark.plans._textnorm import norm_sql as _norm_sql
+from tstables_spark.plans._textnorm import norm_text as _norm_text
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -904,12 +906,9 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_prefix",
-    oracle=r"""
+    oracle="""
     WITH n AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
-               AS t
+      SELECT doc_id, {norm} AS t
       FROM documents),
     s AS (
       SELECT doc_id, t,
@@ -920,30 +919,23 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(t) AS BIGINT) AS n_norm
     FROM s
     WHERE nxt IS NOT NULL AND starts_with(nxt, t)
-    """,
+    """.format(norm=_norm_sql("text")),
 )
 def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-duplicate audit over normalized text (text_normalize's
-    exact normalization): documents that are a strict PREFIX of another
-    document — the truncated-crawl / partial re-scrape class exact-hash
-    dedup misses — plus exact duplicates, one flag row per affected
-    doc. Uses the lexicographic-successor identity (one comparison per
-    doc); the oracle states the semantics with a bare global lead(),
-    while the engine runs the distributed form — range partition +
-    per-partition lead + O(P) boundary stitch, never a single-task
-    window (operators/dedup.py::prefix_dup_flags)."""
+    """Prefix-duplicate audit over normalized text (the canonical
+    normalization, plans/_textnorm.py — shared with text_normalize and
+    pipeline_corpus_funnel): documents that are a strict PREFIX of
+    another document — the truncated-crawl / partial re-scrape class
+    exact-hash dedup misses — plus exact duplicates, one flag row per
+    affected doc. Uses the lexicographic-successor identity (one
+    comparison per doc); the oracle states the semantics with a bare
+    global lead(), while the engine runs the distributed form — range
+    partition + per-partition lead + O(P) boundary stitch, never a
+    single-task window (operators/dedup.py::prefix_dup_flags)."""
     from tstables_spark.operators.dedup import prefix_dup_flags
 
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
-            ),
-            " +",
-            " ",
-        )
-    )
     return prefix_dup_flags(
-        d.select("doc_id", norm.alias("norm_text")), text_col="norm_text"
+        d.select("doc_id", _norm_text("text").alias("norm_text")),
+        text_col="norm_text",
     )

@@ -17,6 +17,8 @@ from tstables_spark.operators.dedup import jaccard_pairs, simhash_pairs
 from tstables_spark.operators.packing import pack_sequences
 from tstables_spark.operators.sampling import hash_sample, hash_split
 from tstables_spark.plans._portable_sql import simhash_fp_sql
+from tstables_spark.plans._textnorm import norm_sql as _norm_sql
+from tstables_spark.plans._textnorm import norm_text as _norm_text
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -529,12 +531,10 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_corpus_funnel",
-    oracle=r"""
+    oracle="""
     WITH m0 AS (
       SELECT doc_id, lang = 'en' AS is_en,
-             md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-                    '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
-               AS h,
+             md5({norm}) AS h,
              str_split(lower(text), ' ') AS toks
       FROM documents),
     m AS (
@@ -566,7 +566,7 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 4, 'english', CAST(count(CASE WHEN keep_q AND is_en THEN 1 END)
                               AS BIGINT) FROM rep
-    """,
+    """.format(norm=_norm_sql("text")),
 )
 def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-cleaning funnel: raw → exact-dedup survivors
@@ -588,15 +588,7 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contrast funnel_steps, which joins per stage because its stages
     live on different rows)."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
-            ),
-            " +",
-            " ",
-        )
-    )
+    norm = _norm_text("text")
     toks = F.split(F.lower("text"), " ")
     g2 = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),

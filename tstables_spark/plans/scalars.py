@@ -275,7 +275,15 @@ def _exact_mean(values: pd.Series) -> float:
     frac_dist = np.abs(np.abs(x - np.floor(x)) - 0.5)
     risky = ~fast_ok | (frac_dist <= np.abs(x) * 1e-12 + 1e-9)
     micros = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-    total = int(micros[~risky].astype(np.int64).sum())
+    fast = micros[~risky].astype(np.int64)
+    # Accumulate in Python ints, 2048-element chunks: each |value| < 2^51
+    # (the fast_ok gate), so a chunk sum is < 2^62 — int64-safe — while
+    # the RUNNING total is arbitrary-precision. A single np.sum would
+    # silently wrap past 2^63 on huge same-signed groups (~4.6e12
+    # value-micros), exactly the large-batch regime this kernel targets.
+    total = 0
+    for s in range(0, fast.size, 2048):
+        total += int(fast[s : s + 2048].sum())
     if risky.any():
         q = Decimal("0.000001")
         for val in v[risky]:

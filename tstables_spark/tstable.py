@@ -456,7 +456,12 @@ class TimeSeriesTable:
                 raise TimeSeriesTableError(
                     f"read_range columns not in series schema: {unknown}"
                 )
-            names = [TS_COL] + [c for c in columns if c != TS_COL]
+            # de-dup preserving order: repeated names would otherwise
+            # produce an ambiguous duplicate-column DataFrame
+            seen: set[str] = {TS_COL}
+            names = [TS_COL] + [
+                c for c in columns if not (c in seen or seen.add(c))
+            ]
         if end < start:
             return self.to_df().select(*names).limit(0)
         df = self._df()
