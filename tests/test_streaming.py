@@ -276,3 +276,53 @@ def test_watermark_drops_late_data_across_restart(spark):
     assert out[naive + timedelta(minutes=10)] == 1      # 10:10-10:15
     # the 10:20 window's end is past the watermark -> not emitted yet
     assert (naive + timedelta(minutes=20)) not in out
+
+
+def test_stream_dedup_state_survives_restart(spark):
+    """dropDuplicates state must persist across a checkpointed restart:
+    an event_id already emitted in round 1 and re-delivered in round 2
+    is suppressed by the recovered state, while genuinely new ids pass."""
+    tmp = tempfile.mkdtemp(prefix="dedup_state_")
+    src, sink, chk = (os.path.join(tmp, d) for d in ("src", "sink", "chk"))
+    base = datetime(2024, 5, 2, 12, 0, tzinfo=UTC)
+
+    def run_round(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).parquet(src)
+        dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round(
+        [
+            (1, base, 1.0),
+            (2, base + timedelta(minutes=1), 2.0),
+            (2, base + timedelta(minutes=2), 2.5),  # in-batch dup
+            (3, base + timedelta(minutes=3), 3.0),
+        ]
+    )
+    # round 2: id 2 re-delivered (must be suppressed by recovered
+    # state), id 4 genuinely new
+    run_round(
+        [
+            (2, base + timedelta(minutes=10), 9.9),
+            (4, base + timedelta(minutes=11), 4.0),
+        ]
+    )
+    out = spark.read.parquet(sink).collect()
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3, 4], ids
+    # the surviving id-2 row is round 1's FIRST delivery
+    row2 = next(r for r in out if r["event_id"] == 2)
+    assert row2["value"] == 2.0
