@@ -30,68 +30,57 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-6 verification window (first 50 = the harness's correctness
+    # ROUND-7 verification window (first 50 = the harness's correctness
     # window). Priority: (a) the reference-identity pair, pinned
-    # permanently; (b) stream_sliding, whose r5 driver failure was an
-    # oracle bug (DuckDB to_timestamp → TIMESTAMPTZ), fixed this round
-    # with an explicit CAST — it stays in the window to prove the green;
-    # (c) the 4 queries whose oracles were added in r5 but whose last
-    # driver run predates them (stale rows-only evidence); (d) 43 of the
-    # 60 queries that have NEVER been in any CORRECTNESS window, leading
-    # with the reference-adjacent storage/lifecycle set and the 11
-    # unchecked TPC-H shapes per the r5 verdict.
+    # permanently; (b) the 44 oracle-bearing queries that have NEVER
+    # been in any CORRECTNESS window — the r6 verdict's staged rotation,
+    # executed verbatim: the newly-gated tolerance-boolean trio first,
+    # the six TPC-H completions, the 17 deferred-from-r6 tail, the r6
+    # pipeline/text additions, and the twelve late-r6 operators; (c)
+    # re-check slots for queries whose implementing module changes this
+    # round (ts_xcorr_lags / drift_ks_test window distribution,
+    # graph_pagerank fixed-point arithmetic, dedup_prefix boundary
+    # stitch, dedup_editdist candidate budget are all in (b) already;
+    # stream_sliding + dedup_minhash + join_asof + dedup_near fill the
+    # spare slots as high-churn-history re-checks).
     #
-    # ROUND-7 ROTATION POOL (17 deferred never-checked + newly gated +
-    # new-this-round): fn_struct, agg_unpivot, fn_conditional,
-    # fn_surrogate_key, embed_pq, ts_benford, agg_gini,
-    # k_anonymity_check, forecast_naive_eval, agg_skew_kurt, agg_mode,
-    # agg_hll_sketch_union, agg_string_agg, fn_bitwise,
-    # agg_approx_percentile, sample_weighted, dedup_cluster_sizes —
-    # plus sim_recall / cluster_kmeans / stream_stateful (tolerance-
-    # boolean oracles added r6), the six TPC-H completions
-    # (sql_tpch_q2/q9/q11/q20/q21/q22), the four r6 pipeline ops
-    # (doc_chunk_overlap, domain_quota_sample, embed_whiten,
-    # vocab_oov_rate), lm_bigram_score + ts_watermark_lateness, and the
-    # twelve late-r6 additions (sim_knn_graph, ts_tick_bars,
-    # ts_calendar_sessions, agg_entropy, agg_markov_transitions,
-    # ts_lttb_gate, graph_pagerank, pipeline_corpus_funnel,
-    # dedup_prefix, fn_url, drift_ks_test, ts_xcorr_lags): 44 total,
-    # fits one 50-slot window with the pinned pair and re-check slots
-    # to spare.
+    # STANDING ROTATION POLICY (r8+): after this window lands, every
+    # oracle-bearing query has driver evidence. The 4 permanently
+    # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
+    # sim_ivf_kmeans, ts_downsample_lttb — each indirectly gated by a
+    # hash-checked contract query (sim_recall / ts_lttb_gate). From r8
+    # on, the window = the pinned pair + any never-checked new queries +
+    # re-check slots for every query whose implementing module changed
+    # since its last green row (check `git log -- <module>` against the
+    # round markers), then backfill with the oldest-evidence queries.
     # Everything displaced is hash-green in a prior round with an
     # unchanged implementation and covered by repo-local parity tests.
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) oracle fixed this round (CAST TIMESTAMPTZ→TIMESTAMP)
-            "stream_sliding",
-            # (c) stale rows-only — oracles landed r5, never driver-run
-            "agg_approx_distinct", "multimodal_schema",
-            "multimodal_frames", "udtf_python",
-            # (d) never in any CORRECTNESS window — storage/lifecycle
-            "ts_catalog", "ts_multi_series_align", "ts_retention_purge",
-            "ts_time_travel", "sink_orc_roundtrip",
-            # unchecked TPC-H shapes
-            "sql_tpch_q4", "sql_tpch_q6", "sql_tpch_q8",
-            "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q14",
-            "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q17",
-            "sql_tpch_q18", "sql_tpch_q19",
-            # tick-analytics family
-            "win_rsi", "ts_rate", "ts_cross_rank",
-            "ts_seasonal_profile", "ts_cusum", "ts_state_durations",
-            "ts_twap", "ts_peak_detect", "win_streaks", "ts_autocorr",
-            "win_minmax_norm", "win_first_last",
-            # temporal joins + streaming as-of
-            "join_interval_overlap", "join_scd2_pit", "stream_asof",
-            "join_existence_prefilter",
-            # analytics audits
-            "cdc_scd2", "graph_degree_dist", "drift_psi_daily",
-            "attribution_last_touch",
-            # corpus / similarity tail
-            "doc_tfidf", "token_pmi", "sim_matryoshka",
-            "multimodal_dedup", "sim_range_search", "dedup_paragraphs",
-            "dedup_ngram_coverage",
+            # (b) newly gated tolerance-boolean oracles (added r6)
+            "sim_recall", "cluster_kmeans", "stream_stateful",
+            # TPC-H completions (suite now 22/22)
+            "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11",
+            "sql_tpch_q20", "sql_tpch_q21", "sql_tpch_q22",
+            # deferred-from-r6 never-checked tail
+            "fn_struct", "agg_unpivot", "fn_conditional",
+            "fn_surrogate_key", "embed_pq", "ts_benford", "agg_gini",
+            "k_anonymity_check", "forecast_naive_eval", "agg_skew_kurt",
+            "agg_mode", "agg_hll_sketch_union", "agg_string_agg",
+            "fn_bitwise", "agg_approx_percentile", "sample_weighted",
+            "dedup_cluster_sizes",
+            # r6 pipeline/text additions
+            "doc_chunk_overlap", "domain_quota_sample", "embed_whiten",
+            "vocab_oov_rate", "lm_bigram_score", "ts_watermark_lateness",
+            # late-r6 operators
+            "sim_knn_graph", "ts_tick_bars", "ts_calendar_sessions",
+            "agg_entropy", "agg_markov_transitions", "ts_lttb_gate",
+            "graph_pagerank", "pipeline_corpus_funnel", "dedup_prefix",
+            "fn_url", "drift_ks_test", "ts_xcorr_lags",
+            # (c) re-check slots: high churn history / touched this round
+            "stream_sliding", "dedup_minhash", "join_asof", "dedup_near",
         ]
     )
 
