@@ -728,3 +728,29 @@ def test_prefix_dup_flags_matches_bruteforce_successor(spark):
     assert got == want
     assert any(k == "exact" for k in want.values())  # scenario sanity
     assert any(k == "prefix" for k in want.values())
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """Multi-column two-phase prefix sum == the single-task global
+    window, independent of partition count (including P > distinct
+    keys, which leaves some range partitions empty)."""
+    from pyspark.sql import Window as W
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(i * 3 % 509, (i * 7) % 50, (i * 11) % 30) for i in range(509)],
+        "k long, a long, b long",
+    )
+    win = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r.k: (r.ca, r.cb)
+        for r in df.withColumn("ca", F.sum("a").over(win))
+        .withColumn("cb", F.sum("b").over(win))
+        .collect()
+    }
+    for P in (1, 5, 1024):
+        got = {
+            r.k: (r.cum_a, r.cum_b)
+            for r in distributed_cumsum(df, ["k"], ["a", "b"], num_partitions=P).collect()
+        }
+        assert got == want, P

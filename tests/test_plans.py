@@ -328,3 +328,18 @@ def test_r6_late_additions_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "sim_knn_graph")
     assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", p)
+
+
+def test_global_windows_are_distributed(spark, sf_dir):
+    """r6 verdict item 2: the two formerly-global-order windows must not
+    plan a single-partition WindowExec. ts_xcorr_lags replaced its grid
+    window with a self-join on the shifted minute key (no Window node at
+    all); drift_ks_test's CDF cumsum runs under distributed_cumsum, so
+    every remaining window spec is keyed by the range-partition id."""
+    xc = _plan(spark, sf_dir, "ts_xcorr_lags")
+    assert "Window" not in xc, xc
+    ks = _plan(spark, sf_dir, "drift_ks_test")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", ks)
+    assert specs, ks
+    for s in specs:
+        assert s.startswith("__pid"), s

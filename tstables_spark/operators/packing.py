@@ -34,6 +34,65 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive prefix sums of ``value_cols`` in ``order_cols`` order,
+    WITHOUT the single-task global window — the two-phase distributed
+    scan factored out of ``pack_sequences`` so any bounded-or-not
+    cumulative query (CDFs, running totals over an aggregated domain)
+    can reuse it: range-repartition on the order key (pinned with an
+    eager localCheckpoint so the offsets job and the caller's final
+    action see ONE boundary set), per-partition running sums under a
+    ``spark_partition_id``-keyed window, then an O(P)-row driver
+    exchange turns partition totals into per-partition offsets.
+
+    Adds one ``cum_<col>`` column per value column; ``value_cols`` must
+    be non-null (counts/sums — ``F.sum`` over a window skips nulls, so a
+    null would silently shift the running total). Result is independent
+    of P and of where the range boundaries land.
+    """
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(P, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local = W.partitionBy("__pid").orderBy(*order_cols)
+    out = parts
+    for c in value_cols:
+        out = out.withColumn(f"__local_{c}", F.sum(c).over(local))
+    totals = {
+        r["__pid"]: r
+        for r in parts.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .collect()
+    }
+    acc = {c: 0 for c in value_cols}
+    offsets: dict[int, dict[str, int]] = {}
+    for pid in sorted(totals):
+        offsets[pid] = dict(acc)
+        for c in value_cols:
+            acc[c] += totals[pid][c] or 0
+    for c in value_cols:
+        off = (
+            F.coalesce(
+                *[
+                    F.when(F.col("__pid") == pid, F.lit(po[c]))
+                    for pid, po in sorted(offsets.items())
+                ],
+                F.lit(0),
+            )
+            if offsets
+            else F.lit(0)
+        )
+        out = out.withColumn(f"cum_{c}", F.col(f"__local_{c}") + off)
+    return out.drop("__pid", *[f"__local_{c}" for c in value_cols])
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,

@@ -1082,15 +1082,17 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tick where the gap peaks.
 
     Scale shape: one (tick, segment) partial-agg count over raw rows —
-    the only pass that touches data volume — then the CDF window runs
-    on the AGGREGATED tick domain (bounded by the value range, not the
-    row count; documented single-partition window over that bounded
-    relation). Every F value is an exact-BIGINT-cumsum / exact-total
-    division — one correctly-rounded IEEE op — so both engines build
-    bit-identical CDFs and the argmax tie-break (min tick at max gap)
-    compares identical doubles; only the reported statistic rounds at
-    6dp."""
-    from pyspark.sql import Window
+    the only pass that touches data volume — then the CDF runs on the
+    AGGREGATED tick domain via the two-phase distributed prefix sum
+    (operators/packing.py::distributed_cumsum: range-partition by tick,
+    per-partition running sums, O(P) boundary offsets through the
+    driver) — no single-partition window even if a wide value range
+    makes the tick domain large. Every F value is an
+    exact-BIGINT-cumsum / exact-total division — one correctly-rounded
+    IEEE op — so both engines build bit-identical CDFs and the argmax
+    tie-break (min tick at max gap) compares identical doubles; only
+    the reported statistic rounds at 6dp."""
+    from tstables_spark.operators.packing import distributed_cumsum
 
     ev = load(spark, sf_dir, "events")
     tick = F.round(F.col("value") * 100).cast("long")
@@ -1106,11 +1108,10 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(
         F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
     )
-    w = Window.orderBy("tick").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = c.select(
+    cum = distributed_cumsum(c, ["tick"], ["ca", "cb"]).select(
         "tick",
-        F.sum("ca").over(w).cast("double").alias("cca"),
-        F.sum("cb").over(w).cast("double").alias("ccb"),
+        F.col("cum_ca").cast("double").alias("cca"),
+        F.col("cum_cb").cast("double").alias("ccb"),
     )
     d = cum.crossJoin(F.broadcast(tot)).select(
         "tick",

@@ -2624,23 +2624,17 @@ def ts_lttb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xcorr_oracle(max_lag: int = 3) -> str:
-    """UNION-stacked DuckDB twin of ts_xcorr_lags: integer moment sums
-    per lag composed into Pearson r with the agg_corr expression tree
-    (BIGINT-exact sums, cast-then-multiply to avoid int64 overflow in
-    the variance product)."""
-    lag_cols = []
-    branches = []
-    for k in range(-max_lag, max_lag + 1):
-        if k < 0:
-            c = f"lag(y, {-k}) OVER w"
-        elif k > 0:
-            c = f"lead(y, {k}) OVER w"
-        else:
-            c = "y"
-        lag_cols.append(f"{c} AS yk_{k + max_lag}")
-        branches.append(
-            f"SELECT {k} AS lag, x, yk_{k + max_lag} AS yk FROM l"
-        )
+    """Join-shifted DuckDB twin of ts_xcorr_lags: on the dense minute
+    grid, ``lead(y, k)``/``lag(y, k)`` is exactly the y value at
+    ``minute + k`` when that minute is in range, so the lagged pairs
+    come from an equi-join of the series with itself (the same shape
+    the Spark plan uses — no global-order window on either side).
+    Integer moment sums per lag are BIGINT-exact; each moment is cast
+    to DOUBLE BEFORE composing Pearson r (agg_corr's discipline —
+    composing in BIGINT overflows int64 once ``sx * sx`` crosses 2^63,
+    where Spark's non-ANSI long arithmetic wraps silently while DuckDB
+    promotes to HUGEINT and the engines diverge)."""
+    lags = ", ".join(str(k) for k in range(-max_lag, max_lag + 1))
     return f"""
     WITH m AS (
       SELECT epoch_us(ts) // 60000000 AS minute, event_type FROM events),
@@ -2654,18 +2648,23 @@ def _xcorr_oracle(max_lag: int = 3) -> str:
     s AS (SELECT g.minute, coalesce(x.c, 0) AS x, coalesce(y.c, 0) AS y
           FROM grid g LEFT JOIN x ON g.minute = x.minute
                       LEFT JOIN y ON g.minute = y.minute),
-    l AS (SELECT minute, x, y, {", ".join(lag_cols)}
-          FROM s WINDOW w AS (ORDER BY minute)),
-    st AS ({" UNION ALL ".join(branches)}),
+    lagset AS (SELECT unnest([{lags}]) AS lag),
+    st AS (SELECT l.lag, a.x, b.y AS yk
+           FROM s a
+           JOIN lagset l ON true
+           JOIN s b ON b.minute = a.minute + l.lag),
     a AS (SELECT lag,
                  CAST(count(*) AS BIGINT) AS n,
                  SUM(x) AS sx, SUM(yk) AS sy, SUM(x * yk) AS sxy,
                  SUM(x * x) AS sx2, SUM(yk * yk) AS sy2
-          FROM st WHERE yk IS NOT NULL GROUP BY lag)
+          FROM st GROUP BY lag)
     SELECT CAST(lag AS INT) AS lag, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
-                    * CAST(n * sy2 - sy * sy AS DOUBLE)) AS xcorr
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS xcorr
     FROM a
     """
 
@@ -2680,28 +2679,43 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias toward busy periods).
 
     Determinism: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is a
-    BIGINT-exact sum of integer counts; Pearson r composes them with
-    agg_corr's IEEE expression tree (cast-then-multiply so the
-    variance product can't overflow int64). No rounding needed — both
-    engines build identical bits.
+    BIGINT-exact sum of integer counts; each moment is cast to DOUBLE
+    BEFORE composing Pearson r (agg_corr's discipline). Composing in
+    BIGINT would silently wrap in Spark's non-ANSI long arithmetic once
+    ``sx * sx`` crosses 2^63 (total clicks > ~3e9 — exactly the target
+    regime) while DuckDB promotes to HUGEINT, diverging the engines;
+    with exact-integer moments cast first, both engines run the same
+    IEEE expression tree on the same doubles.
 
-    Scale shape: the only pass over raw rows is one (minute, type)
-    partial-agg count; the grid join, the ±3 lead/lag window, and the
-    7-way stack all run on the AGGREGATED minute domain (bounded by
-    the time span — 43k rows per month — not the row count; the
-    single-partition grid window is documented bounded-domain, same as
-    drift_ks_test's tick CDF). The stack explodes 7 rows per minute
-    BEFORE one final partial-agg per lag."""
-    from pyspark.sql import Window
-
-    max_lag = 3
+    Scale shape — no global-order window anywhere: the only pass over
+    raw rows is one (minute, type) partial-agg count. The dense grid is
+    materialized DISTRIBUTED (chunk starts exploded, repartitioned,
+    then each chunk exploded — never one task holding a multi-year
+    minute span), and ``lead(y, k)`` on a dense grid is exactly the y
+    at ``minute + k``, so the ±3 shifts are an equi-JOIN of the series
+    with itself on the shifted key — a hash shuffle on the minute
+    domain that scales out, where the previous ``Window.orderBy``
+    collapsed the whole grid into one task. The 7-way lag fanout rides
+    the join's probe side BEFORE one final partial-agg per lag."""
+    max_lag, chunk = 3, 4096
     ev = load(spark, sf_dir, "events")
     m = ev.select(
         F.expr("unix_micros(ts) div 60000000").alias("minute"), "event_type"
     )
     bounds = m.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
-    grid = bounds.select(
-        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("minute")
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"), F.lit(chunk))).alias("cs"),
+            "mx",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("cs"), F.least(F.col("cs") + (chunk - 1), F.col("mx"))
+                )
+            ).alias("minute")
+        )
     )
     x = (
         m.where(F.col("event_type") == "click")
@@ -2722,34 +2736,15 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("yc", F.lit(0)).alias("y"),
         )
     )
-    w = Window.orderBy("minute")
-    shift_cols = []
-    for k in range(-max_lag, max_lag + 1):
-        if k < 0:
-            yk = F.lag("y", -k).over(w)
-        elif k > 0:
-            yk = F.lead("y", k).over(w)
-        else:
-            yk = F.col("y")
-        shift_cols.append(yk.alias(f"yk_{k + max_lag}"))
-    # window exprs must be materialized in their own projection before
-    # they can feed the explode (Generate can't host window functions)
-    led = s.select("x", *shift_cols)
-    stacked = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("lag"),
-                F.col("x").alias("x"),
-                F.col(f"yk_{k + max_lag}").alias("yk"),
-            )
-            for k in range(-max_lag, max_lag + 1)
-        ]
-    )
-    st = (
-        led.select(F.explode(stacked).alias("p"))
-        .select("p.lag", "p.x", "p.yk")
-        .where(F.col("yk").isNotNull())
-    )
+    probe = s.select(
+        "minute",
+        "x",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("tgt", F.col("minute") + F.col("lag"))
+    ys = s.select(F.col("minute").alias("tgt"), F.col("y").alias("yk"))
+    st = probe.join(ys, "tgt").select("lag", "x", "yk")
     a = st.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -2758,15 +2753,14 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sx2"),
         F.sum(F.col("yk") * F.col("yk")).alias("sy2"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
     return a.select(
         F.col("lag").cast("int").alias("lag"),
         "n",
-        (
-            (n * sxy - sx * sy).cast("double")
-            / F.sqrt(
-                (n * sx2 - sx * sx).cast("double") * (n * sy2 - sy * sy).cast("double")
-            )
-        ).alias("xcorr"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).alias(
+            "xcorr"
+        ),
     )
