@@ -754,3 +754,21 @@ def test_distributed_cumsum_matches_global_window(spark):
             for r in distributed_cumsum(df, ["k"], ["a", "b"], num_partitions=P).collect()
         }
         assert got == want, P
+
+
+def test_editdist_candidate_budget_guard(spark):
+    """A length-concentrated corpus (every doc same lang, same band)
+    must trip the candidate-pair budget loudly; the same corpus passes
+    with the guard disabled or the budget raised."""
+    import pytest
+    from tstables_spark.operators.dedup import editdist_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "en", 100, "x" * 100) for i in range(200)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    # 200 docs in one block -> ~200*600/2 = 60k estimated pairs
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        editdist_pairs(docs, max_candidate_pairs=1000)
+    assert editdist_pairs(docs, max_candidate_pairs=None).count() > 0
+    assert editdist_pairs(docs, max_candidate_pairs=10**8).count() > 0

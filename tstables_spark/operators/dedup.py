@@ -360,6 +360,7 @@ def editdist_pairs(
     band_width: int = 64,
     prefix: int = 200,
     max_dist: int = 20,
+    max_candidate_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Near-dup pairs by bounded Levenshtein distance on normalized
     prefixes, found WITHOUT an all-pairs comparison.
@@ -381,7 +382,46 @@ def editdist_pairs(
     apart in raw length than one band are out of scope by definition
     (and since edit distance lower-bounds at the length difference,
     wildly different-length docs could not be near-dups anyway).
+
+    ``max_candidate_pairs`` is the cost-model guard: measured cost is
+    ~0.9 ms per candidate pair (SCALE.md), and the candidate count
+    rides the corpus LENGTH HISTOGRAM (Σ over (lang, band-pair) of
+    occupancy products), which nothing else bounds — a skewed corpus
+    (many same-language docs of near-identical length) silently turns
+    this into a multi-hour stage. Before building the join, an upper
+    bound on the candidate count is computed from the (lang, band)
+    occupancy histogram alone — two tiny aggregates, never the join
+    itself — and the operator FAILS LOUDLY with the estimate and the
+    knobs to turn (shrink ``band_width``, raise the budget) instead of
+    degrading into an invisible 10-hour stage. ``None`` disables.
     """
+    if max_candidate_pairs is not None:
+        occ = (
+            docs.groupBy("lang", F.expr(f"n_chars div {band_width}").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a, b = occ.alias("a"), occ.alias("b")
+        est_row = (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("b.band") - F.col("a.band")).between(-1, 1),
+            )
+            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("est"))
+            .collect()[0]
+        )
+        est = (est_row["est"] or 0) // 2  # ordered -> unordered pairs
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"editdist_pairs: blocked candidate estimate {est:,} pairs "
+                f"exceeds max_candidate_pairs={max_candidate_pairs:,} "
+                f"(~{est * 0.9e-3 / 3600:.1f} CPU-hours at the measured "
+                f"0.9 ms/pair). The corpus length histogram is too "
+                f"concentrated for band_width={band_width}: shrink "
+                f"band_width to split hot (lang, length) blocks, raise "
+                f"max_candidate_pairs deliberately, or pass None to "
+                f"disable the guard."
+            )
     d = docs.select(
         "doc_id",
         "lang",
@@ -523,10 +563,15 @@ def prefix_dup_flags(
     otherwise re-sample DIFFERENT range boundaries), lead() per
     physical partition (``spark_partition_id`` as the window key — the
     hash exchange on pid keeps each range block whole), and stitch the
-    P partition boundaries through the driver: each partition's
-    (first text) is an O(P) collect — the pack_sequences two-phase
-    discipline — rebroadcast as a literal pid→successor map for each
-    partition's last row. Output rows only for flagged docs: O(dups).
+    P partition boundaries with an O(P)-row successor relation: each
+    partition's (first text) shifted down one slot by a lead() over
+    the P-row firsts relation (a bounded window — P is the partition
+    count, never the data), broadcast-joined back onto each
+    partition's last row. No driver collect and no text embedded in
+    the plan as literals — a create_map of full boundary documents
+    would inline P long strings into the expression tree, the
+    giant-literal regime that breaks codegen. Output rows only for
+    flagged docs: O(dups).
     """
     d = (
         docs.select(id_col, text_col)
@@ -539,22 +584,18 @@ def prefix_dup_flags(
 
     w = W.partitionBy("__pid").orderBy(text_col, id_col)
     led = d.withColumn("__nxt", F.lead(text_col).over(w))
-    firsts = sorted(
-        d.groupBy("__pid").agg(F.min(F.struct(text_col, id_col)).alias("f")).collect(),
-        key=lambda r: r["__pid"],
+    firsts = d.groupBy("__pid").agg(
+        F.min(F.struct(F.col(text_col).alias("t"), F.col(id_col).alias("i"))).alias("f")
     )
-    boundary = {
-        r["__pid"]: firsts[i + 1]["f"][0]
-        for i, r in enumerate(firsts)
-        if i + 1 < len(firsts)
-    }
-    if boundary:
-        bmap = F.create_map(
-            *[x for pid, t in boundary.items() for x in (F.lit(pid), F.lit(t))]
-        )
-        led = led.withColumn(
-            "__nxt", F.coalesce(F.col("__nxt"), bmap.getItem(F.col("__pid")))
-        )
+    # lead over the P-row firsts relation: partition p's boundary is the
+    # first text of the next NON-EMPTY partition (empty range partitions
+    # simply have no row here, so lead skips them naturally)
+    bnd = firsts.select(
+        "__pid", F.lead("f.t").over(W.orderBy("__pid")).alias("__succ_first")
+    )
+    led = led.join(F.broadcast(bnd), "__pid", "left").withColumn(
+        "__nxt", F.coalesce(F.col("__nxt"), F.col("__succ_first"))
+    )
     t, nxt = F.col(text_col), F.col("__nxt")
     return (
         led.where(nxt.isNotNull() & nxt.startswith(t))

@@ -924,10 +924,12 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
-    """Unrolled-iteration DuckDB twin of graph_pagerank. Per-iteration
-    contributions are quantized to DECIMAL(38,18) and summed exactly
-    (order-independent), each new rank is rounded at 12dp — the same
-    two determinism points as the Spark plan."""
+    """Unrolled-iteration DuckDB twin of graph_pagerank. Every rank is a
+    scale-12 fixed-point BIGINT and every iteration step is integer
+    arithmetic (floor divisions at declared points), so no float — and
+    no double→decimal conversion, whose string-vs-numeric semantics
+    differ between engines in the last decimal digit — ever enters the
+    iteration. Both engines necessarily produce identical integers."""
     cte = [
         """
     b0 AS (
@@ -947,24 +949,27 @@ def _pagerank_oracle(iters: int = 3) -> str:
            SELECT v AS src, u AS dst FROM edges),
     deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
             FROM de GROUP BY src),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-    r0 AS (SELECT node, degree, 1.0 / nn.n AS pr FROM deg, nn)"""
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT node, degree,
+                  CAST(1000000000000 // nn.n AS BIGINT) AS pr12
+           FROM deg, nn)"""
     ]
     for i in range(1, iters + 1):
         cte.append(f"""
     c{i} AS (
       SELECT de.dst AS node,
-             CAST(SUM(CAST(r{i-1}.pr / r{i-1}.degree AS DECIMAL(38,18)))
-                  AS DOUBLE) AS s
+             CAST(SUM(r{i-1}.pr12 * 1000000 // r{i-1}.degree) AS BIGINT) AS s18
       FROM de JOIN r{i-1} ON de.src = r{i-1}.node GROUP BY de.dst),
     r{i} AS (
       SELECT deg.node, deg.degree,
-             round(0.15 / nn.n + 0.85 * c{i}.s, 12) AS pr
+             CAST(150000000000 // nn.n
+                  + 85 * (c{i}.s18 // 1000000) // 100 AS BIGINT) AS pr12
       FROM deg JOIN c{i} ON deg.node = c{i}.node, nn)""")
     return (
         "WITH" + ",".join(cte)
         + f"""
-    SELECT node AS user_id, degree, round(pr, 6) AS pagerank FROM r{iters}
+    SELECT node AS user_id, degree,
+           round(pr12 / 1000000000000.0, 6) AS pagerank FROM r{iters}
     """
     )
 
@@ -975,11 +980,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph — the influence/centrality score behind spam
     farms, seed-user selection, and crawl frontier prioritization, and
     the engine's demonstration that ITERATIVE algorithms hash-match a
-    SQL oracle when each iteration's float hazards are pinned: the
-    per-node contribution sum runs in DECIMAL(38,18) (exact,
-    order-independent — the _exact.py discipline at rank scale) and
-    each new rank is rounded at 12dp, so three iterations compound
-    zero engine-dependent ulps. Final report rounds at 6dp.
+    SQL oracle when the iteration contains NO float at all: ranks are
+    scale-12 fixed-point BIGINTs (the int-micros discipline of
+    _exact.py, at rank scale), contributions are computed at scale 18
+    by exact integer multiply-then-floor-divide (pr12·10⁶ div degree —
+    bounded by 10¹⁸ since Σpr = 1, so no int64 overflow), summed as
+    BIGINTs (order-independent), and the damping step is again integer
+    (85·(s18 div 10⁶) div 100). The earlier double→DECIMAL(38,18)
+    design was vulnerable to the engines' differing double→decimal
+    conversions (Spark via shortest decimal string, DuckDB numeric —
+    ±1 at the 18th digit per term, which a high-degree node's sum can
+    push across a rounding boundary); integers cannot diverge. Only
+    the final report divides (one exact IEEE op, pr12 < 2⁵³) and
+    rounds at 6dp.
 
     Scale shape: the edge derivation is graph_degree_dist's (DISTINCT
     memberships -> capped self-join -> DISTINCT edges), materialized
@@ -1016,16 +1029,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = de.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
-    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "degree", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+        "node", "degree", "n", F.expr("1000000000000L div n").alias("pr12")
     )
     for _ in range(3):
         contrib = de.join(ranks, de["src"] == ranks["node"]).select(
-            "dst", (F.col("pr") / F.col("degree")).alias("m")
+            "dst", F.expr("pr12 * 1000000L div degree").alias("c18")
         )
         s = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum(F.col("m").cast("decimal(38,18)")).cast("double").alias("s")
+            F.sum("c18").alias("s18")
         )
         ranks = (
             deg.join(s, "node")
@@ -1034,13 +1047,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 "degree",
                 "n",
-                F.round(F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"), 12).alias(
-                    "pr"
-                ),
+                F.expr(
+                    "150000000000L div n + 85L * (s18 div 1000000L) div 100L"
+                ).alias("pr12"),
             )
         )
     return ranks.select(
-        F.col("node").alias("user_id"), "degree", F.round("pr", 6).alias("pagerank")
+        F.col("node").alias("user_id"),
+        "degree",
+        F.round(F.col("pr12") / F.lit(1000000000000.0), 6).alias("pagerank"),
     )
 
 
