@@ -22,7 +22,12 @@ if REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (scan, agg, joins incl. as-of,
-# windows, resample, top-k). Extended as phases land.
+# windows, resample, top-k), PLUS the heaviest operators by measured
+# CPU so regressions there are round-over-round visible (r6 verdict:
+# dedup_editdist ~22 s CPU at sf0.1 was invisible to the bench), the
+# Arrow-kernel pair (sim_knn_graph, dedup_embed_clusters), the
+# iterative-graph representative (graph_pagerank) and one deep TPC-H
+# join tree (sql_tpch_q9). Extended as phases land.
 HEADLINE = [
     "ts_range_scan",
     "agg_pricing_summary",
@@ -43,6 +48,11 @@ HEADLINE = [
     "text_stats",
     "token_count",
     "udtf_apply_in_pandas",
+    "dedup_editdist",
+    "sim_knn_graph",
+    "dedup_embed_clusters",
+    "graph_pagerank",
+    "sql_tpch_q9",
 ]
 
 
