@@ -772,3 +772,40 @@ def test_editdist_candidate_budget_guard(spark):
         editdist_pairs(docs, max_candidate_pairs=1000)
     assert editdist_pairs(docs, max_candidate_pairs=None).count() > 0
     assert editdist_pairs(docs, max_candidate_pairs=10**8).count() > 0
+
+
+def test_asof_presorted_matches_union_window(spark, tmp_path):
+    """The pre-sorted bucket layout must reproduce asof_join exactly,
+    and its read plan must have neither an Exchange nor a Sort — the
+    whole point of paying the shuffle+sort at staging time."""
+    import re
+    from tstables_spark.operators.asof import (
+        asof_join, asof_join_presorted, stage_asof_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 17, i * 31 % 1000) for i in range(2000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(i % 17, i * 97 % 1000, i) for i in range(300)],
+        "k long, t long, val long",
+    ).groupBy("k", F.timestamp_seconds("t").alias("rts")).agg(F.max("val").alias("val"))
+    want = {
+        tuple(r)
+        for r in asof_join(
+            left, right, "ts", "rts", "k", "k", ["val"]
+        ).collect()
+    }
+    stage_asof_layout(
+        left, right, "ts", "rts", "k", "k", ["val"],
+        "asof_presorted_test", str(tmp_path / "t"), num_buckets=4,
+    )
+    pre = asof_join_presorted(
+        spark, "asof_presorted_test", ["event_id", "k", "ts"], ["val"]
+    )
+    got = {tuple(r) for r in pre.collect()}
+    assert got == want and len(got) == 2000
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert not re.search(r"\(\d+\) Sort ", plan), plan

@@ -131,6 +131,95 @@ def asof_join(
     return out
 
 
+def stage_asof_layout(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_values: Sequence[str],
+    table_name: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Write the pre-unioned backward-as-of relation as a bucketed
+    (key) + sorted (key, time, side) table with ONE file per bucket —
+    the "pre-sorted bucket streaming" physical strategy (SURVEY §4):
+    pay the as-of shuffle and sort ONCE at write time, so every
+    subsequent ``asof_join_presorted`` read elides BOTH the Exchange
+    and the Sort (FileSourceScanExec only claims the sort order when
+    each bucket has a single file, hence the repartition before the
+    bucketed write). This is exactly the trade the TimeSeriesTable
+    layout makes for time-range scans, applied to the as-of union."""
+    left_cols = left.columns
+    rts = F.col(right_on).alias("__rts")
+    l = left.select(
+        F.col(left_by).alias(_KEY),
+        F.col(left_on).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(
+            right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
+        ).alias(_CARRY),
+        *[F.col(c) for c in left_cols],
+    )
+    r = right.select(
+        F.col(right_by).alias(_KEY),
+        F.col(right_on).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        F.struct(*right_values, rts).alias(_CARRY),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    (
+        l.unionByName(r)
+        .repartition(num_buckets, F.col(_KEY))
+        .write.bucketBy(num_buckets, _KEY)
+        .sortBy(_KEY, _TIME, _SIDE)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def asof_join_presorted(
+    spark,
+    table_name: str,
+    left_cols: Sequence[str],
+    right_values: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of over a ``stage_asof_layout`` table: the same
+    running-carry window as ``asof_join``, but the scan's bucket
+    partitioning satisfies the window's ClusteredDistribution and its
+    per-bucket (key, time, side) sort satisfies the required ordering,
+    so the plan is scan → Window → filter: no Exchange, no Sort
+    (asserted in tests/test_plans.py).
+
+    Spark stopped CLAIMING bucketed-scan sort order by default in 3.0
+    (SPARK-28632 — the claim is unsafe with multiple files per bucket);
+    the public conf below re-enables the claim, and Spark itself still
+    only applies it to single-file buckets — which ``stage_asof_layout``
+    guarantees via the pre-write repartition — so enabling it
+    session-wide cannot mis-order any other bucketed read."""
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    w = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = spark.table(table_name).withColumn(
+        _CARRY, F.last(_CARRY, ignorenulls=True).over(w)
+    )
+    fresh = F.lit(True)
+    if tolerance_seconds is not None:
+        gap = F.unix_micros(F.col(_TIME)) - F.unix_micros(F.col(f"{_CARRY}.__rts"))
+        fresh = gap <= tolerance_seconds * 1_000_000
+    return carried.where(F.col(_SIDE) == 1).select(
+        *left_cols,
+        *[F.when(fresh, F.col(f"{_CARRY}.{v}")).alias(v) for v in right_values],
+    )
+
+
 def _asof_nearest(
     left: DataFrame,
     right: DataFrame,
