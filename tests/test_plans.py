@@ -343,3 +343,21 @@ def test_global_windows_are_distributed(spark, sf_dir):
     assert specs, ks
     for s in specs:
         assert s.startswith("__pid"), s
+
+
+def test_r7_new_queries_plan_shapes(spark, sf_dir):
+    """Pin the round-7 additions to their documented shapes:
+    ts_rollup_hier computes all 4 hierarchy levels through ONE Expand +
+    one aggregate exchange; vocab_coverage_curve and ts_robust_zscore
+    get their cumulative sums from distributed_cumsum, so no window
+    spec anywhere is global (empty partition spec); dedup_containment
+    inherits dedup_near's two-shuffle inverted index (no join nodes)."""
+    p = _plan(spark, sf_dir, "ts_rollup_hier")
+    assert p.count("Expand") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    for name in ("vocab_coverage_curve", "ts_robust_zscore"):
+        plan = _plan(spark, sf_dir, name)
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert s.startswith("__pid"), (name, s)
+    cont = _plan(spark, sf_dir, "dedup_containment")
+    assert "Join" not in cont, cont

@@ -160,6 +160,43 @@ def jaccard_pairs(
     shared-shingle evidence — denominators stay exact, so it can only
     lower recall, never create false positives.
     """
+    shared = _pair_overlap(docs, n, max_df)
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment = shared / min(|A|, |B|) — the
+    quote/superset detector. A short document wholly quoted inside a
+    long one has tiny Jaccard (the union is dominated by the long doc)
+    but containment ~1; training-data pipelines need this exactly where
+    symmetric dedup goes blind — boilerplate inclusion, article+quote
+    aggregators, truncated re-crawls that grew a footer. Same
+    two-shuffle inverted index as ``jaccard_pairs`` (shared core), only
+    the final threshold expression differs."""
+    shared = _pair_overlap(docs, n, max_df)
+    cont = F.col("shared").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        shared.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "shared", "containment")
+    )
+
+
+def _pair_overlap(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
+    """Shared inverted-index core of jaccard_pairs/containment_pairs:
+    (doc_a, doc_b, shared, na, nb) for every pair sharing >= 1
+    fingerprint, two shuffles, zero joins (see jaccard_pairs for the
+    full scale rationale)."""
     # Shingles become 60-bit portable fingerprints scan-side (same
     # contract as minhash_lsh_pairs: fingerprint-set Jaccard, md5-based
     # so the oracle reproduces collisions identically) — the inverted
@@ -189,14 +226,8 @@ def jaccard_pairs(
         )
         .select("doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n_sh").alias("nb"))
     )
-    shared = pairs.groupBy("doc_a", "doc_b").agg(
+    return pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb")
-    )
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "shared", "jaccard")
     )
 
 

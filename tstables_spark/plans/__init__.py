@@ -45,14 +45,18 @@ def _load_all() -> None:
     # spare slots as high-churn-history re-checks).
     #
     # STANDING ROTATION POLICY (r8+): after this window lands, every
-    # oracle-bearing query has driver evidence. The 4 permanently
-    # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
-    # sim_ivf_kmeans, ts_downsample_lttb — each indirectly gated by a
-    # hash-checked contract query (sim_recall / ts_lttb_gate). From r8
-    # on, the window = the pinned pair + any never-checked new queries +
-    # re-check slots for every query whose implementing module changed
-    # since its last green row (check `git log -- <module>` against the
-    # round markers), then backfill with the oldest-evidence queries.
+    # oracle-bearing query except the four ADDED in r7
+    # (dedup_containment, ts_rollup_hier, vocab_coverage_curve,
+    # ts_robust_zscore — all local-parity green at three scales, never
+    # driver-windowed) has driver evidence; those four lead the r8
+    # window. The 4 permanently rows-only-by-design queries are
+    # sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, ts_downsample_lttb —
+    # each indirectly gated by a hash-checked contract query
+    # (sim_recall / ts_lttb_gate). From r8 on, the window = the pinned
+    # pair + any never-checked new queries + re-check slots for every
+    # query whose implementing module changed since its last green row
+    # (check `git log -- <module>` against the round markers), then
+    # backfill with the oldest-evidence queries.
     # Everything displaced is hash-green in a prior round with an
     # unchanged implementation and covered by repo-local parity tests.
     registry.prioritize(

@@ -1145,3 +1145,139 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tick").alias("ks_at_tick"),
         )
     )
+
+
+def _grouped_median2(counts: DataFrame, key: str, val: str, cnt: str) -> DataFrame:
+    """Per-key exact 2x-median of an integer value from its (key, val,
+    count) histogram: returns (key, n, m2) where m2 = k1th + k2th
+    smallest value (k1=(n+1) div 2, k2=(n+2) div 2) — i.e. twice the
+    interpolated median, but always an exact BIGINT (odd n: 2x the
+    middle value; even n: the sum of the two middle values).
+
+    Distribution: ONE distributed_cumsum over the global (key, val)
+    order gives running counts; the per-key cumulative is recovered by
+    subtracting each key's exclusive offset (a |keys|^2 self-join over
+    the tiny per-key totals relation — |keys| is the event-type
+    cardinality, not data). No per-key global window, no driver
+    collect beyond distributed_cumsum's O(P) offsets."""
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    cum = distributed_cumsum(counts, [key, val], [cnt])
+    totals = counts.groupBy(key).agg(F.sum(cnt).alias("n"))
+    a, b = totals.alias("a"), totals.alias("b")
+    off = (
+        a.join(b, F.col(f"b.{key}") < F.col(f"a.{key}"), "left")
+        .groupBy(F.col(f"a.{key}").alias(key), F.col("a.n").alias("n"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("off"))
+    )
+    j = cum.join(F.broadcast(off), key)
+    g = F.col(f"cum_{cnt}") - F.col("off")
+    return (
+        j.groupBy(key, "n")
+        .agg(
+            F.min(F.when(g >= F.expr("(n + 1) div 2"), F.col(val))).alias("lo"),
+            F.min(F.when(g >= F.expr("(n + 2) div 2"), F.col(val))).alias("hi"),
+        )
+        .select(key, "n", (F.col("lo") + F.col("hi")).alias("m2"))
+    )
+
+
+@query(
+    "ts_robust_zscore",
+    oracle="""
+    WITH c AS (SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS tick,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+    tot AS (SELECT et, SUM(cnt) AS n FROM c GROUP BY et),
+    cum AS (SELECT et, tick, cnt,
+                   SUM(cnt) OVER (PARTITION BY et ORDER BY tick) AS g
+            FROM c),
+    med AS (SELECT cum.et, tot.n,
+                   min(CASE WHEN g >= (n + 1) // 2 THEN tick END)
+                   + min(CASE WHEN g >= (n + 2) // 2 THEN tick END) AS med2
+            FROM cum JOIN tot ON cum.et = tot.et GROUP BY cum.et, tot.n),
+    d AS (SELECT c.et, med.n, med.med2,
+                 abs(2 * c.tick - med.med2) AS dev2, SUM(c.cnt) AS cnt
+          FROM c JOIN med ON c.et = med.et GROUP BY 1, 2, 3, 4),
+    cumd AS (SELECT et, n, med2, dev2, cnt,
+                    SUM(cnt) OVER (PARTITION BY et ORDER BY dev2) AS g
+             FROM d),
+    mad AS (SELECT et, n, med2,
+                   min(CASE WHEN g >= (n + 1) // 2 THEN dev2 END)
+                   + min(CASE WHEN g >= (n + 2) // 2 THEN dev2 END) AS mad4
+            FROM cumd GROUP BY et, n, med2),
+    outl AS (SELECT d.et,
+                    SUM(CASE WHEN 2 * d.dev2 > 4.4478 * mad.mad4
+                             THEN d.cnt ELSE 0 END) AS n_outliers
+             FROM d JOIN mad ON d.et = mad.et GROUP BY d.et)
+    SELECT mad.et AS event_type, CAST(mad.n AS BIGINT) AS n,
+           mad.med2 / 2.0 AS median, mad.mad4 / 4.0 AS mad,
+           CAST(outl.n_outliers AS BIGINT) AS n_outliers
+    FROM mad JOIN outl ON mad.et = outl.et
+    """,
+)
+def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit per event type — the
+    heavy-tail-safe alternative to win_zscore's mean/stddev, which a
+    single spike corrupts. Reports each type's exact median, MAD and
+    the count of values beyond the classic 3-sigma-equivalent fence
+    (|x - med| > 3 * 1.4826 * MAD).
+
+    Exactness without floats: values live on the integer tick domain
+    (round(100x), the repo's exact-tick rule); the median is carried
+    as med2 = 2x median (k1th + k2th order statistic — an exact
+    BIGINT even for even counts), deviations as dev2 = |2*tick - med2|
+    (scale 2), MAD as mad4 = k1th + k2th of dev2 (scale 4). The fence
+    2*dev2 > 4.4478*mad4 compares an exact integer to ONE double
+    product — deterministic in both engines; only the report divides
+    by 2.0/4.0.
+
+    Scale shape: raw rows are touched by one (type, tick) partial-agg
+    count; both order statistics run on aggregated histograms via
+    _grouped_median2 (distributed_cumsum + a |types|-sized offset
+    join) — no per-key global window, no collect of data rows."""
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("tick"),
+        )
+        .groupBy("et", "tick")
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = _grouped_median2(c, "et", "tick", "cnt").select(
+        "et", "n", F.col("m2").alias("med2")
+    )
+    d = (
+        c.join(F.broadcast(med.select("et", "med2")), "et")
+        .select(
+            "et",
+            F.abs(2 * F.col("tick") - F.col("med2")).alias("dev2"),
+            "cnt",
+        )
+        .groupBy("et", "dev2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _grouped_median2(d, "et", "dev2", "cnt").select(
+        "et", F.col("m2").alias("mad4")
+    )
+    meta = med.join(mad, "et")
+    outl = (
+        d.select("et", "dev2", "cnt")
+        .join(F.broadcast(meta.select("et", "mad4")), "et")
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("dev2") > F.lit(4.4478) * F.col("mad4"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return meta.join(outl, "et").select(
+        F.col("et").alias("event_type"),
+        "n",
+        (F.col("med2") / F.lit(2.0)).alias("median"),
+        (F.col("mad4") / F.lit(4.0)).alias("mad"),
+        "n_outliers",
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tstables_spark.operators.dedup import (
+    containment_pairs,
     editdist_pairs,
     exact_dedup,
     incremental_jaccard_pairs,
@@ -79,6 +80,37 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (operators/dedup.py — the exact baseline the LSH variant
     approximates)."""
     return jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(p.shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by 3-gram CONTAINMENT (shared / min set
+    size) — the quote/superset detector symmetric Jaccard misses: a
+    short doc fully embedded in a long one has Jaccard ~|A|/|B| but
+    containment ~1 (boilerplate inclusion, article+quote aggregators,
+    truncated re-crawls). Same two-shuffle inverted index as
+    dedup_near (operators/dedup.py::containment_pairs shares the
+    _pair_overlap core), so the 100-TB shape is already proven; only
+    the threshold expression differs."""
+    return containment_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.6) -> str:

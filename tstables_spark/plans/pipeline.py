@@ -625,3 +625,67 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(4).alias("stage"), F.lit("english").alias("stage_name"), F.col("n4").alias("n_docs")),
     )
     return counts.select(F.explode(stages).alias("s")).select("s.*")
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS token
+                 FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY token),
+    r AS (SELECT token, freq,
+                 row_number() OVER (ORDER BY freq DESC, token) AS rank,
+                 SUM(freq) OVER (ORDER BY freq DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c),
+    tot AS (SELECT SUM(freq) AS total FROM c),
+    th AS (SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS threshold)
+    SELECT th.threshold,
+           CAST(min(CASE WHEN CAST(r.cum AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                              >= th.threshold
+                         THEN r.rank END) AS BIGINT) AS vocab_size,
+           CAST(min(tot.total) AS BIGINT) AS total_tokens
+    FROM r, tot, th GROUP BY th.threshold
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest vocab size (tokens
+    ranked by frequency, ties by token) whose cumulative frequency
+    covers 50/90/95/99% of all token occurrences — the
+    tokenizer-design question ("how big must the vocab be?") answered
+    from the corpus itself.
+
+    Scale shape: explode + one keyed partial-agg count, then the
+    cumulative frequency over the FULL ranked vocabulary runs through
+    operators/packing.py::distributed_cumsum (range-partition on
+    (-freq, token), per-partition running sums, O(P) driver offsets) —
+    ranking cum AND rank come from one pass with no global-order
+    window, unlike the textbook row_number()-over-everything. The
+    coverage test is exact-BIGINT / exact-BIGINT — one IEEE division
+    against literal thresholds, identical in both engines."""
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    ordered = counts.select(
+        "token", "freq", (-F.col("freq")).alias("neg"), F.lit(1).alias("one")
+    )
+    cum = distributed_cumsum(ordered, ["neg", "token"], ["freq", "one"])
+    tot = counts.agg(F.sum("freq").alias("total"))
+    cov = cum.crossJoin(F.broadcast(tot))
+    covered = F.col("cum_freq").cast("double") / F.col("total").cast("double")
+    ths = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.9, 0.95, 0.99)])
+    ).alias("threshold")
+    return (
+        cov.select(covered.alias("covered"), F.col("cum_one").alias("rank"), "total", ths)
+        .groupBy("threshold")
+        .agg(
+            F.min(F.when(F.col("covered") >= F.col("threshold"), F.col("rank"))).alias(
+                "vocab_size"
+            ),
+            F.min("total").alias("total_tokens"),
+        )
+    )

@@ -2764,3 +2764,38 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xcorr"
         ),
     )
+
+
+_ROLLUP_HIER_SQL = f"""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           date_trunc('minute', ts) AS minute,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_sum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type,
+             ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts))
+    """
+
+
+@query("ts_rollup_hier", oracle=_ROLLUP_HIER_SQL)
+def ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup — minute, hour, day and per-type totals
+    for every event type in ONE pass: the continuous-aggregate /
+    hypertable-rollup shape (serve dashboards at any zoom level from a
+    single materialization). Identical SQL text runs on both engines;
+    the value sum uses the portable decimal trick (_exact.py in SQL)
+    so every level's sum is order-independent.
+
+    Scale shape: Catalyst plans ROLLUP as one Expand (4 rows per input
+    row — the level fanout) feeding ONE partial+final hash aggregate:
+    a single scan and a single shuffle regardless of how many levels
+    the hierarchy has, vs 4 separate groupBys = 4 scans + 4 shuffles.
+    Output is bounded by the (type x minute) domain, not the row
+    count."""
+    from tstables_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_ROLLUP_HIER_SQL)
