@@ -45,11 +45,15 @@ def _load_all() -> None:
     # spare slots as high-churn-history re-checks).
     #
     # STANDING ROTATION POLICY (r8+): after this window lands, every
-    # oracle-bearing query except the four ADDED in r7
+    # oracle-bearing query except the six ADDED in r7
     # (dedup_containment, ts_rollup_hier, vocab_coverage_curve,
-    # ts_robust_zscore — all local-parity green at three scales, never
-    # driver-windowed) has driver evidence; those four lead the r8
-    # window. The 4 permanently rows-only-by-design queries are
+    # ts_robust_zscore, graph_triangles, agg_cms_sketch — all
+    # local-parity green at three scales, never driver-windowed) has
+    # driver evidence; those six lead the r8 window.
+    # (dedup_suffix was built and REJECTED in r7: the sf0.01 fixture
+    # has zero suffix duplicates, so its parity check is vacuous at
+    # driver scale — the capability is prefix_dup_flags over reversed
+    # text, already gated via dedup_prefix.) The 4 permanently rows-only-by-design queries are
     # sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, ts_downsample_lttb —
     # each indirectly gated by a hash-checked contract query
     # (sim_recall / ts_lttb_gate). From r8 on, the window = the pinned

@@ -971,3 +971,67 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", _norm_text("text").alias("norm_text")),
         text_col="norm_text",
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS sketch_row, "
+        f"('0x' || substr(md5('{r}:' || token), 1, 15))::BIGINT % {width} AS bucket "
+        f"FROM tok"
+        for r in range(depth)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS token
+                 FROM documents),
+    cells AS (
+      {rows}
+    )
+    SELECT CAST(sketch_row AS INT) AS sketch_row,
+           CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY sketch_row, bucket
+    """
+
+
+@query("agg_cms_sketch", oracle=_cms_oracle())
+def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies (depth 4 x
+    width 256, seeded md5 row hashes — the portable-hash discipline,
+    so both engines build the identical sketch): the MERGEABLE
+    frequency summary for streaming top-k / heavy-hitter queries when
+    the exact vocabulary no longer fits anywhere. point_est(token) =
+    min over rows of cnt[r][h_r(token)], always an overestimate.
+
+    Scale shape: one explode + a depth-x fanout of (row, bucket) keys
+    into ONE partial+final hash aggregate bounded at depth*width
+    output rows — sketches from different corpus shards merge by
+    cell-wise addition, which IS this aggregate: the same query
+    incrementally maintains the sketch at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    depth, width = 4, 256
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{r}:"), F.col("token"))),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).cast("int").alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    return cells.groupBy("sketch_row", "bucket").agg(F.count("*").alias("cnt"))
