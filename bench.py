@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_embed_clusters",
     "graph_pagerank",
     "sql_tpch_q9",
+    "join_asof_presorted",
 ]
 
 

@@ -287,3 +287,38 @@ def test_exact_mean_fuzz_matches_decimal_reference(values):
     )
     ref = float(total) / len(values)
     assert _exact_mean(pd.Series(values)) == ref
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-500, 500)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_grouped_median2_matches_statistics_median(rows):
+    """_grouped_median2's m2 must equal 2x the textbook median per key,
+    for any multiset of integer values (odd/even counts, duplicates,
+    negatives) — the fixed-point contract ts_robust_zscore rests on."""
+    import statistics
+    from collections import Counter
+
+    from tstables_spark import get_spark
+    from tstables_spark.plans.analytics import _grouped_median2
+
+    spark = get_spark("props", cpus=4)
+    counts = Counter(rows)
+    df = spark.createDataFrame(
+        [(k, v, c) for (k, v), c in counts.items()], "k string, v long, cnt long"
+    )
+    got = {r["k"]: r["m2"] for r in _grouped_median2(df, "k", "v", "cnt").collect()}
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        want = vals[(n - 1) // 2] + vals[n // 2]  # k1th + k2th, 1-based
+        assert got[k] == want, (k, vals, got[k], want)
+        assert got[k] == round(2 * statistics.median(vals))

@@ -2799,3 +2799,75 @@ def ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(_ROLLUP_HIER_SQL)
+
+
+_ASOF_STAGED: dict = {}
+
+
+def _asof_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage join_asof's unioned relation in the pre-sorted bucket
+    layout once per (app, sf) — the same pay-the-shuffle-at-write-time
+    pattern as relational._bucketed_tables."""
+    import uuid
+
+    from tstables_spark.operators.asof import stage_asof_layout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ASOF_STAGED:
+        tag = "asof_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix="asof_presorted_")
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        od = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(
+                F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            )
+        )
+        stage_asof_layout(
+            ev,
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            right_values=["o_orderkey", "o_totalprice"],
+            table_name=tag,
+            path=f"{base}/t",
+            num_buckets=8,
+        )
+        _ASOF_STAGED[key] = tag
+    return _ASOF_STAGED[key]
+
+
+@query(
+    "join_asof_presorted",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_asof through the PRE-SORTED BUCKET layout — the repeated
+    as-of strategy (operators/asof.py::stage_asof_layout +
+    asof_join_presorted): the unioned relation is staged once, bucketed
+    by key and sorted (key, time, side) with one file per bucket, and
+    every read then plans scan -> Window -> filter with ZERO Exchange
+    and ZERO Sort (measured 4.6-5.7x faster than the union+window shape
+    at sf0.1/10x — SCALE.md "As-of physical strategy"). Same oracle and
+    same result as join_asof; the driver check proves the layout path
+    end-to-end."""
+    t = _asof_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted
+
+    return asof_join_presorted(
+        spark, t, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
