@@ -57,12 +57,30 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+
+    # O(1)-row convergence probe WITHOUT a join: min-label propagation
+    # is monotone (every candidate is an existing label, min can only
+    # shrink), so the label sum strictly decreases every round until
+    # the fixpoint — equal sums ⟺ zero labels changed. DECIMAL(38,0)
+    # keeps the sum exact at any node-id magnitude (1e9 nodes × 1e18
+    # ids overflows int64). One single-stage scan of the checkpointed
+    # labels per round, vs the old join+count job (shuffle join + two
+    # checkpoint reads) — measured ~1.2-1.3x on the CC phase at toy
+    # scale (5.8 -> 4.4 s; the checkpoint jobs dominate what remains),
+    # and one fewer shuffle per round at any scale.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    for i in range(max_iter):
         # each node's candidate = min(own label, neighbors' labels)
         nbr = (
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
+        cand = labels.select("node", "component").union(nbr)
         # pointer doubling (path halving): also adopt the label OF my
         # current label. Min-propagation alone needs diameter rounds —
         # a sf0.1 near-dup chain blew past 20 (found by the sf0.1
@@ -70,34 +88,30 @@ def connected_components(
         # round, so convergence is O(log diameter) and the 20-round cap
         # covers diameters up to ~2^20. One extra component-keyed join
         # per round; the fixpoint (min reachable label) is unchanged.
-        jump = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
-            .select(F.col("l1.node").alias("node"), F.col("l2.component").alias("component"))
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .union(nbr)
-            .union(jump)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
+        # Round 0 skips it: labels are identity there, so the jump join
+        # can only produce rows labels already contains.
+        if i > 0:
+            jump = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+                .select(
+                    F.col("l1.node").alias("node"),
+                    F.col("l2.component").alias("component"),
+                )
+            )
+            cand = cand.union(jump)
+        new_labels = cand.groupBy("node").agg(F.min("component").alias("component"))
         # cut lineage each round BEFORE probing: iterative joins
         # otherwise stack plans exponentially, and the probe then reads
         # the materialized result instead of recomputing the round
         new_labels = new_labels.localCheckpoint(eager=True)
-        # O(1) convergence probe: number of nodes whose label shrank
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        s = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if s == prev_sum:
             return labels
+        prev_sum = s
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        f"({changed} labels still changing): graph diameter exceeds "
+        f"(label sum still decreasing): graph diameter exceeds "
         f"max_iter; raise max_iter"
     )
