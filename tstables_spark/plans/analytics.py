@@ -1312,20 +1312,22 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS both_ends(u)
       GROUP BY u),
     orde AS (
-      SELECT e.u, e.v,
-             du.degree * 1000000000000 + e.u AS ou,
-             dv.degree * 1000000000000 + e.v AS ov
+      SELECT e.u, e.v, du.degree AS gu, dv.degree AS gv,
+             (du.degree < dv.degree
+              OR (du.degree = dv.degree AND e.u < e.v)) AS fwd
       FROM edges e
       JOIN deg du ON du.node = e.u
       JOIN deg dv ON dv.node = e.v),
     oe AS (
-      SELECT CASE WHEN ou < ov THEN u ELSE v END AS src,
-             CASE WHEN ou < ov THEN v ELSE u END AS dst,
-             CASE WHEN ou < ov THEN ov ELSE ou END AS dord
+      SELECT CASE WHEN fwd THEN u ELSE v END AS src,
+             CASE WHEN fwd THEN v ELSE u END AS dst,
+             CASE WHEN fwd THEN gv ELSE gu END AS ddeg
       FROM orde),
     wed AS (
       SELECT a.dst AS y, b.dst AS z
-      FROM oe a JOIN oe b ON a.src = b.src AND a.dord < b.dord),
+      FROM oe a JOIN oe b
+        ON a.src = b.src
+       AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))),
     tri AS (
       SELECT CAST(count(*) AS BIGINT) AS t
       FROM wed JOIN oe ON oe.src = wed.y AND oe.dst = wed.z),
@@ -1355,7 +1357,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(m^1.5) by the arboricity bound — NOT sum deg^2, which on a
     dense co-occurrence graph is 40x larger (measured at sf0.1:
     naive 10-min graph sum deg^2 = 1.4e9 rows OOMed an 8-thread 1 GiB
-    session; the oriented 1-min census runs in seconds). Edges are
+    session; the oriented 1-min census runs in seconds). The
+    (degree, id) order is compared LEXICOGRAPHICALLY — a composite
+    degree*K + id scalar would overflow int64 for snowflake-scale
+    ids, exactly the 100-TB regime. Edges are
     materialized once with an eager localCheckpoint (three join legs);
     wedges = sum deg*(deg-1)/2 exactly in BIGINT; clustering
     3T/wedges is one double multiply + divide rounded at 6dp —
@@ -1373,21 +1378,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("degu"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("degv"))
-    ou = F.col("degu") * F.lit(1000000000000) + F.col("u")
-    ov = F.col("degv") * F.lit(1000000000000) + F.col("v")
+    fwd = (F.col("degu") < F.col("degv")) | (
+        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
+    )
     oe = (
         e.join(du, "u")
         .join(dv, "v")
         .select(
-            F.when(ou < ov, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(ou < ov, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(ou < ov, ov).otherwise(ou).alias("dord"),
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
         )
         .localCheckpoint(eager=True)
     )
     a, b = oe.alias("a"), oe.alias("b")
     wed = a.join(
-        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dord") < F.col("b.dord"))
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (
+            (F.col("a.ddeg") < F.col("b.ddeg"))
+            | ((F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst")))
+        ),
     ).select(F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
     c = oe.alias("c")
     tri = wed.join(
