@@ -733,14 +733,17 @@ def test_prefix_dup_flags_matches_bruteforce_successor(spark):
 def test_distributed_cumsum_matches_global_window(spark):
     """Multi-column two-phase prefix sum == the single-task global
     window, independent of partition count (including P > distinct
-    keys, which leaves some range partitions empty)."""
+    keys, which leaves some range partitions empty), with negative
+    values in the mix, and a no-op on empty input."""
     from pyspark.sql import Window as W
     from tstables_spark.operators.packing import distributed_cumsum
 
     df = spark.createDataFrame(
-        [(i * 3 % 509, (i * 7) % 50, (i * 11) % 30) for i in range(509)],
+        [(i * 3 % 509, (i * 7) % 50 - 20, (i * 11) % 30) for i in range(509)],
         "k long, a long, b long",
     )
+    empty = distributed_cumsum(df.where(F.lit(False)), ["k"], ["a"])
+    assert empty.count() == 0 and "cum_a" in empty.columns
     win = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
     want = {
         r.k: (r.ca, r.cb)

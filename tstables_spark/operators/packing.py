@@ -52,8 +52,13 @@ def distributed_cumsum(
 
     Adds one ``cum_<col>`` column per value column; ``value_cols`` must
     be non-null (counts/sums — ``F.sum`` over a window skips nulls, so a
-    null would silently shift the running total). Result is independent
-    of P and of where the range boundaries land.
+    null would silently shift the running total), and ``order_cols``
+    must form a UNIQUE key per row: the per-partition window uses the
+    default RANGE frame, so order-key ties would all receive the same
+    (peak) running value instead of a row-by-row scan. Every current
+    caller orders by the output key of a prior groupBy, which is unique
+    by construction. Result is independent of P and of where the range
+    boundaries land.
     """
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
