@@ -689,3 +689,101 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "mix_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs, chars,
+                 CAST(round(sqrt(chars)) AS BIGINT) AS w_int FROM s),
+    t AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars,
+                 CAST(sum(w_int) AS BIGINT) AS total_w FROM w)
+    SELECT w.source, w.n_docs, w.chars,
+           CAST(w.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE)
+             AS natural_share,
+           CAST(w.w_int AS DOUBLE) / CAST(t.total_w AS DOUBLE)
+             AS temp_share,
+           (CAST(w.w_int AS DOUBLE) / CAST(t.total_w AS DOUBLE))
+             / (CAST(w.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE))
+             AS weight
+    FROM w, t
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at alpha = 0.5 (the multilingual
+    / multi-domain rebalancing rule: sample source s proportional to
+    share^alpha — flattens the head without mix_weights' full
+    equalization). The hazard in cross-engine temperature sampling is
+    pow(): libm results differ in the last ulp between engines and a
+    SUM over per-source doubles is order-dependent. alpha = 0.5 dodges
+    both EXACTLY: sqrt is IEEE-754 correctly rounded (unlike pow), and
+    round(sqrt(n)) of a BIGINT can never sit on a .5 boundary (that
+    would need sqrt(n) = k + 1/2, i.e. n = k^2 + k + 1/4 — not an
+    integer), so the per-source weights are exact BIGINTs and their
+    total is an exact integer sum. Every reported share is then one
+    IEEE division of exact integers — bit-identical in both engines
+    with no rounding anywhere.
+
+    Scale shape: identical to mix_weights — one partial-agg pass to
+    per-source totals, a 1-row broadcast back over the handful of
+    sources."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    w = s.select(
+        "source", "n_docs", "chars",
+        F.round(F.sqrt(F.col("chars"))).cast("long").alias("w_int"),
+    )
+    t = w.agg(
+        F.sum("chars").alias("total_chars"), F.sum("w_int").alias("total_w")
+    )
+    natural = F.col("chars").cast("double") / F.col("total_chars").cast("double")
+    temp = F.col("w_int").cast("double") / F.col("total_w").cast("double")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "chars",
+        natural.alias("natural_share"),
+        temp.alias("temp_share"),
+        (temp / natural).alias("weight"),
+    )
+
+
+@query(
+    "doc_dup_inflation",
+    oracle="""
+    WITH h AS (SELECT source, sha256(lower(trim(text))) AS ch FROM documents),
+    s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT ch) AS BIGINT) AS n_uniq
+          FROM h GROUP BY source)
+    SELECT source, n_docs, n_uniq,
+           CAST(n_docs AS BIGINT) - n_uniq AS n_dup_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_uniq AS DOUBLE) AS inflation
+    FROM s
+    """,
+)
+def doc_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication inflation: raw docs vs distinct
+    normalized-content hashes and their ratio — the first number a
+    crawl-quality review asks for ("how much of source X is copies?"),
+    and the diagnostic that decides whether the Σdf²-shaped near-dup
+    passes need the exact-dedup-first recipe (SCALE.md). One scan-side
+    sha256 + a per-source count-distinct aggregate (Expand-free at this
+    group count; at 100 TB swap the exact distinct for HLL); the
+    inflation ratio is one IEEE division of exact integers."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("source", F.sha2(F.lower(F.trim("text")), 256).alias("ch"))
+    s = h.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("ch").alias("n_uniq")
+    )
+    return s.select(
+        "source", "n_docs", "n_uniq",
+        (F.col("n_docs") - F.col("n_uniq")).alias("n_dup_docs"),
+        (F.col("n_docs").cast("double") / F.col("n_uniq").cast("double")).alias(
+            "inflation"
+        ),
+    )
