@@ -1035,3 +1035,120 @@ def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     ).select("c.*")
     return cells.groupBy("sketch_row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "agg_cms_point",
+    oracle="""
+    WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS token
+                 FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY token),
+    top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 20),
+    cells AS (
+      SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT 0 AS sketch_row,
+               ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT % 256 AS bucket
+        FROM tok
+        UNION ALL SELECT 1,
+               ('0x' || substr(md5('1:' || token), 1, 15))::BIGINT % 256 FROM tok
+        UNION ALL SELECT 2,
+               ('0x' || substr(md5('2:' || token), 1, 15))::BIGINT % 256 FROM tok
+        UNION ALL SELECT 3,
+               ('0x' || substr(md5('3:' || token), 1, 15))::BIGINT % 256 FROM tok
+      ) GROUP BY sketch_row, bucket),
+    probes AS (
+      SELECT t.token, t.freq, r.r AS sketch_row,
+             ('0x' || substr(md5(r.r || ':' || t.token), 1, 15))::BIGINT % 256
+               AS bucket
+      FROM top t, (SELECT unnest([0, 1, 2, 3]) AS r) r)
+    SELECT p.token, p.freq, CAST(min(c.cnt) AS BIGINT) AS est,
+           min(c.cnt) >= p.freq AS overestimate_ok
+    FROM probes p JOIN cells c
+      ON p.sketch_row = c.sketch_row AND p.bucket = c.bucket
+    GROUP BY p.token, p.freq
+    """,
+)
+def agg_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min POINT estimates for the top-20 true tokens, with the
+    sketch's defining guarantee surfaced as a checked boolean:
+    est(token) = min over rows of cell[r][h_r(token)] is ALWAYS >= the
+    true frequency (collisions only inflate). This is the read side of
+    agg_cms_sketch — the pair demonstrates the full sketch lifecycle
+    (build mergeable summary; answer heavy-hitter point queries from
+    it) with exact-integer determinism on both engines.
+
+    Scale shape: the sketch is depth*width rows (broadcast side), the
+    top-k true counts come from the same one-shuffle token aggregate as
+    vocab_topk (TakeOrdered, no full sort), and the probe join is 20*4
+    rows against the broadcast cells."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(20)
+    depth, width = 4, 256
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("sketch_row"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(F.lit(f"{r}:"), F.col("token"))
+                                        ),
+                                        1,
+                                        15,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % width
+                            ).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = top.select(
+        "token",
+        "freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{r}:"), F.col("token"))),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "freq", "p.*")
+    return (
+        probes.join(F.broadcast(cells), ["sketch_row", "bucket"])
+        .groupBy("token", "freq")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "token", "freq", "est", (F.col("est") >= F.col("freq")).alias("overestimate_ok")
+        )
+    )
