@@ -151,7 +151,20 @@ def stage_asof_layout(
     and the Sort (FileSourceScanExec only claims the sort order when
     each bucket has a single file, hence the repartition before the
     bucketed write). This is exactly the trade the TimeSeriesTable
-    layout makes for time-range scans, applied to the as-of union."""
+    layout makes for time-range scans, applied to the as-of union.
+
+    Spark stopped CLAIMING bucketed-scan sort order by default in 3.0
+    (SPARK-28632 — the claim is unsafe with multiple files per bucket);
+    the public conf below re-enables it, and Spark itself still only
+    applies the claim to single-file buckets — which the pre-write
+    repartition here guarantees — so it cannot mis-order any other
+    bucketed read. Set ONCE here at staging time (and in get_spark's
+    engine defaults), not as a repeated side effect of every read: the
+    session that stages the layout is the session that reads it (the
+    query-level staging registry is keyed by applicationId)."""
+    left.sparkSession.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     left_cols = left.columns
     rts = F.col(right_on).alias("__rts")
     l = left.select(
@@ -195,13 +208,13 @@ def asof_join_presorted(
     so the plan is scan → Window → filter: no Exchange, no Sort
     (asserted in tests/test_plans.py).
 
-    Spark stopped CLAIMING bucketed-scan sort order by default in 3.0
-    (SPARK-28632 — the claim is unsafe with multiple files per bucket);
-    the public conf below re-enables the claim, and Spark itself still
-    only applies it to single-file buckets — which ``stage_asof_layout``
-    guarantees via the pre-write repartition — so enabling it
-    session-wide cannot mis-order any other bucketed read."""
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    The sort-elision requires
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` in the
+    READING session — set by ``stage_asof_layout`` (same session by
+    construction) and by ``get_spark``'s engine defaults; a session
+    without it still returns correct results, just with a redundant
+    in-partition Sort. This function deliberately does NOT mutate
+    session config on every read."""
     w = (
         W.partitionBy(_KEY)
         .orderBy(_TIME, _SIDE)

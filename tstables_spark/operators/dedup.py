@@ -432,16 +432,25 @@ def editdist_pairs(
             .agg(F.count(F.lit(1)).alias("n"))
         )
         a, b = occ.alias("a"), occ.alias("b")
+        # occupancy products in DOUBLE: a single hot block of ~3e9 docs
+        # puts n_a*n_b past 2^63, and under ANSI mode (the Spark 4
+        # default) a BIGINT product would raise ARITHMETIC_OVERFLOW in
+        # exactly the regime this guard exists to diagnose — the
+        # estimate needs magnitude, not exactness.
         est_row = (
             a.join(
                 b,
                 (F.col("a.lang") == F.col("b.lang"))
                 & (F.col("b.band") - F.col("a.band")).between(-1, 1),
             )
-            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("est"))
+            .agg(
+                F.sum(F.col("a.n").cast("double") * F.col("b.n").cast("double")).alias(
+                    "est"
+                )
+            )
             .collect()[0]
         )
-        est = (est_row["est"] or 0) // 2  # ordered -> unordered pairs
+        est = int((est_row["est"] or 0.0) // 2)  # ordered -> unordered pairs
         if est > max_candidate_pairs:
             raise ValueError(
                 f"editdist_pairs: blocked candidate estimate {est:,} pairs "

@@ -1017,20 +1017,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = ev.select(
         "user_id", F.expr("unix_micros(ts) div 600000000").alias("bucket")
     ).distinct()
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("bucket").orderBy("user_id")
-    b = b0.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 256).drop("rn")
-    l, r = b.alias("l"), b.alias("r")
-    edges = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.user_id") < F.col("r.user_id")),
-        )
-        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
-        .distinct()
-    )
+    edges = cooccurrence_edges(b0, cap=256)
     de = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -1128,14 +1115,16 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("wk") == 1, 1)).alias("cb"),
         )
     )
-    tot = c.agg(
-        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
-    )
     cum = distributed_cumsum(c, ["tick"], ["ca", "cb"]).select(
         "tick",
         F.col("cum_ca").cast("double").alias("cca"),
         F.col("cum_cb").cast("double").alias("ccb"),
     )
+    # totals = the cumsum's own final values (ca/cb are non-negative
+    # counts, so the running sums are monotone and max == grand total):
+    # read from the checkpointed cumsum output instead of re-aggregating
+    # the raw-events branch, which would scan the table a second time.
+    tot = cum.agg(F.max("cca").alias("na"), F.max("ccb").alias("nb"))
     d = cum.crossJoin(F.broadcast(tot)).select(
         "tick",
         "na",
@@ -1245,6 +1234,13 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _grouped_median2 (distributed_cumsum + a |types|-sized offset
     join) — no per-key global window, no collect of data rows."""
     ev = load(spark, sf_dir, "events")
+    # Pin BOTH histograms once (the minhash/pagerank checkpoint
+    # discipline): c feeds the median cumsum, its totals branch, and
+    # the deviation derivation; d feeds the MAD cumsum, its totals
+    # branch, and the outlier count. Without the checkpoints each of
+    # those jobs re-scans and re-aggregates the raw events table —
+    # ReuseExchange dedups within one plan, never across the separate
+    # checkpoint/collect jobs the two-phase cumsums run.
     c = (
         ev.select(
             F.col("event_type").alias("et"),
@@ -1252,6 +1248,7 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("et", "tick")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     med = _grouped_median2(c, "et", "tick", "cnt").select(
         "et", "n", F.col("m2").alias("med2")
@@ -1265,6 +1262,7 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("et", "dev2")
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     mad = _grouped_median2(d, "et", "dev2", "cnt").select(
         "et", F.col("m2").alias("mad4")

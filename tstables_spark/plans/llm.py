@@ -973,6 +973,48 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _cms_bucket(col, r: int, width: int = _CMS_WIDTH):
+    """Seeded md5 row hash -> bucket (the portable-hash discipline):
+    ('0x' || substr(md5(r || ':' || token), 1, 15))::BIGINT % width in
+    DuckDB, conv(substr(md5(...), 1, 15), 16, 10) % width here. The ONE
+    definition both the sketch build and the point probes use — build
+    and probe must hash identically or the sketch silently answers
+    garbage."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def _cms_cells(tok: DataFrame, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> DataFrame:
+    """The count-min sketch relation (sketch_row, bucket, cnt): one
+    explode + depth-fanout into a single partial+final hash aggregate
+    bounded at depth*width rows."""
+    return (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("sketch_row"),
+                            _cms_bucket(F.col("token"), r, width).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def _cms_oracle(depth: int = 4, width: int = 256) -> str:
     rows = "\n      UNION ALL ".join(
         f"SELECT {r} AS sketch_row, "
@@ -1000,7 +1042,9 @@ def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines build the identical sketch): the MERGEABLE
     frequency summary for streaming top-k / heavy-hitter queries when
     the exact vocabulary no longer fits anywhere. point_est(token) =
-    min over rows of cnt[r][h_r(token)], always an overestimate.
+    min over rows of cnt[r][h_r(token)], always an overestimate (the
+    read side is agg_cms_point, which shares _cms_bucket/_cms_cells —
+    build and probe hash identically by construction).
 
     Scale shape: one explode + a depth-x fanout of (row, bucket) keys
     into ONE partial+final hash aggregate bounded at depth*width
@@ -1009,32 +1053,7 @@ def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintains the sketch at any corpus size."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
-    depth, width = 4, 256
-    cells = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("sketch_row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"{r}:"), F.col("token"))),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % width
-                        ).cast("int").alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("c")
-    ).select("c.*")
-    return cells.groupBy("sketch_row", "bucket").agg(F.count("*").alias("cnt"))
+    return _cms_cells(tok)
 
 
 @query(
@@ -1074,7 +1093,9 @@ def agg_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's defining guarantee surfaced as a checked boolean:
     est(token) = min over rows of cell[r][h_r(token)] is ALWAYS >= the
     true frequency (collisions only inflate). This is the read side of
-    agg_cms_sketch — the pair demonstrates the full sketch lifecycle
+    agg_cms_sketch — same _cms_bucket/_cms_cells construction, so the
+    build/probe hash agreement the query depends on has exactly one
+    definition — and the pair demonstrates the full sketch lifecycle
     (build mergeable summary; answer heavy-hitter point queries from
     it) with exact-integer determinism on both engines.
 
@@ -1086,38 +1107,7 @@ def agg_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
     top = counts.orderBy(F.col("freq").desc(), "token").limit(20)
-    depth, width = 4, 256
-    cells = (
-        tok.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("sketch_row"),
-                            (
-                                F.conv(
-                                    F.substring(
-                                        F.md5(
-                                            F.concat(F.lit(f"{r}:"), F.col("token"))
-                                        ),
-                                        1,
-                                        15,
-                                    ),
-                                    16,
-                                    10,
-                                ).cast("long")
-                                % width
-                            ).alias("bucket"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("c")
-        )
-        .select("c.*")
-        .groupBy("sketch_row", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    cells = _cms_cells(tok)
     probes = top.select(
         "token",
         "freq",
@@ -1126,20 +1116,9 @@ def agg_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).alias("sketch_row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"{r}:"), F.col("token"))),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % width
-                        ).alias("bucket"),
+                        _cms_bucket(F.col("token"), r).alias("bucket"),
                     )
-                    for r in range(depth)
+                    for r in range(_CMS_DEPTH)
                 ]
             )
         ).alias("p"),

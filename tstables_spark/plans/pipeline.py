@@ -673,7 +673,10 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "freq", (-F.col("freq")).alias("neg"), F.lit(1).alias("one")
     )
     cum = distributed_cumsum(ordered, ["neg", "token"], ["freq", "one"])
-    tot = counts.agg(F.sum("freq").alias("total"))
+    # grand total = the final cumulative value (freq > 0 so cum_freq is
+    # monotone) — read from the checkpointed cumsum output rather than
+    # re-tokenizing the whole corpus for one number.
+    tot = cum.agg(F.max("cum_freq").alias("total"))
     cov = cum.crossJoin(F.broadcast(tot))
     covered = F.col("cum_freq").cast("double") / F.col("total").cast("double")
     ths = F.explode(

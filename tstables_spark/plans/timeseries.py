@@ -2631,9 +2631,11 @@ def _xcorr_oracle(max_lag: int = 3) -> str:
     the Spark plan uses — no global-order window on either side).
     Integer moment sums per lag are BIGINT-exact; each moment is cast
     to DOUBLE BEFORE composing Pearson r (agg_corr's discipline —
-    composing in BIGINT overflows int64 once ``sx * sx`` crosses 2^63,
-    where Spark's non-ANSI long arithmetic wraps silently while DuckDB
-    promotes to HUGEINT and the engines diverge)."""
+    composing in BIGINT overflows int64 once ``sx * sx`` crosses 2^63:
+    under ANSI mode — the Spark 4 default, on in this repo's sessions —
+    that raises ARITHMETIC_OVERFLOW loudly, and non-ANSI deployments
+    wrap silently; either way Spark diverges from DuckDB, which
+    promotes to HUGEINT)."""
     lags = ", ".join(str(k) for k in range(-max_lag, max_lag + 1))
     return f"""
     WITH m AS (
@@ -2681,9 +2683,11 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is a
     BIGINT-exact sum of integer counts; each moment is cast to DOUBLE
     BEFORE composing Pearson r (agg_corr's discipline). Composing in
-    BIGINT would silently wrap in Spark's non-ANSI long arithmetic once
-    ``sx * sx`` crosses 2^63 (total clicks > ~3e9 — exactly the target
-    regime) while DuckDB promotes to HUGEINT, diverging the engines;
+    BIGINT overflows int64 once ``sx * sx`` crosses 2^63 (total clicks
+    > ~3e9 — exactly the target regime): under ANSI mode (the Spark 4
+    default) that raises ARITHMETIC_OVERFLOW, and non-ANSI deployments
+    wrap silently, while DuckDB promotes to HUGEINT — a loud failure or
+    a silent divergence depending on deployment, both wrong;
     with exact-integer moments cast first, both engines run the same
     IEEE expression tree on the same doubles.
 

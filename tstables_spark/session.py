@@ -63,6 +63,11 @@ def get_spark(
         # MIN/MAX/COUNT over parquet answered from row-group footers
         # (TimeSeriesTable.min_dt/max_dt edge-partition probes).
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Claim per-bucket sort order on bucketed scans (off by default
+        # since SPARK-28632; Spark only honors the claim for single-file
+        # buckets, so it is safe session-wide) — lets stage_asof_layout
+        # reads plan with zero Sort (operators/asof.py).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
