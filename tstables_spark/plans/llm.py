@@ -34,7 +34,13 @@ from tstables_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from tstables_spark.plans._portable_sql import simhash_fp_sql
+from tstables_spark.plans._portable_sql import (
+    _CMS_DEPTH,
+    _cms_bucket,
+    _cms_cells,
+    _cms_oracle,
+    simhash_fp_sql,
+)
 from tstables_spark.plans._textnorm import norm_sql as _norm_sql
 from tstables_spark.plans._textnorm import norm_text as _norm_text
 from tstables_spark.plans.registry import query
@@ -971,68 +977,6 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", _norm_text("text").alias("norm_text")),
         text_col="norm_text",
     )
-
-
-_CMS_DEPTH, _CMS_WIDTH = 4, 256
-
-
-def _cms_bucket(col, r: int, width: int = _CMS_WIDTH):
-    """Seeded md5 row hash -> bucket (the portable-hash discipline):
-    ('0x' || substr(md5(r || ':' || token), 1, 15))::BIGINT % width in
-    DuckDB, conv(substr(md5(...), 1, 15), 16, 10) % width here. The ONE
-    definition both the sketch build and the point probes use — build
-    and probe must hash identically or the sketch silently answers
-    garbage."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 15), 16, 10
-        ).cast("long")
-        % width
-    ).cast("int")
-
-
-def _cms_cells(tok: DataFrame, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> DataFrame:
-    """The count-min sketch relation (sketch_row, bucket, cnt): one
-    explode + depth-fanout into a single partial+final hash aggregate
-    bounded at depth*width rows."""
-    return (
-        tok.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("sketch_row"),
-                            _cms_bucket(F.col("token"), r, width).alias("bucket"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("c")
-        )
-        .select("c.*")
-        .groupBy("sketch_row", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-def _cms_oracle(depth: int = 4, width: int = 256) -> str:
-    rows = "\n      UNION ALL ".join(
-        f"SELECT {r} AS sketch_row, "
-        f"('0x' || substr(md5('{r}:' || token), 1, 15))::BIGINT % {width} AS bucket "
-        f"FROM tok"
-        for r in range(depth)
-    )
-    return f"""
-    WITH tok AS (SELECT unnest(str_split(lower(text), ' ')) AS token
-                 FROM documents),
-    cells AS (
-      {rows}
-    )
-    SELECT CAST(sketch_row AS INT) AS sketch_row,
-           CAST(bucket AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM cells GROUP BY sketch_row, bucket
-    """
 
 
 @query("agg_cms_sketch", oracle=_cms_oracle())

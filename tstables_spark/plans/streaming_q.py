@@ -542,3 +542,49 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+_STAGED_DOCS: dict[tuple[str, str], str] = {}
+
+
+def _read_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the documents fixture (staged once per
+    (app, sf), same pattern as _staged_events)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED_DOCS:
+        path = tempfile.mkdtemp(prefix="stream_docs_") + "/documents"
+        load(spark, sf_dir, "documents").write.mode("overwrite").parquet(path)
+        _STAGED_DOCS[key] = path
+    path = _STAGED_DOCS[key]
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _stream_cms_oracle() -> str:
+    from tstables_spark.plans._portable_sql import _cms_oracle
+
+    return _cms_oracle()
+
+
+@query("stream_cms", oracle=_stream_cms_oracle())
+def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained INCREMENTALLY by a streaming
+    aggregation over the document stream — the mergeable-sketch
+    property exercised for real: each micro-batch's cell counts fold
+    into the running state by cell-wise addition (exactly the merge
+    operation agg_cms_sketch's docstring promises), and the oracle is
+    the BATCH sketch over the same corpus, so the hash match proves
+    stream-merged == batch-built bit-for-bit. Shares _cms_bucket /
+    _cms_cells with the batch build and the point-query probe — one
+    hash definition across all three.
+
+    Scale shape: the streaming state is bounded at depth*width cells
+    regardless of stream length — the whole point of sketching a
+    vocabulary too large to hold — and complete-mode emission is
+    depth*width rows per trigger."""
+    from tstables_spark.plans._portable_sql import _cms_cells
+
+    src = _read_doc_stream(spark, sf_dir)
+    tok = src.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    out = _run_to_memory(_cms_cells(tok), "complete")
+    return out.select("sketch_row", "bucket", F.col("cnt").cast("long").alias("cnt"))
