@@ -74,7 +74,7 @@ def _cms_cells(tok: DataFrame, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH)
     )
 
 
-def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+def _cms_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> str:
     rows = "\n      UNION ALL ".join(
         f"SELECT {r} AS sketch_row, "
         f"('0x' || substr(md5('{r}:' || token), 1, 15))::BIGINT % {width} AS bucket "

@@ -30,27 +30,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tstables_spark.plans._exact import sql_sum
+from tstables_spark.plans._portable_sql import _cms_cells, _cms_oracle
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.streaming.ingest import ingest_stream
 from tstables_spark.streaming.stateful import running_user_stats
 
-_STAGED: dict[tuple[str, str], str] = {}
+_STAGED: dict[tuple[str, str, str], str] = {}
 
 
-def _staged_events(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize events (with ts already micros-normalized) as a plain
-    parquet dir usable as a file-stream source."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _staged_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Materialize a fixture table (load()-normalized, e.g. events with
+    ts already micros-normalized) as a plain parquet dir usable as a
+    file-stream source — once per (app, sf, table)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _STAGED:
-        path = tempfile.mkdtemp(prefix="stream_src_") + "/events"
-        load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+        path = tempfile.mkdtemp(prefix="stream_src_") + "/" + name
+        load(spark, sf_dir, name).write.mode("overwrite").parquet(path)
         _STAGED[key] = path
     return _STAGED[key]
 
 
-def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _staged_events(spark, sf_dir)
+def _read_stream(spark: SparkSession, sf_dir: str, name: str = "events") -> DataFrame:
+    path = _staged_table(spark, sf_dir, name)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
 
@@ -544,29 +546,7 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-_STAGED_DOCS: dict[tuple[str, str], str] = {}
-
-
-def _read_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the documents fixture (staged once per
-    (app, sf), same pattern as _staged_events)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STAGED_DOCS:
-        path = tempfile.mkdtemp(prefix="stream_docs_") + "/documents"
-        load(spark, sf_dir, "documents").write.mode("overwrite").parquet(path)
-        _STAGED_DOCS[key] = path
-    path = _STAGED_DOCS[key]
-    schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
-
-
-def _stream_cms_oracle() -> str:
-    from tstables_spark.plans._portable_sql import _cms_oracle
-
-    return _cms_oracle()
-
-
-@query("stream_cms", oracle=_stream_cms_oracle())
+@query("stream_cms", oracle=_cms_oracle())
 def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch maintained INCREMENTALLY by a streaming
     aggregation over the document stream — the mergeable-sketch
@@ -582,9 +562,7 @@ def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of stream length — the whole point of sketching a
     vocabulary too large to hold — and complete-mode emission is
     depth*width rows per trigger."""
-    from tstables_spark.plans._portable_sql import _cms_cells
-
-    src = _read_doc_stream(spark, sf_dir)
+    src = _read_stream(spark, sf_dir, "documents")
     tok = src.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
     out = _run_to_memory(_cms_cells(tok), "complete")
     return out.select("sketch_row", "bucket", F.col("cnt").cast("long").alias("cnt"))

@@ -2872,6 +2872,12 @@ def join_asof_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _asof_staged_table(spark, sf_dir)
     from tstables_spark.operators.asof import asof_join_presorted
 
+    # The sort-elision conf is set at staging time, but a harness that
+    # hands each query a fresh newSession() (separate SQLConf, same
+    # applicationId) would hit the staging cache and read WITHOUT it —
+    # correct results, silently regained Sort. Re-assert here at the
+    # query boundary (idempotent; the operator itself stays pure).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return asof_join_presorted(
         spark, t, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
