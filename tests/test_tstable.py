@@ -537,3 +537,44 @@ def test_read_range_column_projection_prunes_scan(spark, root):
 
     with _pytest.raises(TimeSeriesTableError):
         tbl.read_range(start, start + timedelta(hours=1), columns=["nope"])
+
+
+def test_read_at_point_lookup(spark, tmp_path):
+    """read_at returns the latest row at-or-before the instant, walks
+    back across empty days, returns all rows at a tied timestamp,
+    projects columns, and is empty before the first row."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import Row
+
+    from tstables_spark import TimeSeriesTable
+
+    t0 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    rows = [Row(ts=t0 + timedelta(minutes=i), v=float(i)) for i in range(60)]
+    # a second batch 3 days later (days in between have no partitions)
+    t3 = t0 + timedelta(days=3)
+    rows += [Row(ts=t3, v=100.0), Row(ts=t3, v=101.0)]  # tied timestamp
+    df = spark.createDataFrame(rows)
+    tbl = TimeSeriesTable.create(spark, str(tmp_path), "pt", df.schema)
+    tbl.append(df)
+
+    # exact hit
+    got = tbl.read_at(t0 + timedelta(minutes=10)).collect()
+    assert [(r.ts, r.v) for r in got] == [(t0.replace(tzinfo=None) + timedelta(minutes=10), 10.0)]
+    # between ticks -> previous tick
+    got = tbl.read_at(t0 + timedelta(minutes=10, seconds=30)).collect()
+    assert got[0].v == 10.0
+    # walks back across the empty-day gap
+    got = tbl.read_at(t3 - timedelta(hours=1)).collect()
+    assert got[0].v == 59.0
+    # tied timestamp -> both rows
+    got = tbl.read_at(t3 + timedelta(hours=5)).collect()
+    assert sorted(r.v for r in got) == [100.0, 101.0]
+    # before the first row -> empty
+    assert tbl.read_at(t0 - timedelta(seconds=1)).count() == 0
+    # column projection + unknown column raises
+    assert tbl.read_at(t3, columns=["v"]).columns == ["ts", "v"]
+    import pytest
+    from tstables_spark.tstable import TimeSeriesTableError
+    with pytest.raises(TimeSeriesTableError):
+        tbl.read_at(t3, columns=["nope"])

@@ -45,13 +45,13 @@ def _load_all() -> None:
     # spare slots as high-churn-history re-checks).
     #
     # STANDING ROTATION POLICY (r8+): after this window lands, every
-    # oracle-bearing query except the eleven ADDED in r7
+    # oracle-bearing query except the twelve ADDED in r7
     # (dedup_containment, ts_rollup_hier, vocab_coverage_curve,
     # ts_robust_zscore, graph_triangles, agg_cms_sketch,
     # join_asof_presorted, mix_temperature, doc_dup_inflation,
-    # agg_cms_point, stream_cms — all
+    # agg_cms_point, stream_cms, ts_read_at — all
     # local-parity green at three scales, never driver-windowed) has
-    # driver evidence; those eleven lead the r8 window.
+    # driver evidence; those twelve lead the r8 window.
     # (dedup_suffix was built and REJECTED in r7: the sf0.01 fixture
     # has zero suffix duplicates, so its parity check is vacuous at
     # driver scale — the capability is prefix_dup_flags over reversed

@@ -2881,3 +2881,35 @@ def join_asof_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_presorted(
         spark, t, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "ts_read_at",
+    oracle="""
+    WITH m AS (
+      SELECT max(ts) AS hit FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+    FROM events e, m WHERE e.ts = m.hit
+    """,
+)
+def ts_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the REAL TimeSeriesTable API: create a
+    series from the events fixture, then ``read_at`` — the latest
+    row(s) at-or-before an instant ("the quote as of 12:00"), the
+    single-series special case of the as-of join. The engine path
+    walks date partitions backwards with one pruned single-partition
+    max(ts) probe per day (row-group footer answered via aggregate
+    pushdown — the min_dt/max_dt discipline), so the lookup cost is
+    independent of table size; the oracle is the plain argmax select
+    on the fixture, so the hash match proves the partition-walk finds
+    exactly the right instant and loses no tied rows."""
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tstable_at_")
+    ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
+    ts.append(ev)
+    from datetime import datetime, timezone
+
+    return ts.read_at(
+        datetime(2024, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -507,6 +507,54 @@ class TimeSeriesTable:
         out.index = idx.rename(TS_COL)
         return out.sort_index()
 
+    # -- point lookup: latest row at-or-before an instant --------------------
+    def read_at(self, at: datetime, columns: list[str] | None = None) -> DataFrame:
+        """All rows bearing the LATEST timestamp at-or-before ``at`` —
+        the tick-data point lookup ("the quote as of 14:30:00") that the
+        date-partitioned, ts-sorted layout makes metadata-cheap, and the
+        single-series special case of the as-of join family
+        (operators/asof.py).
+
+        Cost discipline mirrors ``min_dt``/``max_dt``: walk date
+        partitions from ``at`` backwards, one pruned single-partition
+        ``max(ts)`` probe per day (answered from row-group footers via
+        parquet aggregate pushdown) until a day holds data, then read
+        exactly that timestamp's rows. Independent of table size; the
+        worst case is the empty-day gap span, never a full scan.
+        Returns an empty DataFrame when no row exists at-or-before
+        ``at``. ``columns`` projects like ``read_range`` (ReadSchema
+        pruning). Multiple rows sharing the winning timestamp are all
+        returned — deterministic, and consistent with read_range's
+        inclusive contract."""
+        at = _as_utc(at)
+        names = self.schema.fieldNames()
+        if columns is not None:
+            unknown = [c for c in columns if c not in names]
+            if unknown:
+                raise TimeSeriesTableError(
+                    f"read_at columns not in series schema: {unknown}"
+                )
+            seen: set[str] = {TS_COL}
+            names = [TS_COL] + [
+                c for c in columns if not (c in seen or seen.add(c))
+            ]
+        df = self._df()
+        for d in sorted(
+            (x for x in self._partition_dates() if x <= at.date()), reverse=True
+        ):
+            hit = (
+                df.where((F.col(DATE_COL) == F.lit(d)) & (F.col(TS_COL) <= F.lit(at)))
+                .agg(F.max(TS_COL))
+                .collect()[0][0]
+            )
+            if hit is not None:
+                return (
+                    df.where(
+                        (F.col(DATE_COL) == F.lit(d)) & (F.col(TS_COL) == F.lit(hit))
+                    ).select(*names)
+                )
+        return self.to_df().select(*names).limit(0)
+
     # -- A5/A6: min/max -----------------------------------------------------
     def _partition_dates(self) -> list:
         """Sorted list of date partition values, from partition-directory
