@@ -578,3 +578,22 @@ def test_read_at_point_lookup(spark, tmp_path):
     from tstables_spark.tstable import TimeSeriesTableError
     with pytest.raises(TimeSeriesTableError):
         tbl.read_at(t3, columns=["nope"])
+
+
+def test_read_at_pandas_shape(spark, tmp_path):
+    """read_at_pandas returns the reference's tz-aware-indexed shape."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import Row
+
+    from tstables_spark import TimeSeriesTable
+
+    t0 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [Row(ts=t0 + timedelta(minutes=i), v=float(i)) for i in range(5)]
+    )
+    tbl = TimeSeriesTable.create(spark, str(tmp_path), "pp", df.schema)
+    tbl.append(df)
+    pdf = tbl.read_at_pandas(t0 + timedelta(minutes=3, seconds=20))
+    assert str(pdf.index.tz) == "UTC" and pdf.index.name == "ts"
+    assert list(pdf["v"]) == [3.0]

@@ -507,6 +507,20 @@ class TimeSeriesTable:
         out.index = idx.rename(TS_COL)
         return out.sort_index()
 
+    def read_at_pandas(self, at: datetime):
+        """``read_at`` in the reference's output shape (tz-aware UTC
+        DatetimeIndex); only the winning timestamp's rows cross the
+        driver."""
+        pdf = self.read_at(at).toPandas()
+        idx = pdf[TS_COL]
+        try:
+            idx = idx.dt.tz_localize("UTC")
+        except TypeError:  # already tz-aware
+            idx = idx.dt.tz_convert("UTC")
+        out = pdf.drop(columns=[TS_COL])
+        out.index = idx.rename(TS_COL)
+        return out.sort_index()
+
     # -- point lookup: latest row at-or-before an instant --------------------
     def read_at(self, at: datetime, columns: list[str] | None = None) -> DataFrame:
         """All rows bearing the LATEST timestamp at-or-before ``at`` —
