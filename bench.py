@@ -54,6 +54,8 @@ HEADLINE = [
     "graph_pagerank",
     "sql_tpch_q9",
     "join_asof_presorted",
+    "ts_robust_zscore",
+    "graph_triangles",
 ]
 
 
