@@ -322,3 +322,42 @@ def test_grouped_median2_matches_statistics_median(rows):
         want = vals[(n - 1) // 2] + vals[n // 2]  # k1th + k2th, 1-based
         assert got[k] == want, (k, vals, got[k], want)
         assert got[k] == round(2 * statistics.median(vals))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=12
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_containment_pairs_match_bruteforce(docs, threshold):
+    """containment_pairs == brute-force shared/min-set-size on arbitrary
+    texts — the asymmetric twin of the Jaccard property test, over the
+    same shared _pair_overlap core."""
+    from tstables_spark.operators.dedup import containment_pairs
+    from tstables_spark import get_spark
+
+    spark = get_spark("tstables_spark_tests")
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t, n=3):
+        toks = t.lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    brute = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+                if c >= threshold:
+                    brute[(a, b)] = c
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, n=3, threshold=threshold).collect()
+    }
+    assert set(got) == set(brute)
+    for k in got:
+        assert abs(got[k] - brute[k]) < 1e-12
