@@ -597,3 +597,75 @@ def test_read_at_pandas_shape(spark, tmp_path):
     pdf = tbl.read_at_pandas(t0 + timedelta(minutes=3, seconds=20))
     assert str(pdf.index.tz) == "UTC" and pdf.index.name == "ts"
     assert list(pdf["v"]) == [3.0]
+
+
+def test_upsert_cross_date_identity_keeps_both_rows(spark, tmp_path):
+    """A violated date-stability contract (same non-ts identity on two
+    touched days) must never silently collapse the two table rows: the
+    per-(identity, date) merge keeps both, replacing only within each
+    day."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    from tstables_spark import TimeSeriesTable
+
+    def dt(d, h=0):
+        return datetime(2024, 7, d, h, tzinfo=timezone.utc)
+
+    df = spark.createDataFrame(
+        [Row(ts=dt(1), id=5, v=1.0), Row(ts=dt(2), id=5, v=2.0),
+         Row(ts=dt(1), id=6, v=3.0)]
+    )
+    tbl = TimeSeriesTable.create(spark, str(tmp_path), "u", df.schema)
+    tbl.append(df)
+    # correction touches BOTH days (ids 5 and 6), identity id=5 exists on both
+    tbl.upsert(
+        spark.createDataFrame(
+            [Row(ts=dt(1, 6), id=6, v=30.0), Row(ts=dt(2, 6), id=5, v=20.0)]
+        ),
+        keys=["id"],
+    )
+    got = {(r.ts.date().isoformat(), r.id): r.v for r in tbl.to_df().collect()}
+    # id=5 day-1 row SURVIVES (old contract would have silently deleted it)
+    assert got[("2024-07-01", 5)] == 1.0
+    # id=5 day-2 row replaced by the correction
+    assert got[("2024-07-02", 5)] == 20.0
+    # id=6 day-1 row replaced
+    assert got[("2024-07-01", 6)] == 30.0
+    assert len(got) == 3
+
+
+def test_compact_preserves_versions_and_codec(spark, tmp_path):
+    """Whole-table compaction must carry the _ts_versions registry
+    (version numbering may not restart) and must rewrite with the
+    series' persisted codec, not a hardcoded default."""
+    from datetime import datetime, timedelta, timezone
+    import glob
+
+    from pyspark.sql import Row
+
+    from tstables_spark import TimeSeriesTable
+    from tstables_spark.streaming.ingest import compact_series
+
+    t0 = datetime(2024, 8, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [Row(ts=t0 + timedelta(minutes=i), v=float(i)) for i in range(50)]
+    )
+    tbl = TimeSeriesTable.create(spark, str(tmp_path), "c", df.schema, compression="gzip")
+    tbl.append(df)
+    v1 = tbl.snapshot()
+    compact_series(spark, tbl.path)  # default compression=None -> meta codec
+    # version registry survived: next snapshot continues numbering
+    v2 = tbl.snapshot()
+    assert (v1, v2) == (1, 2)
+    # the old manifest correctly reports its files as vacuumed (never
+    # silently aliasing a different state)
+    import pytest
+    from tstables_spark.tstable import TimeSeriesTableError
+    with pytest.raises(TimeSeriesTableError, match="removed by a later"):
+        tbl.read_version(v1).collect()
+    # and the rewrite used the persisted gzip codec
+    files = glob.glob(f"{tbl.path}/date=*/*.parquet")
+    assert files and all(".gz.parquet" in f for f in files), files
+    assert tbl.read_version(v2).count() == 50

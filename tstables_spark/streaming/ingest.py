@@ -1,13 +1,20 @@
 """Streaming ingest into the TimeSeriesTable layout.
 
 ``ingest_stream`` is the Structured Streaming twin of
-``TimeSeriesTable.append`` (A3): file/rate/kafka source -> watermark on
-the event-time column -> date-partitioned parquet sink. Exactly-once is
-inherited from the file sink's commit log + checkpointing. At scale the
-only extra concern is small files (one file per partition per
-micro-batch): compact_series is the OPTIMIZE-style rewrite job
-(SURVEY.md §4's file-layout compactor) that coalesces a partition's
-files and restores the in-file ts sort, run periodically out-of-band.
+``TimeSeriesTable.append`` (A3): file/rate/kafka source ->
+date-partitioned parquet sink. Exactly-once is inherited from the file
+sink's commit log + checkpointing. Lateness on THIS path is unbounded
+by design: a stateless append sink neither drops nor bounds late rows
+(a watermark has no behavioral effect without a stateful operator), and
+that is precisely what makes the ingest lossless — the stream_ingest
+oracle hash-matches the whole fixture. Late-data BOUNDS belong to the
+stateful queries downstream (windowed aggs, dedup), which set their own
+watermarks. At scale the only extra concern is small files (one file
+per partition per micro-batch): compact_series is the OPTIMIZE-style
+rewrite job (SURVEY.md §4's file-layout compactor) that coalesces a
+partition's files and restores the in-file ts sort, run periodically
+out-of-band — with the stream STOPPED or between availableNow runs
+(see compact_series).
 """
 
 from __future__ import annotations
@@ -26,16 +33,21 @@ def ingest_stream(
     available_now: bool = True,
     compression: str = "zstd",
 ) -> StreamingQuery:
-    """Start a watermarked streaming write into the engine's layout.
+    """Start a streaming write into the engine's layout.
+
+    ``watermark`` is declared for downstream stateful consumers sharing
+    this plan; on the sink itself it is a NO-OP (stateless append — no
+    rows are dropped however late, which is what keeps ingest lossless).
 
     Read-performance caveat (correctness is unaffected): streaming
     DataFrames cannot ``sortWithinPartitions``, so freshly ingested files
     are NOT ts-sorted and ``read_range`` loses parquet row-group min/max
     skipping on them until ``compact_series`` rewrites the partition.
     The degraded window is bounded only by compaction cadence — run
-    ``compact_series(..., dates=[<hot days>])`` frequently on the days a
-    stream is actively appending to (cheap: it rewrites only those
-    partitions), and the full-table variant on a slower schedule.
+    ``compact_series(..., dates=[<recent days>])`` frequently (cheap: it
+    rewrites only those partitions) BETWEEN availableNow ingest runs or
+    with the continuous stream stopped, and the full-table variant on a
+    slower schedule.
     """
     out = src.withWatermark(ts_col, watermark).withColumn("date", F.to_date(F.col(ts_col)))
     # INT96 (Spark's default) would strip ts min/max stats from every
@@ -74,7 +86,10 @@ def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: li
     renamed in, then the backup dropped. Also removes the streaming
     sink's ``_spark_metadata`` commit log — it enumerates pre-rewrite
     files, and a reader that trusts it would look for files the rewrite
-    replaced."""
+    replaced. MUST run with the writing stream stopped (or between
+    availableNow runs): a still-active FileStreamSink would recreate the
+    log at its next micro-batch listing ONLY that batch's files, after
+    which batch readers silently see a near-empty table."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -97,7 +112,15 @@ def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: li
             continue  # no rows for this date — nothing to swap
         if fs.exists(jpart):
             _checked_rename(fs, jpart, jold)
-        _checked_rename(fs, jtpart, jpart)
+        try:
+            _checked_rename(fs, jtpart, jpart)
+        except Exception:
+            # roll back: put the live dir back so the partition never
+            # vanishes from the table (the whole-table path does the
+            # same on its swap failure)
+            if fs.exists(jold):
+                _checked_rename(fs, jold, jpart)
+            raise
         fs.delete(jold, True)
 
 
@@ -106,7 +129,7 @@ def compact_series(
     path: str,
     files_per_day: int = 1,
     dates: list | None = None,
-    compression: str = "zstd",
+    compression: str | None = None,
 ) -> None:
     """OPTIMIZE-style rewrite: coalesce each date partition's micro-batch
     files down to ``files_per_day`` and restore the in-file ts sort.
@@ -136,20 +159,44 @@ def compact_series(
     first compaction the table is a plain parquet tree (batch readers
     list the directory; the stream's own exactly-once bookkeeping lives
     in its checkpoint, not the sink log) — the same trade a table-format
-    OPTIMIZE makes explicit."""
+    OPTIMIZE makes explicit. RUN WITH THE WRITING STREAM STOPPED (or
+    between availableNow runs): an active sink would recreate the log
+    listing only post-compaction batches, silently hiding every other
+    file from batch readers.
+
+    A9 knobs: ``compression=None`` (default) uses the codec persisted in
+    the series' ``_ts_meta.json`` (falling back to zstd for a bare
+    parquet tree), and the series' ``max_records_per_file`` cap is
+    applied to the rewrite — a compaction must not silently change the
+    storage contract ``create()`` promised."""
+    meta_codec, max_rpf = "zstd", None
+    try:
+        from tstables_spark.tstable import _META_FILE, _fs_exists, _fs_read_text
+        import json as _json
+
+        mpath = f"{path}/{_META_FILE}"
+        if _fs_exists(spark, mpath):
+            meta = _json.loads(_fs_read_text(spark, mpath))
+            meta_codec = meta.get("compression", "zstd")
+            max_rpf = meta.get("max_records_per_file")
+    except Exception:
+        pass  # bare parquet tree without series metadata
+    codec = compression if compression is not None else meta_codec
     df = spark.read.parquet(path)
     if dates is not None:
         date_strs = [str(d) for d in dates]
         df = df.where(F.col("date").cast("string").isin(date_strs))
     tmp = path + "__compacting"
-    (
+    writer = (
         df.repartition(F.col("date"), F.pmod(F.xxhash64("ts"), F.lit(files_per_day)))
         .sortWithinPartitions("date", "ts")
         .write.mode("overwrite")
-        .option("compression", compression)  # A9: series codec
+        .option("compression", codec)  # A9: series codec (from meta)
         .partitionBy("date")
-        .parquet(tmp)
     )
+    if max_rpf:
+        writer = writer.option("maxRecordsPerFile", str(max_rpf))
+    writer.parquet(tmp)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     jpath = hpath(path)
@@ -169,12 +216,19 @@ def compact_series(
             # at the root; the rewritten tree must carry it across the
             # swap or the series becomes unopenable (data would survive,
             # the catalog entry would not).
-            jmeta = hpath(f"{path}/_ts_meta.json")
-            if fs.exists(jmeta):
-                jvm.org.apache.hadoop.fs.FileUtil.copy(
-                    fs, jmeta, fs, hpath(f"{tmp}/_ts_meta.json"), False,
-                    spark._jsc.hadoopConfiguration(),
-                )
+            # ... and the _ts_versions snapshot registry: dropping it
+            # would RESTART version numbering, so a stale version handle
+            # could later silently alias a different snapshot. (The
+            # manifests' files are rewritten by this compaction, so the
+            # carried versions correctly fail read_version's
+            # missing-files check instead of lying.)
+            for entry in ("_ts_meta.json", "_ts_versions"):
+                jsrc = hpath(f"{path}/{entry}")
+                if fs.exists(jsrc):
+                    jvm.org.apache.hadoop.fs.FileUtil.copy(
+                        fs, jsrc, fs, hpath(f"{tmp}/{entry}"), False,
+                        spark._jsc.hadoopConfiguration(),
+                    )
             _checked_rename(fs, jpath, jold)
             try:
                 _checked_rename(fs, jtmp, jpath)

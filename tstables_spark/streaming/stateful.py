@@ -24,6 +24,12 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_value
 # state deterministic and batch-reproducible (stream_stateful's oracle).
 STATE_SCHEMA = "n bigint, total double, last_ts bigint, last_eid bigint, last double"
 
+# "No state yet" sentinel for the (ts, eid) max-tracking: int64 min, so
+# ANY real row beats it. (-1, -1) would silently out-rank every
+# pre-epoch event (negative micros), leaving last_value NaN while
+# n/total still counted those rows.
+_NO_TS, _NO_EID = -(2**63), -(2**63)
+
 
 def _chunk_last(pdf: pd.DataFrame) -> tuple[int, int, float]:
     """(ts_micros, event_id, value) of the chunk's max-(ts, event_id) row."""
@@ -37,7 +43,7 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     n, total, last_ts, last_eid, last = (
-        state.get if state.exists else (0, 0.0, -1, -1, float("nan"))
+        state.get if state.exists else (0, 0.0, _NO_TS, _NO_EID, float("nan"))
     )
     for pdf in pdfs:
         if not len(pdf):
@@ -83,7 +89,9 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             n, total, last_ts, last_eid, last = (
-                self._state.get() if self._state.exists() else (0, 0.0, -1, -1, float("nan"))
+                self._state.get()
+                if self._state.exists()
+                else (0, 0.0, _NO_TS, _NO_EID, float("nan"))
             )
             for pdf in rows:
                 if not len(pdf):

@@ -81,6 +81,86 @@ def _series_path(root: str, name: str) -> str:
 _CODECS = {"none", "uncompressed", "snappy", "gzip", "lz4", "zstd"}
 
 
+# -- metadata I/O through the Hadoop FileSystem API --------------------------
+# The DATA path always went through Hadoop FS (partition listing, purge,
+# compaction renames) so it runs unchanged on HDFS/S3; the METADATA path
+# (series meta, version manifests) used local os.* calls, which silently
+# broke every lifecycle operation on a remote root. These helpers close
+# that gap: one FS resolution per call, local file:// included.
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _jfs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath, _ = _jfs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def _fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    fs, jpath, _ = _jfs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath, jvm = _jfs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath, _ = _jfs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_claim_new(spark: SparkSession, path: str) -> bool:
+    """Atomically claim a path (FileSystem.createNewFile): exactly one of
+    two concurrent creators sees True — the create() race guard that
+    O_EXCL provided when metadata was local-only."""
+    fs, jpath, _ = _jfs(spark, path)
+    return bool(fs.createNewFile(jpath))
+
+
+def _fs_rename_checked(spark: SparkSession, src: str, dst: str) -> None:
+    """Non-overwriting rename; Hadoop reports failure by returning false,
+    so raise instead of letting a failed swap cascade."""
+    fs, jsrc, jvm = _jfs(spark, src)
+    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _fs_rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic overwrite-rename (the os.replace analog) via FileContext
+    with Options.Rename.OVERWRITE — the only portable way to atomically
+    replace an existing file across local/HDFS semantics."""
+    gw = spark.sparkContext._gateway
+    jvm = gw.jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(jsrc.toUri(), conf)
+    Rename = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(Rename, 1)
+    opts[0] = Rename.OVERWRITE
+    fc.rename(jsrc, jdst, opts)
+
+
 class TimeSeriesTable:
     """Handle over one date-partitioned, ts-sorted Parquet series."""
 
@@ -156,24 +236,27 @@ class TimeSeriesTable:
         if max_records_per_file is not None and max_records_per_file <= 0:
             raise TimeSeriesTableError("max_records_per_file must be positive")
         path = _series_path(root, name)
-        os.makedirs(path, exist_ok=True)
-        # O_EXCL makes the exists-check-and-create one atomic step, so two
-        # concurrent creators can't both think they won the race.
-        try:
-            fd = os.open(os.path.join(path, _META_FILE), os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        except FileExistsError:
-            raise TimeSeriesTableError(f"series already exists at {path}") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(
+        _fs_mkdirs(spark, path)
+        meta_path = os.path.join(path, _META_FILE)
+        # createNewFile makes the exists-check-and-claim one atomic step,
+        # so two concurrent creators can't both think they won the race
+        # (the FS-API analog of the local O_EXCL this used before —
+        # which silently did nothing against an hdfs:// or s3a:// root).
+        if not _fs_claim_new(spark, meta_path):
+            raise TimeSeriesTableError(f"series already exists at {path}")
+        _fs_write_text(
+            spark,
+            meta_path,
+            json.dumps(
                 {
                     "schema": schema.jsonValue(),
                     "ts_col": ts_col,
                     "version": 1,
                     "compression": compression.lower(),
                     "max_records_per_file": max_records_per_file,
-                },
-                f,
-            )
+                }
+            ),
+        )
         return cls(spark, path, schema, compression.lower(), max_records_per_file)
 
     # -- A2: open -----------------------------------------------------------
@@ -182,10 +265,9 @@ class TimeSeriesTable:
         """Open an existing series (``File.get_timeseries`` analog)."""
         path = _series_path(root, name)
         meta_path = os.path.join(path, _META_FILE)
-        if not os.path.exists(meta_path):
+        if not _fs_exists(spark, meta_path):
             raise TimeSeriesTableError(f"no series at {path}")
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta = json.loads(_fs_read_text(spark, meta_path))
         schema = T.StructType.fromJson(meta["schema"])
         return cls(
             spark,
@@ -220,12 +302,24 @@ class TimeSeriesTable:
         want = {f.name: f.dataType for f in self.schema.fields}
         if got != want:
             raise TimeSeriesTableError(f"schema mismatch: got {got}, want {want}")
-        if df.filter(F.col(TS_COL).isNull()).limit(1).count() > 0:
+        # ONE validation job for both checks (null timestamps + batch
+        # min) instead of separate count and min jobs: an expensive
+        # upstream plan is evaluated twice total (validate + write), not
+        # three times. Residual caveat, unchanged by the fold: a
+        # NON-deterministic input (sample(), rand()-derived) can still
+        # pass validation on one evaluation and write different rows on
+        # the next — persist such inputs before appending.
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(TS_COL).alias("n_ts"),
+            F.min(TS_COL).alias("mn"),
+        ).collect()[0]
+        if stats["n"] != stats["n_ts"]:
             raise TimeSeriesTableError("null timestamps not allowed")
         if strict_order:
             cur = self.max_dt()
             if cur is not None:
-                new_min = df.agg(F.min(TS_COL)).collect()[0][0]
+                new_min = stats["mn"]
                 if new_min is not None and new_min.tzinfo is None:
                     new_min = new_min.replace(tzinfo=timezone.utc)
                 if new_min is not None and new_min < cur:
@@ -278,9 +372,12 @@ class TimeSeriesTable:
         correction never rewrites years of history.
 
         Contract: identities must be date-stable — a correction may not
-        move a row to a different UTC day (with a non-ts key, the stale
-        copy in the old day's partition would survive). Corrections that
-        genuinely re-time a row across days are a delete+insert.
+        move a row to a different UTC day. The merge groups on
+        (identity, date), so if that contract is violated the old day's
+        copy SURVIVES untouched (visible, fixable) — it is never
+        silently collapsed away, even when both days happen to be in the
+        touched set. Corrections that genuinely re-time a row across
+        days are a delete+insert.
         """
         got = {f.name: f.dataType for f in df.schema.fields}
         want = {f.name: f.dataType for f in self.schema.fields}
@@ -320,11 +417,17 @@ class TimeSeriesTable:
         existing = self._df().where(F.col(DATE_COL).cast("string").isin(date_strs))
         tagged_old = existing.select(*cols, DATE_COL).withColumn("__src", F.lit(0))
         tagged_new = dated_new.select(*cols, DATE_COL).withColumn("__src", F.lit(1))
+        # Group on (identity, date), NOT identity alone: if the same
+        # identity exists on two touched days (a violated date-stability
+        # contract), grouping by identity alone would MERGE the two
+        # table rows and silently delete one on rewrite. Per-day
+        # grouping replaces within each day and leaves the cross-day
+        # duplicate visible instead of losing it.
         merged = (
             tagged_old.unionByName(tagged_new)
-            .groupBy(*keys)
-            .agg(F.max(F.struct("__src", *value_cols, DATE_COL)).alias("__m"))
-            .select(*keys, *[F.col(f"__m.{c}").alias(c) for c in value_cols + [DATE_COL]])
+            .groupBy(*keys, DATE_COL)
+            .agg(F.max(F.struct("__src", *value_cols)).alias("__m"))
+            .select(*keys, *[F.col(f"__m.{c}").alias(c) for c in value_cols], DATE_COL)
             .select(*cols, DATE_COL)
         )
 
@@ -400,13 +503,11 @@ class TimeSeriesTable:
                 f"'{DATE_COL}' is the reserved partition column; rename it in the schema"
             )
         meta_path = os.path.join(self.path, _META_FILE)
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta = json.loads(_fs_read_text(self.spark, meta_path))
         meta["schema"] = new_schema.jsonValue()
         tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, meta_path)  # atomic on POSIX
+        _fs_write_text(self.spark, tmp, json.dumps(meta))
+        _fs_rename_overwrite(self.spark, tmp, meta_path)
         self.schema = new_schema
 
     # -- internal: read with pruning ---------------------------------------
@@ -428,6 +529,34 @@ class TimeSeriesTable:
         return self._df().select(*self.schema.fieldNames())
 
     # -- A4: read_range -----------------------------------------------------
+    def _projected_names(self, columns: list[str] | None, op: str) -> list[str]:
+        """Validated output column list for read_range/read_at: ts + the
+        requested value columns, de-duped preserving order; unknown names
+        raise immediately (matching append's schema strictness)."""
+        names = self.schema.fieldNames()
+        if columns is None:
+            return names
+        unknown = [c for c in columns if c not in names]
+        if unknown:
+            raise TimeSeriesTableError(
+                f"{op} columns not in series schema: {unknown}"
+            )
+        seen: set[str] = {TS_COL}
+        return [TS_COL] + [c for c in columns if not (c in seen or seen.add(c))]
+
+    @staticmethod
+    def _pandas_shape(pdf):
+        """The reference's output shape: tz-aware UTC DatetimeIndex named
+        ts, sorted, with the ts column folded into the index."""
+        idx = pdf[TS_COL]
+        try:
+            idx = idx.dt.tz_localize("UTC")
+        except TypeError:  # already tz-aware
+            idx = idx.dt.tz_convert("UTC")
+        out = pdf.drop(columns=[TS_COL])
+        out.index = idx.rename(TS_COL)
+        return out.sort_index()
+
     def read_range(
         self, start: datetime, end: datetime, columns: list[str] | None = None
     ) -> DataFrame:
@@ -449,19 +578,7 @@ class TimeSeriesTable:
         immediately (matching the schema-strictness of append).
         """
         start, end = _as_utc(start), _as_utc(end)
-        names = self.schema.fieldNames()
-        if columns is not None:
-            unknown = [c for c in columns if c not in names]
-            if unknown:
-                raise TimeSeriesTableError(
-                    f"read_range columns not in series schema: {unknown}"
-                )
-            # de-dup preserving order: repeated names would otherwise
-            # produce an ambiguous duplicate-column DataFrame
-            seen: set[str] = {TS_COL}
-            names = [TS_COL] + [
-                c for c in columns if not (c in seen or seen.add(c))
-            ]
+        names = self._projected_names(columns, "read_range")
         if end < start:
             return self.to_df().select(*names).limit(0)
         df = self._df()
@@ -493,33 +610,20 @@ class TimeSeriesTable:
         sdf = self.spark.createDataFrame(out, schema=self.schema)
         self.append(sdf, strict_order=strict_order, files_per_day=files_per_day)
 
-    def read_range_pandas(self, start: datetime, end: datetime):
+    def read_range_pandas(
+        self, start: datetime, end: datetime, columns: list[str] | None = None
+    ):
         """``read_range`` returning the reference's output shape: a pandas
         DataFrame indexed by a tz-aware UTC DatetimeIndex (Arrow-backed
-        collect; only the requested range crosses the driver)."""
-        pdf = self.read_range(start, end).toPandas()
-        idx = pdf[TS_COL]
-        try:
-            idx = idx.dt.tz_localize("UTC")
-        except TypeError:  # already tz-aware
-            idx = idx.dt.tz_convert("UTC")
-        out = pdf.drop(columns=[TS_COL])
-        out.index = idx.rename(TS_COL)
-        return out.sort_index()
+        collect; only the requested range crosses the driver).
+        ``columns`` projects like ``read_range``."""
+        return self._pandas_shape(self.read_range(start, end, columns).toPandas())
 
-    def read_at_pandas(self, at: datetime):
+    def read_at_pandas(self, at: datetime, columns: list[str] | None = None):
         """``read_at`` in the reference's output shape (tz-aware UTC
         DatetimeIndex); only the winning timestamp's rows cross the
-        driver."""
-        pdf = self.read_at(at).toPandas()
-        idx = pdf[TS_COL]
-        try:
-            idx = idx.dt.tz_localize("UTC")
-        except TypeError:  # already tz-aware
-            idx = idx.dt.tz_convert("UTC")
-        out = pdf.drop(columns=[TS_COL])
-        out.index = idx.rename(TS_COL)
-        return out.sort_index()
+        driver. ``columns`` projects like ``read_at``."""
+        return self._pandas_shape(self.read_at(at, columns).toPandas())
 
     # -- point lookup: latest row at-or-before an instant --------------------
     def read_at(self, at: datetime, columns: list[str] | None = None) -> DataFrame:
@@ -541,17 +645,7 @@ class TimeSeriesTable:
         returned — deterministic, and consistent with read_range's
         inclusive contract."""
         at = _as_utc(at)
-        names = self.schema.fieldNames()
-        if columns is not None:
-            unknown = [c for c in columns if c not in names]
-            if unknown:
-                raise TimeSeriesTableError(
-                    f"read_at columns not in series schema: {unknown}"
-                )
-            seen: set[str] = {TS_COL}
-            names = [TS_COL] + [
-                c for c in columns if not (c in seen or seen.add(c))
-            ]
+        names = self._projected_names(columns, "read_at")
         df = self._df()
         for d in sorted(
             (x for x in self._partition_dates() if x <= at.date()), reverse=True
@@ -688,21 +782,19 @@ class TimeSeriesTable:
             rel = p[p.index(base) + len(base):] if base in p else p
             if rel.startswith(f"{DATE_COL}=") and rel.endswith(".parquet"):
                 manifest.append(rel)
-        os.makedirs(self._versions_dir(), exist_ok=True)
+        _fs_mkdirs(self.spark, self._versions_dir())
         existing = self.versions()
         v = (existing[-1] + 1) if existing else 1
         tmp = os.path.join(self._versions_dir(), f"v{v}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "files": sorted(manifest)}, f)
-        os.replace(tmp, os.path.join(self._versions_dir(), f"v{v}.json"))
+        _fs_write_text(self.spark, tmp, json.dumps({"version": v, "files": sorted(manifest)}))
+        _fs_rename_checked(
+            self.spark, tmp, os.path.join(self._versions_dir(), f"v{v}.json")
+        )
         return v
 
     def versions(self) -> list[int]:
         """Recorded snapshot versions, ascending."""
-        try:
-            names = os.listdir(self._versions_dir())
-        except OSError:
-            return []
+        names = _fs_list_names(self.spark, self._versions_dir())
         out = []
         for n in names:
             m = re.fullmatch(r"v(\d+)\.json", n)
@@ -718,15 +810,18 @@ class TimeSeriesTable:
         of this frame) working even though individual files are listed.
         An empty manifest yields an empty frame of the declared schema."""
         vpath = os.path.join(self._versions_dir(), f"v{version}.json")
-        if not os.path.exists(vpath):
+        if not _fs_exists(self.spark, vpath):
             raise TimeSeriesTableError(
                 f"no snapshot v{version}; have {self.versions()}"
             )
-        with open(vpath) as f:
-            files = json.load(f)["files"]
+        files = json.loads(_fs_read_text(self.spark, vpath))["files"]
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        missing = [rel for rel in files if not os.path.exists(os.path.join(self.path, rel))]
+        missing = [
+            rel
+            for rel in files
+            if not _fs_exists(self.spark, os.path.join(self.path, rel))
+        ]
         if missing:
             raise TimeSeriesTableError(
                 f"snapshot v{version} references files removed by a later "
@@ -743,9 +838,17 @@ class TimeSeriesTable:
         return df.select(*self.schema.fieldNames())
 
 
-def list_series(root: str) -> list[str]:
+def list_series(root: str, spark: SparkSession | None = None) -> list[str]:
     """Names of all series under a catalog root (the reference's File
-    holds many series groups; this is the directory-level analog)."""
+    holds many series groups; this is the directory-level analog).
+    Pass ``spark`` to enumerate a remote (hdfs://, s3a://) root through
+    the Hadoop FileSystem API; without it, local paths only."""
+    if spark is not None:
+        return sorted(
+            n
+            for n in _fs_list_names(spark, root)
+            if _fs_exists(spark, os.path.join(root, n, _META_FILE))
+        )
     try:
         names = os.listdir(root)
     except OSError:
