@@ -326,3 +326,47 @@ def test_stream_dedup_state_survives_restart(spark):
     # the surviving id-2 row is round 1's FIRST delivery
     row2 = next(r for r in out if r["event_id"] == 2)
     assert row2["value"] == 2.0
+
+
+def test_compact_includes_batch_appends_on_streamed_table(spark, tmp_path):
+    """A table first written by the streaming sink (which leaves a
+    _spark_metadata commit log) and then batch-appended must compact
+    LOSSLESSLY: the rewrite's read must not trust the sink log (which
+    only lists sink-written files) or the batch-appended rows would be
+    silently dropped and deleted with the old tree."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from tstables_spark.streaming.ingest import compact_series, ingest_stream
+
+    t0 = datetime(2024, 9, 1, tzinfo=timezone.utc)
+    src_dir, sink = str(tmp_path / "src"), str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [Row(ts=t0 + timedelta(minutes=i), v=float(i)) for i in range(20)]
+    )
+    batch1.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    q = ingest_stream(
+        spark.readStream.schema(schema).parquet(src_dir), sink, ckpt
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 20
+    # batch-append rows the sink log knows nothing about
+    batch2 = spark.createDataFrame(
+        [Row(ts=t0 + timedelta(minutes=100 + i), v=float(100 + i)) for i in range(5)]
+    )
+    (
+        batch2.withColumn("date", F.to_date("ts"))
+        .repartition("date")
+        .sortWithinPartitions("date", "ts")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(sink)
+    )
+    compact_series(spark, sink)  # stream is terminated — precondition met
+    got = spark.read.parquet(sink)
+    assert got.count() == 25, "compaction dropped batch-appended rows"
+    assert got.agg(F.max("v")).collect()[0][0] == 104.0

@@ -115,11 +115,15 @@ def swap_date_partitions(spark: SparkSession, path: str, tmp: str, date_strs: li
         try:
             _checked_rename(fs, jtpart, jpart)
         except Exception:
-            # roll back: put the live dir back so the partition never
-            # vanishes from the table (the whole-table path does the
-            # same on its swap failure)
-            if fs.exists(jold):
-                _checked_rename(fs, jold, jpart)
+            # BEST-EFFORT roll back: put the live dir back so the
+            # partition never vanishes from the table — but never let a
+            # failing rollback mask the original error (a reoccupied
+            # destination would make the rollback rename fail too).
+            try:
+                if fs.exists(jold) and not fs.exists(jpart):
+                    fs.rename(jold, jpart)
+            except Exception:
+                pass
             raise
         fs.delete(jold, True)
 
@@ -169,19 +173,30 @@ def compact_series(
     parquet tree), and the series' ``max_records_per_file`` cap is
     applied to the rewrite — a compaction must not silently change the
     storage contract ``create()`` promised."""
-    meta_codec, max_rpf = "zstd", None
-    try:
-        from tstables_spark.tstable import _META_FILE, _fs_exists, _fs_read_text
-        import json as _json
+    import json as _json
 
-        mpath = f"{path}/{_META_FILE}"
-        if _fs_exists(spark, mpath):
-            meta = _json.loads(_fs_read_text(spark, mpath))
-            meta_codec = meta.get("compression", "zstd")
-            max_rpf = meta.get("max_records_per_file")
-    except Exception:
-        pass  # bare parquet tree without series metadata
+    from tstables_spark.tstable import _META_FILE, _fs_exists, _fs_read_text
+
+    meta_codec, max_rpf = "zstd", None
+    mpath = f"{path}/{_META_FILE}"
+    # A bare parquet tree simply has no meta file; if the meta EXISTS,
+    # a read/parse failure must propagate — silently falling back to
+    # zstd/uncapped would be exactly the storage-contract change this
+    # lookup exists to prevent.
+    if _fs_exists(spark, mpath):
+        meta = _json.loads(_fs_read_text(spark, mpath))
+        meta_codec = meta.get("compression", "zstd")
+        max_rpf = meta.get("max_records_per_file")
     codec = compression if compression is not None else meta_codec
+    jvm0 = spark._jvm
+    hpath0 = jvm0.org.apache.hadoop.fs.Path
+    fs0 = hpath0(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # Drop a streaming sink's _spark_metadata BEFORE the read, not just
+    # at swap time: spark.read.parquet TRUSTS the sink log when present
+    # and would list only log-registered files — batch-appended files
+    # would be excluded from the rewrite and then deleted with the old
+    # tree. (The stream must be stopped anyway — see above.)
+    fs0.delete(hpath0(f"{path}/_spark_metadata"), True)
     df = spark.read.parquet(path)
     if dates is not None:
         date_strs = [str(d) for d in dates]
@@ -233,7 +248,13 @@ def compact_series(
             try:
                 _checked_rename(fs, jtmp, jpath)
             except Exception:
-                _checked_rename(fs, jold, jpath)  # roll back, keep original visible
+                # best-effort roll back, keep original visible; never
+                # mask the original error with a rollback failure
+                try:
+                    if not fs.exists(jpath):
+                        fs.rename(jold, jpath)
+                except Exception:
+                    pass
                 raise
             fs.delete(jold, True)
     finally:

@@ -129,19 +129,47 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
 def _fs_claim_new(spark: SparkSession, path: str) -> bool:
-    """Atomically claim a path (FileSystem.createNewFile): exactly one of
-    two concurrent creators sees True — the create() race guard that
-    O_EXCL provided when metadata was local-only."""
+    """Claim a path so exactly one of two concurrent creators wins.
+
+    Local roots keep the kernel-atomic O_EXCL open (Hadoop's
+    LocalFileSystem createNewFile is exists-then-create — NOT atomic).
+    Remote roots use FileSystem.createNewFile; HDFS signals the loser
+    with FileAlreadyExistsException (mapped to False here), S3-like
+    stores are last-writer-wins by nature — the same caveat every
+    non-transactional table format carries."""
+    if _is_local_path(path):
+        local = path[len("file:"):] if path.startswith("file:") else path
+        try:
+            fd = os.open(local, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
     fs, jpath, _ = _jfs(spark, path)
-    return bool(fs.createNewFile(jpath))
+    try:
+        return bool(fs.createNewFile(jpath))
+    except Exception as e:  # HDFS raises instead of returning False
+        if "FileAlreadyExists" in str(e):
+            return False
+        raise
 
 
 def _fs_rename_checked(spark: SparkSession, src: str, dst: str) -> None:
     """Non-overwriting rename; Hadoop reports failure by returning false,
-    so raise instead of letting a failed swap cascade."""
+    so raise instead of letting a failed swap cascade. HDFS enforces the
+    no-overwrite itself; LocalFileSystem's rename silently replaces an
+    existing file, so an explicit exists-guard runs first (best-effort —
+    a true CAS needs a transactional table format)."""
     fs, jsrc, jvm = _jfs(spark, src)
-    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(jdst):
+        raise IOError(f"rename failed, destination exists: {src} -> {dst}")
+    if not fs.rename(jsrc, jdst):
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
@@ -152,8 +180,12 @@ def _fs_rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
     gw = spark.sparkContext._gateway
     jvm = gw.jvm
     conf = spark._jsc.hadoopConfiguration()
-    jsrc = jvm.org.apache.hadoop.fs.Path(src)
-    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs, jsrc0, _ = _jfs(spark, src)
+    # qualify through the FileSystem so relative paths resolve exactly
+    # as the other helpers (and the os.replace this replaces) resolved
+    # them — FileContext alone would resolve against the user HOME
+    jsrc = fs.makeQualified(jsrc0)
+    jdst = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst))
     fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(jsrc.toUri(), conf)
     Rename = jvm.org.apache.hadoop.fs.Options.Rename
     opts = gw.new_array(Rename, 1)
@@ -817,11 +849,18 @@ class TimeSeriesTable:
         files = json.loads(_fs_read_text(self.spark, vpath))["files"]
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        missing = [
-            rel
-            for rel in files
-            if not _fs_exists(self.spark, os.path.join(self.path, rel))
-        ]
+        # ONE recursive listing (the same sweep snapshot() does) instead
+        # of a per-file exists probe — O(files) sequential RPCs against a
+        # remote store would add seconds of pure metadata latency.
+        live = set()
+        base = self.path.rstrip("/") + "/"
+        fs, jroot, _ = _jfs(self.spark, self.path)
+        it = fs.listFiles(jroot, True)
+        while it.hasNext():
+            pth = it.next().getPath().toString()
+            if base in pth:
+                live.add(pth[pth.index(base) + len(base):])
+        missing = [rel for rel in files if rel not in live]
         if missing:
             raise TimeSeriesTableError(
                 f"snapshot v{version} references files removed by a later "
@@ -848,6 +887,10 @@ def list_series(root: str, spark: SparkSession | None = None) -> list[str]:
             n
             for n in _fs_list_names(spark, root)
             if _fs_exists(spark, os.path.join(root, n, _META_FILE))
+        )
+    if not _is_local_path(root):
+        raise TimeSeriesTableError(
+            f"remote catalog root {root!r} requires list_series(root, spark=...)"
         )
     try:
         names = os.listdir(root)
