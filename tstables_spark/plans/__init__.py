@@ -30,67 +30,70 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-7 verification window (first 50 = the harness's correctness
-    # window). Priority: (a) the reference-identity pair, pinned
-    # permanently; (b) the 44 oracle-bearing queries that have NEVER
-    # been in any CORRECTNESS window — the r6 verdict's staged rotation,
-    # executed verbatim: the newly-gated tolerance-boolean trio first,
-    # the six TPC-H completions, the 17 deferred-from-r6 tail, the r6
-    # pipeline/text additions, and the twelve late-r6 operators; (c)
-    # re-check slots for queries whose implementing module changes this
-    # round (ts_xcorr_lags / drift_ks_test window distribution,
-    # graph_pagerank fixed-point arithmetic, dedup_prefix boundary
-    # stitch, dedup_editdist candidate budget are all in (b) already;
-    # stream_sliding + dedup_minhash + join_asof + dedup_near fill the
-    # spare slots as high-churn-history re-checks).
+    # ROUND-8 verification window (first 50 = the harness's correctness
+    # window). Priority per the standing rotation policy:
+    # (a) the reference-identity pair, pinned permanently;
+    # (b) the TWELVE queries added in r7 — local-parity green at three
+    #     scales, never driver-windowed; their first driver evidence is
+    #     this round's headline (-> 230/234 ever-green, the max possible
+    #     given the 4 rows-only-by-design gates);
+    # (c) re-check slots for every query whose implementing module
+    #     changed since its last green row: the r7 core-lifecycle
+    #     hardening (1432c25 + b05b44a touched tstable.py + streaming/
+    #     AFTER the r5/r6 greens of ts_create_append, ts_compact,
+    #     ts_upsert, ts_time_travel, ts_retention_purge, ts_catalog,
+    #     ts_multi_series_align, stream_ingest, stream_upsert) and the
+    #     r8 distributed_cumsum de-literalization (operators/packing.py
+    #     consumers: drift_ks_test, pack_sequences — the other two
+    #     consumers, vocab_coverage_curve and ts_robust_zscore, are
+    #     already in (b));
+    # (d) oldest-evidence backfill: the r1 scalar/UDF tail and the r2
+    #     relational head, green since r1/r2 with unchanged modules.
     #
-    # STANDING ROTATION POLICY (r8+): after this window lands, every
-    # oracle-bearing query except the twelve ADDED in r7
-    # (dedup_containment, ts_rollup_hier, vocab_coverage_curve,
-    # ts_robust_zscore, graph_triangles, agg_cms_sketch,
-    # join_asof_presorted, mix_temperature, doc_dup_inflation,
-    # agg_cms_point, stream_cms, ts_read_at — all
-    # local-parity green at three scales, never driver-windowed) has
-    # driver evidence; those twelve lead the r8 window.
-    # (dedup_suffix was built and REJECTED in r7: the sf0.01 fixture
-    # has zero suffix duplicates, so its parity check is vacuous at
-    # driver scale — the capability is prefix_dup_flags over reversed
-    # text, already gated via dedup_prefix.) The 4 permanently rows-only-by-design queries are
-    # sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, ts_downsample_lttb —
-    # each indirectly gated by a hash-checked contract query
-    # (sim_recall / ts_lttb_gate). From r8 on, the window = the pinned
-    # pair + any never-checked new queries + re-check slots for every
-    # query whose implementing module changed since its last green row
-    # (check `git log -- <module>` against the round markers), then
-    # backfill with the oldest-evidence queries.
-    # Everything displaced is hash-green in a prior round with an
-    # unchanged implementation and covered by repo-local parity tests.
+    # STANDING ROTATION POLICY (r9+): window = pinned pair + any
+    # never-checked new queries + re-check slots for every query whose
+    # implementing module changed since its last green row (check
+    # `git log -- <module>` against round markers), then backfill with
+    # oldest-evidence queries (after this window the oldest remaining
+    # evidence is the r2 relational tail: join_multi, join_left,
+    # join_full, join_semi, join_anti, agg_pricing_summary,
+    # agg_distinct, agg_pivot, agg_percentiles, agg_rollup, agg_cube,
+    # agg_grouping_sets, sort_limit, topk_per_group, set_union,
+    # set_intersect, set_except, sample_hash, split_train_test,
+    # vocab_topk, doc_top_terms, embed_centroid, dedup_exact,
+    # dedup_embed, sim_topk, text_stats, token_count, lang_id,
+    # quality_score, doc_fingerprint).
+    # The 4 permanently rows-only-by-design queries are sim_ivf,
+    # sim_ivf_centroid, sim_ivf_kmeans, ts_downsample_lttb — each
+    # indirectly gated by a hash-checked contract query (sim_recall /
+    # ts_lttb_gate). Everything displaced from this window is
+    # hash-green in a prior round with an unchanged implementation and
+    # covered by repo-local parity tests.
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) newly gated tolerance-boolean oracles (added r6)
-            "sim_recall", "cluster_kmeans", "stream_stateful",
-            # TPC-H completions (suite now 22/22)
-            "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11",
-            "sql_tpch_q20", "sql_tpch_q21", "sql_tpch_q22",
-            # deferred-from-r6 never-checked tail
-            "fn_struct", "agg_unpivot", "fn_conditional",
-            "fn_surrogate_key", "embed_pq", "ts_benford", "agg_gini",
-            "k_anonymity_check", "forecast_naive_eval", "agg_skew_kurt",
-            "agg_mode", "agg_hll_sketch_union", "agg_string_agg",
-            "fn_bitwise", "agg_approx_percentile", "sample_weighted",
-            "dedup_cluster_sizes",
-            # r6 pipeline/text additions
-            "doc_chunk_overlap", "domain_quota_sample", "embed_whiten",
-            "vocab_oov_rate", "lm_bigram_score", "ts_watermark_lateness",
-            # late-r6 operators
-            "sim_knn_graph", "ts_tick_bars", "ts_calendar_sessions",
-            "agg_entropy", "agg_markov_transitions", "ts_lttb_gate",
-            "graph_pagerank", "pipeline_corpus_funnel", "dedup_prefix",
-            "fn_url", "drift_ks_test", "ts_xcorr_lags",
-            # (c) re-check slots: high churn history / touched this round
-            "stream_sliding", "dedup_minhash", "join_asof", "dedup_near",
+            # (b) the twelve r7 additions — first driver evidence
+            "dedup_containment", "ts_rollup_hier", "vocab_coverage_curve",
+            "ts_robust_zscore", "graph_triangles", "agg_cms_sketch",
+            "agg_cms_point", "stream_cms", "join_asof_presorted",
+            "mix_temperature", "doc_dup_inflation", "ts_read_at",
+            # (c) re-checks: core-lifecycle hardening landed after these
+            # queries' last green rows (tstable.py / streaming/)
+            "ts_create_append", "ts_compact", "ts_upsert",
+            "ts_time_travel", "ts_retention_purge", "ts_catalog",
+            "ts_multi_series_align", "stream_ingest", "stream_upsert",
+            # (c) re-checks: distributed_cumsum consumers changed r8
+            "drift_ks_test", "pack_sequences",
+            # (d) oldest-evidence backfill: r1 scalar/UDF tail
+            "fn_string", "fn_date", "fn_math", "fn_array", "fn_map",
+            "fn_json", "udf_scalar_pandas", "udaf_grouped_agg",
+            # (d) oldest-evidence backfill: r2 relational head
+            "scan_parquet", "scan_csv", "scan_json", "project_filter",
+            "join_broadcast", "join_shuffle", "join_salted",
+            "join_bucketed", "join_multi", "join_left", "join_full",
+            "join_semi", "join_anti", "agg_pricing_summary",
+            "agg_distinct", "agg_pivot", "agg_percentiles",
         ]
     )
 
