@@ -759,6 +759,28 @@ def test_distributed_cumsum_matches_global_window(spark):
         assert got == want, P
 
 
+def test_cumsum_offsets_broadcast_join_not_case_chain(spark):
+    """The per-partition offsets must reach rows through an O(P)-row
+    BROADCAST JOIN, not a P-branch coalesce(when(__pid==k)) literal
+    CASE (ADVICE r7): at cluster parallelism the CASE chain evaluates
+    O(P) predicates per row and risks the 64 KB codegen method limit,
+    silently dropping to interpreted evaluation. Guards both
+    distributed_cumsum and pack_sequences at a P large enough that a
+    regression to the literal chain would be visible as CASE WHEN."""
+    from tstables_spark.operators.packing import distributed_cumsum, pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(500)], "k long, w long"
+    )
+    for out in (
+        distributed_cumsum(df, ["k"], ["w"], num_partitions=64),
+        pack_sequences(df, "k", "w", budget=16, num_partitions=64),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CASE WHEN" not in plan, plan
+
+
 def test_editdist_candidate_budget_guard(spark):
     """A length-concentrated corpus (every doc same lang, same band)
     must trip the candidate-pair budget loudly; the same corpus passes

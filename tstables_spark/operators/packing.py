@@ -82,20 +82,54 @@ def distributed_cumsum(
         offsets[pid] = dict(acc)
         for c in value_cols:
             acc[c] += totals[pid][c] or 0
+    # Apply the offsets via an O(P)-row BROADCAST JOIN on __pid, not a
+    # P-branch literal CASE: at cluster parallelism (defaultParallelism
+    # in the thousands) a chained coalesce(when(__pid==k, lit)) makes
+    # every row evaluate O(P) predicates and risks Catalyst's 64 KB
+    # codegen method limit — whole-stage codegen then silently falls
+    # back to interpreted evaluation in exactly the queries this
+    # operator exists to scale. Same de-literalization pattern as
+    # prefix_dup_flags' boundary relation (operators/dedup.py).
+    out = _apply_offsets(out, offsets, value_cols)
     for c in value_cols:
-        off = (
-            F.coalesce(
-                *[
-                    F.when(F.col("__pid") == pid, F.lit(po[c]))
-                    for pid, po in sorted(offsets.items())
-                ],
-                F.lit(0),
-            )
-            if offsets
-            else F.lit(0)
-        )
-        out = out.withColumn(f"cum_{c}", F.col(f"__local_{c}") + off)
-    return out.drop("__pid", *[f"__local_{c}" for c in value_cols])
+        out = out.withColumn(f"cum_{c}", F.col(f"__local_{c}") + F.col(f"__off_{c}"))
+    return out.drop(
+        "__pid",
+        *[f"__local_{c}" for c in value_cols],
+        *[f"__off_{c}" for c in value_cols],
+    )
+
+
+def _apply_offsets(
+    out: DataFrame, offsets: dict[int, dict[str, int]], value_cols: list[str]
+) -> DataFrame:
+    """Join the per-partition offset relation onto ``out`` as
+    ``__off_<col>`` columns (broadcast, O(P) rows). Offsets are summed
+    driver-side in Python, so a column's offsets are all int unless some
+    partition total was float — normalize per column so createDataFrame
+    infers one type (LongType or DoubleType)."""
+    if not offsets:
+        for c in value_cols:
+            out = out.withColumn(f"__off_{c}", F.lit(0))
+        return out
+    pids = sorted(offsets)
+    per_col: dict[str, list] = {}
+    for c in value_cols:
+        vals = [offsets[pid][c] for pid in pids]
+        if any(isinstance(v, float) for v in vals):
+            vals = [float(v) for v in vals]
+        per_col[c] = vals
+    rows = [
+        tuple([pid] + [per_col[c][i] for c in value_cols])
+        for i, pid in enumerate(pids)
+    ]
+    off_df = out.sparkSession.createDataFrame(
+        rows, ["__pid"] + [f"__off_{c}" for c in value_cols]
+    )
+    # Every row's __pid appears in the offset relation (it came from a
+    # groupBy over the same materialized partitions), so inner join is
+    # exact — and keeps the null-safety question out of the sum.
+    return out.join(F.broadcast(off_df), "__pid", "inner")
 
 
 def pack_sequences(
@@ -143,24 +177,16 @@ def pack_sequences(
     }
     offsets, acc = {}, 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets[pid] = {"run": acc}
         acc += totals[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    running = (F.col("__local_run") + offset_col).alias("running")
+    # O(P)-row broadcast join, not a P-branch literal CASE — see the
+    # rationale in distributed_cumsum/_apply_offsets.
+    with_off = _apply_offsets(with_local, offsets, ["run"])
     return (
-        with_local.select(
-            "*",
-            running,
-        )
+        with_off.withColumn("running", F.col("__local_run") + F.col("__off_run"))
         .withColumn(
             "pack_id",
             F.floor((F.col("running") - F.col(weight_col)) / F.lit(budget)).cast("long"),
         )
-        .drop("__pid", "__local_run")
+        .drop("__pid", "__local_run", "__off_run")
     )
