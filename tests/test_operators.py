@@ -831,6 +831,22 @@ def test_asof_presorted_matches_union_window(spark, tmp_path):
     )
     got = {tuple(r) for r in pre.collect()}
     assert got == want and len(got) == 2000
+    # The sort elision is the measured 4.6-5.7x win; this assertion is
+    # the loud upgrade guard — if a future Spark drops the legacy
+    # bucketedTableScan.outputOrdering conf, the Sort silently returns
+    # and THIS fails, instead of a silent 5x regression (VERDICT r7).
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert not re.search(r"\(\d+\) Sort ", plan), plan
+    # And without the conf, the layout must still read CORRECTLY —
+    # merely with the Sort back. (newSession inherits builder confs, so
+    # disable it explicitly in the fresh SQLConf.)
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    pre_bare = asof_join_presorted(
+        bare, "asof_presorted_test", ["event_id", "k", "ts"], ["val"]
+    )
+    assert {tuple(r) for r in pre_bare.collect()} == want
+    assert re.search(
+        r"\(\d+\) Sort ", pre_bare._jdf.queryExecution().executedPlan().toString()
+    )

@@ -155,16 +155,19 @@ def stage_asof_layout(
 
     Spark stopped CLAIMING bucketed-scan sort order by default in 3.0
     (SPARK-28632 — the claim is unsafe with multiple files per bucket);
-    the public conf below re-enables it, and Spark itself still only
-    applies the claim to single-file buckets — which the pre-write
-    repartition here guarantees — so it cannot mis-order any other
-    bucketed read. Set ONCE here at staging time (and in get_spark's
-    engine defaults), not as a repeated side effect of every read: the
-    session that stages the layout is the session that reads it (the
-    query-level staging registry is keyed by applicationId)."""
-    left.sparkSession.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
+    the READING session must therefore set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` for the
+    sort elision to plan (Spark still only applies the claim to
+    single-file buckets — which the pre-write repartition here
+    guarantees — so it cannot mis-order any other bucketed read). This
+    function deliberately does NOT set that conf itself: mutating
+    session-wide SQLConf as a hidden side effect of an operator call
+    would silently change planning for every other bucketed scan in the
+    caller's session (ADVICE r7). ``get_spark`` carries it in the
+    engine defaults and ``plans/timeseries.py::join_asof_presorted_q``
+    re-asserts it at the query boundary; a session without it still
+    reads CORRECT results, just with a redundant in-partition Sort
+    (pinned by the zero-Sort plan test in tests/test_operators.py)."""
     left_cols = left.columns
     rts = F.col(right_on).alias("__rts")
     l = left.select(
