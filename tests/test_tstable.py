@@ -488,6 +488,19 @@ def test_snapshot_time_travel(spark, root):
         ts.read_version(99)
 
 
+def test_snapshot_read_with_uri_spelled_root(spark, root):
+    """A root spelled as a file:// URI — unlike Hadoop's normalized
+    file:/ spelling that listFiles returns — must not make
+    read_version's liveness check think every file was removed
+    (ADVICE r7): the base prefix is qualified through the FileSystem
+    before matching."""
+    ts = TimeSeriesTable.create(spark, root, "uri_s", SCHEMA)
+    ts.append(_ticks(spark, datetime(2024, 3, 1, tzinfo=UTC), 40))
+    v1 = ts.snapshot()
+    via_uri = TimeSeriesTable.open(spark, "file://" + root, "uri_s")
+    assert via_uri.read_version(v1).count() == 40
+
+
 def test_snapshot_invalidated_by_purge(spark, root):
     ts = TimeSeriesTable.create(spark, root, "ttp_s", SCHEMA)
     ts.append(_ticks(spark, datetime(2024, 3, 1, tzinfo=UTC), 72))

@@ -154,6 +154,19 @@ def _fs_claim_new(spark: SparkSession, path: str) -> bool:
     try:
         return bool(fs.createNewFile(jpath))
     except Exception as e:  # HDFS raises instead of returning False
+        # Identify the loser by the Java exception CLASS when py4j
+        # exposes it — a RemoteException wrapper can reword the message,
+        # and an unrecognized loser would otherwise surface as an opaque
+        # crash instead of the clean "series already exists" error. The
+        # substring check stays as the fallback for wrapped/stringified
+        # forms that only carry the class name in the text.
+        jexc = getattr(e, "java_exception", None)
+        if jexc is not None:
+            try:
+                if "FileAlreadyExists" in jexc.getClass().getName():
+                    return False
+            except Exception:
+                pass
         if "FileAlreadyExists" in str(e):
             return False
         raise
@@ -852,14 +865,19 @@ class TimeSeriesTable:
         # ONE recursive listing (the same sweep snapshot() does) instead
         # of a per-file exists probe — O(files) sequential RPCs against a
         # remote store would add seconds of pure metadata latency.
+        # Qualify the root through the FileSystem first (the
+        # _fs_rename_overwrite pattern): listFiles returns fully
+        # qualified URIs in Hadoop's normalized spelling, so a root
+        # given as e.g. file:///tmp (vs the normalized file:/tmp) would
+        # never prefix-match and every file would look missing.
         live = set()
-        base = self.path.rstrip("/") + "/"
         fs, jroot, _ = _jfs(self.spark, self.path)
+        base = fs.makeQualified(jroot).toString().rstrip("/") + "/"
         it = fs.listFiles(jroot, True)
         while it.hasNext():
             pth = it.next().getPath().toString()
-            if base in pth:
-                live.add(pth[pth.index(base) + len(base):])
+            if pth.startswith(base):
+                live.add(pth[len(base):])
         missing = [rel for rel in files if rel not in live]
         if missing:
             raise TimeSeriesTableError(
