@@ -56,7 +56,17 @@ HEADLINE = [
     "join_asof_presorted",
     "ts_robust_zscore",
     "graph_triangles",
+    "join_asof_multi",
+    "join_asof_multi_presorted",
 ]
+
+# A single timing of a heavy query rides this box's ±1.5x load-noise
+# band (SCALE.md "bench noise") — a real 2x regression in a 0.3 s query
+# is invisible next to a 22 s query's jitter. Queries whose first timed
+# run is at or above this threshold get two more runs and report the
+# MINIMUM (the standard floor-of-noise estimator; the warm pass already
+# amortized staging, so the min is the steady-state plan cost).
+BEST_OF_3_THRESHOLD_SEC = 2.0
 
 
 def main() -> None:
@@ -74,10 +84,22 @@ def main() -> None:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    reps: dict[str, int] = {}
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = time.perf_counter() - t0
+        n_runs = 1
+        if t >= BEST_OF_3_THRESHOLD_SEC:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t = min(t, time.perf_counter() - t0)
+                n_runs += 1
+        timings[name] = round(t, 3)
+        reps[name] = n_runs
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Machine-load context: r3->r4 showed a uniform ~1.4x swing on a
@@ -95,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg": loadavg,
             }

@@ -759,6 +759,50 @@ def test_distributed_cumsum_matches_global_window(spark):
         assert got == want, P
 
 
+def test_asof_multi_presorted_matches_chained(spark, tmp_path):
+    """The one-table N-source layout must reproduce the chained
+    asof_join composition exactly, and its read plan must be scan ->
+    ONE Window -> filter: zero Exchange, zero Sort, and a single
+    physical Window computing ALL carries (same partitioning+ordering
+    collapses the N last(ignorenulls) into one operator)."""
+    import re
+    from tstables_spark.operators.asof import (
+        asof_join, asof_join_multi_presorted, stage_asof_multi_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 13, i * 37 % 900) for i in range(1500)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    s1 = spark.createDataFrame(
+        [(i % 13, i * 89 % 900, i) for i in range(250)],
+        "k long, t long, a long",
+    ).groupBy("k", F.timestamp_seconds("t").alias("r1ts")).agg(F.max("a").alias("a"))
+    s2 = spark.createDataFrame(
+        [(i % 13, i * 53 % 900, i * 2) for i in range(180)],
+        "k long, t long, b long",
+    ).groupBy("k", F.timestamp_seconds("t").alias("r2ts")).agg(F.max("b").alias("b"))
+    step1 = asof_join(left, s1, "ts", "r1ts", "k", "k", ["a"])
+    chained = asof_join(step1, s2, "ts", "r2ts", "k", "k", ["b"])
+    want = {tuple(r) for r in chained.collect()}
+    stage_asof_multi_layout(
+        left,
+        [(s1, "r1ts", "k", ["a"]), (s2, "r2ts", "k", ["b"])],
+        "ts", "k",
+        "asof_multi_presorted_test", str(tmp_path / "m"), num_buckets=4,
+    )
+    pre = asof_join_multi_presorted(
+        spark, "asof_multi_presorted_test", ["event_id", "k", "ts"], [["a"], ["b"]]
+    )
+    got = {tuple(r) for r in pre.collect()}
+    assert got == want and len(got) == 1500
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert not re.search(r"\(\d+\) Sort ", plan), plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bWindow \[", final)) == 1, plan
+
+
 def test_cumsum_offsets_broadcast_join_not_case_chain(spark):
     """The per-partition offsets must reach rows through an O(P)-row
     BROADCAST JOIN, not a P-branch coalesce(when(__pid==k)) literal

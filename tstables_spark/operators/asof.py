@@ -236,6 +236,134 @@ def asof_join_presorted(
     )
 
 
+def stage_asof_multi_layout(
+    left: DataFrame,
+    sources: Sequence[tuple[DataFrame, str, str, Sequence[str]]],
+    left_on: str,
+    left_by: str,
+    table_name: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Stage the N-source point-in-time (feature-store) as-of relation
+    as ONE bucketed (key) + sorted (key, time, side) table: the label
+    rows and ALL feature sources union into a single relation, each
+    source carrying its payload in its OWN nullable struct column
+    (null on every other source's rows and on label rows).
+
+    ``sources`` is a sequence of ``(right_df, right_on, right_by,
+    right_values)``. Each source must be unique per (key, time) —
+    pre-aggregate duplicates upstream, exactly as ``asof_join``
+    requires.
+
+    Why one table and not N staged pair-layouts: the chained
+    union+window multi as-of pays N shuffles + N sorts per retrieval;
+    N pair-layouts would still pay N scans + an N-way join to stitch
+    the columns back together. One shared layout costs ONE staging
+    shuffle+sort and every retrieval is then a single scan feeding a
+    single Window operator that computes all N running carries over
+    the same (key)-bucketed, (key, time, side)-sorted order — zero
+    Exchange, zero Sort, no stitch join (``asof_join_multi_presorted``;
+    plan pinned in tests). Time columns are cast to TIMESTAMP at
+    staging (a DATE source joins at UTC midnight — the same cast
+    unionByName applies inside ``asof_join``, matching DuckDB).
+
+    The reading session needs the same
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` conf as
+    ``stage_asof_layout`` (see that docstring); this function does not
+    set it."""
+    left_cols = left.columns
+    carry_types = []
+    for right, right_on, _, right_values in sources:
+        rts = F.col(right_on).cast("timestamp").alias("__rts")
+        carry_types.append(
+            right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
+        )
+
+    def carries(live: int | None) -> list:
+        out = []
+        for i, (r, right_on, _, right_values) in enumerate(sources):
+            name = f"{_CARRY}_{i}"
+            if i == live:
+                rts = F.col(right_on).cast("timestamp").alias("__rts")
+                out.append(F.struct(*right_values, rts).alias(name))
+            else:
+                out.append(F.lit(None).cast(carry_types[i]).alias(name))
+        return out
+
+    l = left.select(
+        F.col(left_by).alias(_KEY),
+        F.col(left_on).cast("timestamp").alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        *carries(None),
+        *[F.col(c) for c in left_cols],
+    )
+    parts = [l]
+    for i, (right, right_on, right_by, _) in enumerate(sources):
+        parts.append(
+            right.select(
+                F.col(right_by).alias(_KEY),
+                F.col(right_on).cast("timestamp").alias(_TIME),
+                F.lit(0).alias(_SIDE),
+                *carries(i),
+                *[
+                    F.lit(None).cast(left.schema[c].dataType).alias(c)
+                    for c in left_cols
+                ],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    (
+        u.repartition(num_buckets, F.col(_KEY))
+        .write.bucketBy(num_buckets, _KEY)
+        .sortBy(_KEY, _TIME, _SIDE)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def asof_join_multi_presorted(
+    spark,
+    table_name: str,
+    left_cols: Sequence[str],
+    values_per_source: Sequence[Sequence[str]],
+    tolerance_seconds: Sequence[int | None] | None = None,
+) -> DataFrame:
+    """Point-in-time retrieval over a ``stage_asof_multi_layout``
+    table: ALL N running carries are computed by ONE Window operator
+    (identical partitioning and ordering, so Catalyst collapses the N
+    ``last(ignorenulls)`` frames into a single physical Window) over
+    the scan's claimed bucket distribution and per-bucket sort — the
+    plan is scan -> Window -> filter with zero Exchange and zero Sort
+    regardless of how many feature sources the layout holds. The
+    chained shape pays N shuffles + N sorts for the same answer."""
+    w = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = spark.table(table_name)
+    n = len(values_per_source)
+    for i in range(n):
+        name = f"{_CARRY}_{i}"
+        out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    sel: list = [F.col(c) for c in left_cols]
+    tols = tolerance_seconds or [None] * n
+    for i, vals in enumerate(values_per_source):
+        name = f"{_CARRY}_{i}"
+        fresh = F.lit(True)
+        if tols[i] is not None:
+            gap = F.unix_micros(F.col(_TIME)) - F.unix_micros(
+                F.col(f"{name}.__rts")
+            )
+            fresh = gap <= tols[i] * 1_000_000
+        sel.extend(F.when(fresh, F.col(f"{name}.{v}")).alias(v) for v in vals)
+    return out.where(F.col(_SIDE) == 1).select(*sel)
+
+
 def _asof_nearest(
     left: DataFrame,
     right: DataFrame,

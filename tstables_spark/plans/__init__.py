@@ -78,6 +78,8 @@ def _load_all() -> None:
             "ts_robust_zscore", "graph_triangles", "agg_cms_sketch",
             "agg_cms_point", "stream_cms", "join_asof_presorted",
             "mix_temperature", "doc_dup_inflation", "ts_read_at",
+            # (b) added r8, never checked
+            "join_asof_multi_presorted",
             # (c) re-checks: core-lifecycle hardening landed after these
             # queries' last green rows (tstable.py / streaming/)
             "ts_create_append", "ts_compact", "ts_upsert",
@@ -93,7 +95,7 @@ def _load_all() -> None:
             "join_broadcast", "join_shuffle", "join_salted",
             "join_bucketed", "join_multi", "join_left", "join_full",
             "join_semi", "join_anti", "agg_pricing_summary",
-            "agg_distinct", "agg_pivot", "agg_percentiles",
+            "agg_distinct", "agg_pivot",
         ]
     )
 

@@ -2883,6 +2883,101 @@ def join_asof_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+_ASOF_MULTI_STAGED: dict = {}
+
+
+def _asof_multi_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage join_asof_multi's label + both feature sources as ONE
+    bucketed-sorted relation once per (app, sf) — see
+    operators/asof.py::stage_asof_multi_layout."""
+    import uuid
+
+    from tstables_spark.operators.asof import stage_asof_multi_layout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ASOF_MULTI_STAGED:
+        tag = "asofm_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix="asof_multi_presorted_")
+        ev = load(spark, sf_dir, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        orders = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(
+                F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+            )
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("last_purchase_value"))
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                "last_purchase_value",
+            )
+        )
+        stage_asof_multi_layout(
+            clicks,
+            [
+                (orders, "o_orderdate", "o_custkey", ["last_order_price"]),
+                (purchases, "p_ts", "p_user", ["last_purchase_value"]),
+            ],
+            left_on="ts",
+            left_by="user_id",
+            table_name=tag,
+            path=f"{base}/t",
+            num_buckets=8,
+        )
+        _ASOF_MULTI_STAGED[key] = tag
+    return _ASOF_MULTI_STAGED[key]
+
+
+@query(
+    "join_asof_multi_presorted",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    o AS (SELECT o_custkey, o_orderdate,
+                 max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS last_order_price
+          FROM orders GROUP BY o_custkey, o_orderdate),
+    p AS (SELECT user_id, ts, arg_max(value, event_id) AS last_purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, c.ts, o.last_order_price, p.last_purchase_value
+    FROM c
+    ASOF LEFT JOIN o ON c.user_id = o.o_custkey AND c.ts >= o.o_orderdate
+    ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_multi_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_asof_multi through the ONE-TABLE pre-sorted bucket layout:
+    the label rows and BOTH feature sources are staged together, each
+    source's payload in its own nullable carry column, so the
+    point-in-time retrieval plans scan -> ONE Window (all N running
+    carries share the claimed bucket distribution and per-bucket sort)
+    -> filter — zero Exchange and zero Sort where the chained shape
+    pays N shuffles + N sorts (operators/asof.py::
+    stage_asof_multi_layout, plan pinned in tests/test_operators.py).
+    Same oracle and same result as join_asof_multi; the driver check
+    proves the N-source layout path end-to-end."""
+    t = _asof_multi_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_multi_presorted
+
+    # Same query-boundary re-assert rationale as join_asof_presorted.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_multi_presorted(
+        spark,
+        t,
+        ["event_id", "user_id", "ts"],
+        [["last_order_price"], ["last_purchase_value"]],
+    ).select(
+        "event_id", "user_id", "ts", "last_order_price", "last_purchase_value"
+    )
+
+
 @query(
     "ts_read_at",
     oracle="""
