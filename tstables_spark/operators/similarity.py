@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 DIM = 64  # embeddings fixture dimension; callers pass dim= to override
@@ -456,6 +457,61 @@ def ivf_topk_kmeans(
     return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
 
 
+def _ivf_probes(
+    cells: DataFrame,
+    cents: DataFrame,
+    query_pred: Column,
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest centroids: (qid, qv, qn2, cell)
+    — the probe relation both the scorer and the candidate-count
+    diagnostic join against."""
+    from pyspark.sql import Window as W
+
+    q = cells.where(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__cos", _dot("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2"))
+    )
+    probe_w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), "cell")
+    return (
+        qc.withColumn("__r", F.row_number().over(probe_w))
+        .where(F.col("__r") <= n_probe)
+        .select("qid", "qv", "qn2", "cell")
+    )
+
+
+def ivf_candidate_counts(
+    emb: DataFrame,
+    query_pred: Column,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diagnostic for the IVF gate: per-query CANDIDATE-SET SIZE — the
+    number of corpus vectors the query actually scores (members of its
+    probed cells, self excluded). Recall@k tolerance alone can absorb a
+    silent bucketing regression in either direction (all vectors in
+    one cell → recall 1.0 but brute-force cost; near-empty probes →
+    recall still passable on an easy corpus); the candidate count is
+    the quantity that distinguishes them, expected ≈ |corpus| *
+    n_probe / n_cells. Same ivf_assign + _ivf_probes path the real
+    query uses."""
+    cells, cents = ivf_assign(emb, n_cells, id_col)
+    probes = _ivf_probes(cells, cents, query_pred, n_probe, id_col).select(
+        "qid", "cell"
+    )
+    c = cells.select(F.col(id_col).alias("nid"), "cell")
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+
+
 def _ivf_probe_topk(
     cells: DataFrame,
     cents: DataFrame,
@@ -467,21 +523,7 @@ def _ivf_probe_topk(
     """Shared IVF probe + score: each query scores only the members of
     its ``n_probe`` nearest cells (broadcast probes → equi-join on
     cell → per-query rank)."""
-    q = cells.where(query_pred).select(
-        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
-    )
-    # each query's n_probe nearest centroids
-    from pyspark.sql import Window as W
-
-    qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos", _dot("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2"))
-    )
-    probe_w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), "cell")
-    probes = (
-        qc.withColumn("__r", F.row_number().over(probe_w))
-        .where(F.col("__r") <= n_probe)
-        .select("qid", "qv", "qn2", "cell")
-    )
+    probes = _ivf_probes(cells, cents, query_pred, n_probe, id_col)
     c = cells.select(
         F.col(id_col).alias("nid"), F.col("v").alias("cv2"), F.col("n2").alias("cn22"), "cell"
     )
@@ -496,6 +538,74 @@ def _ivf_probe_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def _lsh_pairs(
+    emb: DataFrame,
+    query_pred: Column,
+    planes: int,
+    n_tables: int,
+    probe_bits: int,
+    id_col: str,
+) -> DataFrame:
+    """The raw LSH collision relation: every (query, corpus) row pair
+    sharing a (table, bucket), self excluded, one row per collision
+    (NOT deduped — ``lsh_topk`` dedups after projecting the cosine;
+    ``lsh_candidate_counts`` dedups on (qid, nid)). Carries qid/qv/qn2
+    and nid/cv/cn2 so callers can score or count."""
+    b = _lsh_scan(emb, planes, n_tables, DIM, id_col)
+    c = b.select(
+        F.col(id_col).alias("nid"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    masks = [0] + ([1 << j for j in range(planes)] if probe_bits >= 1 else [])
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.col("buckets")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
+            )
+            for t in range(n_tables)
+            for m in masks
+        ]
+    )
+    q = (
+        _lsh_scan(emb.where(query_pred), planes, n_tables, DIM, id_col)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("qn2"),
+            F.explode(probe_structs).alias("pb"),
+        )
+        .select("qid", "qv", "qn2", F.col("pb.tbl").alias("tbl"), F.col("pb.bucket").alias("bucket"))
+    )
+    return c.join(F.broadcast(q), ["tbl", "bucket"]).where(
+        F.col("qid") != F.col("nid")
+    )
+
+
+def lsh_candidate_counts(
+    emb: DataFrame,
+    query_pred: Column,
+    planes: int = 6,
+    n_tables: int = 8,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diagnostic for the LSH gate: per-query DISTINCT candidate count
+    (corpus vectors sharing any probed bucket). Same rationale as
+    ``ivf_candidate_counts`` — recall tolerance can absorb a bucketing
+    regression in either direction; the candidate count is what tells
+    selective-and-accurate apart from accidentally-brute-force."""
+    return (
+        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col)
+        .select("qid", "nid")
+        .distinct()
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_candidates"))
     )
 
 
@@ -533,39 +643,10 @@ def lsh_topk(
     the ``_lsh_scan`` kernel (one Arrow-batched pass; the equivalent
     column-expression tree falls out of codegen and runs ~10x slower —
     see its docstring)."""
-    b = _lsh_scan(emb, planes, n_tables, DIM, id_col)
-    c = b.select(
-        F.col(id_col).alias("nid"),
-        F.col("v").alias("cv"),
-        F.col("n2").alias("cn2"),
-        F.posexplode("buckets").alias("tbl", "bucket"),
-    )
-    masks = [0] + ([1 << j for j in range(planes)] if probe_bits >= 1 else [])
-    probe_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.col("buckets")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
-            )
-            for t in range(n_tables)
-            for m in masks
-        ]
-    )
-    q = (
-        _lsh_scan(emb.where(query_pred), planes, n_tables, DIM, id_col)
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("n2").alias("qn2"),
-            F.explode(probe_structs).alias("pb"),
-        )
-        .select("qid", "qv", "qn2", F.col("pb.tbl").alias("tbl"), F.col("pb.bucket").alias("bucket"))
-    )
     dot = _dot("qv", "cv")
     cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .where(F.col("qid") != F.col("nid"))
+        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col)
         .select("qid", "nid", cos.alias("cosine"))
         # a pair can collide in several tables; dedup the 3-column
         # projection (cosine is identical across duplicates) so the

@@ -85,8 +85,9 @@ def _load_all() -> None:
             "ts_create_append", "ts_compact", "ts_upsert",
             "ts_time_travel", "ts_retention_purge", "ts_catalog",
             "ts_multi_series_align", "stream_ingest", "stream_upsert",
-            # (c) re-checks: distributed_cumsum consumers changed r8
-            "drift_ks_test", "pack_sequences",
+            # (c) re-checks: distributed_cumsum consumers changed r8;
+            # sim_recall gates the IVF/LSH paths refactored r8
+            "drift_ks_test", "pack_sequences", "sim_recall",
             # (d) oldest-evidence backfill: r1 scalar/UDF tail
             "fn_string", "fn_date", "fn_math", "fn_array", "fn_map",
             "fn_json", "udf_scalar_pandas", "udaf_grouped_agg",
@@ -95,7 +96,7 @@ def _load_all() -> None:
             "join_broadcast", "join_shuffle", "join_salted",
             "join_bucketed", "join_multi", "join_left", "join_full",
             "join_semi", "join_anti", "agg_pricing_summary",
-            "agg_distinct", "agg_pivot",
+            "agg_distinct",
         ]
     )
 
