@@ -853,6 +853,41 @@ def test_distributed_cumsum_matches_global_window(spark):
         assert got == want, P
 
 
+def test_bloom_words_merge_and_membership(spark):
+    """The Bloom relation's two contracts: (a) MERGE — the filter over
+    A ∪ B equals the bit_or merge of the per-shard filters (the
+    property stream_bloom and shard-parallel builds ride on); (b) NO
+    FALSE NEGATIVES — every inserted key probes positive."""
+    from tstables_spark.plans._portable_sql import (
+        _BLOOM_K, _BLOOM_M, _bloom_words, _cms_bucket,
+    )
+
+    a = spark.createDataFrame([(f"key{i}",) for i in range(300)], "key string")
+    b = spark.createDataFrame([(f"other{i}",) for i in range(200)], "key string")
+    whole = {(r["word_idx"], r["word"])
+             for r in _bloom_words(a.unionAll(b)).collect()}
+    fa = _bloom_words(a).withColumnRenamed("word", "wa")
+    fb = _bloom_words(b).withColumnRenamed("word", "wb")
+    merged = {
+        (r["word_idx"], (r["wa"] or 0) | (r["wb"] or 0))
+        for r in fa.join(fb, "word_idx", "full").collect()
+    }
+    assert merged == whole
+    # every inserted key's K bits are set
+    words = {r["word_idx"]: r["word"] for r in _bloom_words(a).collect()}
+    probes = a.select(
+        "key",
+        *[
+            _cms_bucket(F.col("key"), r, _BLOOM_M).cast("int").alias(f"b{r}")
+            for r in range(_BLOOM_K)
+        ],
+    ).collect()
+    for row in probes:
+        for r in range(_BLOOM_K):
+            bit = row[f"b{r}"]
+            assert words.get(bit >> 5, 0) & (1 << (bit & 31)), (row["key"], bit)
+
+
 def test_asof_multi_presorted_matches_chained(spark, tmp_path):
     """The one-table N-source layout must reproduce the chained
     asof_join composition exactly, and its read plan must be scan ->

@@ -70,6 +70,11 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     splits and this is a no-op (the branch never fires); when it does
     fire it shuffles only the slim (id, text) projection — bytes the
     immediately-following wide stage would move anyway."""
+    if df.isStreaming:
+        # No batch RDD to inspect, and micro-batch input is already
+        # split by maxFilesPerTrigger; let the stream pass through
+        # (stream_bloom shingles the document stream through here).
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)

@@ -80,6 +80,7 @@ def _load_all() -> None:
             "mix_temperature", "doc_dup_inflation", "ts_read_at",
             # (b) added r8, never checked
             "join_asof_multi_presorted",
+            "agg_bloom_sketch", "dedup_bloom_probe", "stream_bloom",
             # (c) re-checks: core-lifecycle hardening landed after these
             # queries' last green rows (tstable.py / streaming/)
             "ts_create_append", "ts_compact", "ts_upsert",
@@ -95,8 +96,7 @@ def _load_all() -> None:
             "scan_parquet", "scan_csv", "scan_json", "project_filter",
             "join_broadcast", "join_shuffle", "join_salted",
             "join_bucketed", "join_multi", "join_left", "join_full",
-            "join_semi", "join_anti", "agg_pricing_summary",
-            "agg_distinct",
+            "join_semi",
         ]
     )
 

@@ -74,6 +74,64 @@ def _cms_cells(tok: DataFrame, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH)
     )
 
 
+_BLOOM_K, _BLOOM_M = 5, 1 << 20  # 5 seeded hashes into a 2^20-bit space
+
+
+def _bloom_words(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """The packed Bloom-filter relation ``(word_idx, word)``: each key
+    sets ``_BLOOM_K`` seeded-md5 bits (the SAME ``_cms_bucket`` hash
+    family the count-min sketch uses, width ``_BLOOM_M``) in a
+    2^20-bit space stored as 32-bit words — one explode + a single
+    partial+final ``bit_or`` aggregate bounded at M/32 = 32768 output
+    rows regardless of corpus size. 32-bit words inside BIGINTs keep
+    every mask positive on both engines (a 64-bit word's top bit would
+    go sign-negative in Spark and overflow DuckDB's ``<<``).
+
+    ``bit_or`` is the merge monoid: filters from corpus shards merge by
+    the very same aggregate, so ONE definition serves the batch build,
+    incremental union, the probe side's bit computation, and the
+    streaming maintainer (``stream_bloom``). Duplicate keys are
+    harmless (insertion is idempotent), so callers need not pay a
+    distinct shuffle before building."""
+    fan = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    _cms_bucket(F.col(key_col), r, _BLOOM_M).cast("int")
+                    for r in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit")
+    )
+    return (
+        fan.select(
+            F.shiftright("bit", 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit % 32)").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def _bloom_bits_sql(keys_cte: str, key_col: str = "key") -> str:
+    """DuckDB twin of the per-key bit fanout: a UNION ALL of the
+    ``_BLOOM_K`` seeded md5 bit positions over ``keys_cte``."""
+    return "\n      UNION ALL ".join(
+        f"SELECT ('0x' || substr(md5('{r}:' || {key_col}), 1, 15))::BIGINT "
+        f"% {_BLOOM_M} AS bit FROM {keys_cte}"
+        for r in range(_BLOOM_K)
+    )
+
+
+def _bloom_words_sql(keys_cte: str, key_col: str = "key") -> str:
+    """DuckDB twin of :func:`_bloom_words` (same seeds, same packing)."""
+    return f"""(
+      SELECT CAST(bit // 32 AS INT) AS word_idx,
+             CAST(bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS BIGINT) AS word
+      FROM ({_bloom_bits_sql(keys_cte, key_col)})
+      GROUP BY word_idx)"""
+
+
 def _cms_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> str:
     rows = "\n      UNION ALL ".join(
         f"SELECT {r} AS sketch_row, "

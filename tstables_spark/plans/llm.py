@@ -35,7 +35,11 @@ from tstables_spark.operators.similarity import (
     lsh_topk,
 )
 from tstables_spark.plans._portable_sql import (
+    _BLOOM_K,
+    _BLOOM_M,
     _CMS_DEPTH,
+    _bloom_words,
+    _bloom_words_sql,
     _cms_bucket,
     _cms_cells,
     _cms_oracle,
@@ -1075,3 +1079,196 @@ def agg_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token", "freq", "est", (F.col("est") >= F.col("freq")).alias("overestimate_ok")
         )
     )
+
+
+# -- Bloom-filter membership lifecycle --------------------------------------
+# The set-membership companion to the CMS frequency sketch: 5-gram
+# shingles of the held-in corpus (doc_id % 10 != 0) populate a 2^20-bit
+# Bloom filter; held-out docs probe it — the decontamination /
+# have-we-seen-this-before shape at corpus scale. Shares the seeded-md5
+# hash family (_cms_bucket) with the CMS, width _BLOOM_M, and the bit
+# packing has exactly ONE definition (_bloom_words / _bloom_words_sql)
+# across build, probe, and the streaming maintainer.
+_GRAM5_CTES = """
+    toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks),
+    g AS (SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                      || ' ' || t[i+4] AS gram
+          FROM idx)"""
+
+
+@query(
+    "agg_bloom_sketch",
+    oracle=f"""
+    WITH {_GRAM5_CTES},
+    refg AS (SELECT gram AS key FROM g WHERE doc_id % 10 <> 0)
+    SELECT word_idx, word FROM {_bloom_words_sql("refg", "key")} w
+    """,
+)
+def agg_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the reference Bloom filter: every 5-gram shingle of the
+    held-in docs sets _BLOOM_K seeded-md5 bits in a 2^20-bit space,
+    packed as (word_idx, bit_or-of-32-bit-words) — ONE explode feeding
+    a single partial+final bit_or aggregate, output bounded at
+    M/32 = 32768 rows regardless of corpus size. bit_or is the merge:
+    shard filters union by this same aggregate, which is what makes
+    the filter maintainable incrementally (stream_bloom) and
+    distributable (build per-shard, merge bounded summaries). The
+    oracle rebuilds the identical words in DuckDB — the hash match
+    proves both engines hold the filter BIT FOR BIT, which is what the
+    probe query's no-false-negative contract rides on."""
+    from tstables_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    ref = shingles(d.where(F.col("doc_id") % 10 != 0), n=5)
+    return _bloom_words(ref, "shingle").select(
+        F.col("word_idx").cast("int").alias("word_idx"),
+        F.col("word").cast("long").alias("word"),
+    )
+
+
+@query(
+    "dedup_bloom_probe",
+    oracle=f"""
+    WITH {_GRAM5_CTES},
+    refg AS (SELECT gram AS key FROM g WHERE doc_id % 10 <> 0),
+    w AS (SELECT * FROM {_bloom_words_sql("refg", "key")} t),
+    probe AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0),
+    refk AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+    pm AS (SELECT p.doc_id, p.gram, r.gram IS NOT NULL AS member
+           FROM probe p LEFT JOIN refk r ON p.gram = r.gram),
+    fan AS (
+      SELECT doc_id, gram, member,
+             ('0x' || substr(md5(r.r || ':' || gram), 1, 15))::BIGINT
+               % {_BLOOM_M} AS bit
+      FROM pm, (SELECT unnest(range({_BLOOM_K})) AS r) r),
+    per_gram AS (
+      SELECT f.doc_id, f.gram, f.member,
+             bool_and(coalesce(
+               (w.word >> CAST(f.bit % 32 AS INT)) & 1 = 1, false)) AS hit
+      FROM fan f LEFT JOIN w ON w.word_idx = CAST(f.bit // 32 AS INT)
+      GROUP BY f.doc_id, f.gram, f.member)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hits,
+           CAST(count(CASE WHEN member THEN 1 END) AS BIGINT) AS n_members,
+           CAST(count(CASE WHEN hit AND NOT member THEN 1 END) AS BIGINT)
+             AS n_false_pos,
+           bool_and(hit OR NOT member) AS no_false_negative
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the reference Bloom filter with the held-out docs' 5-grams
+    — the decontamination membership check. Per doc: how many of its
+    shingles the filter claims to have seen (n_hits), the exact truth
+    (n_members, from a real anti-joinable membership join — the audit
+    this query exists to demonstrate), the false positives the filter's
+    load factor implies, and the filter's DEFINING guarantee surfaced
+    as a checked boolean: no_false_negative (a Bloom filter may
+    overclaim, it must never underclaim). Because both engines hold
+    bit-identical filters (agg_bloom_sketch), even the false-positive
+    SET is deterministic — the driver hash checks it exactly, not just
+    within tolerance.
+
+    Scale shape: the filter is a bounded broadcast (≤32768 rows — at
+    100 TB the filter side stays exactly this size; only its load
+    factor, set by _BLOOM_M, changes), the probe fanout is K rows per
+    shingle into that broadcast join, and the per-gram bool_and +
+    per-doc counts are two partial-agg reductions. The exact-membership
+    join (shingle-keyed shuffle of the distinct reference grams) is the
+    audit half; a production decontamination pass at 100 TB drops it
+    and keeps only the broadcast probe — which is the point of the
+    sketch."""
+    from tstables_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    ref = shingles(d.where(F.col("doc_id") % 10 != 0), n=5)
+    words = _bloom_words(ref, "shingle")
+    probe = shingles(d.where(F.col("doc_id") % 10 == 0), n=5)
+    refk = ref.select("shingle").distinct()
+    pm = (
+        probe.join(refk.withColumn("__m", F.lit(True)), "shingle", "left")
+        .select(
+            "doc_id", "shingle", F.coalesce("__m", F.lit(False)).alias("member")
+        )
+    )
+    fan = pm.select(
+        "doc_id",
+        "shingle",
+        "member",
+        F.explode(
+            F.array(
+                *[
+                    _cms_bucket(F.col("shingle"), r, _BLOOM_M).cast("int")
+                    for r in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    per_gram = (
+        fan.withColumn("word_idx", F.shiftright("bit", 5))
+        .join(F.broadcast(words), "word_idx", "left")
+        .groupBy("doc_id", "shingle", "member")
+        .agg(
+            F.bool_and(
+                F.coalesce(
+                    F.expr("(shiftright(word, CAST(bit % 32 AS INT)) & 1) = 1"),
+                    F.lit(False),
+                )
+            ).alias("hit")
+        )
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_if("hit").alias("n_hits"),
+        F.count_if("member").alias("n_members"),
+        F.count_if(F.col("hit") & ~F.col("member")).alias("n_false_pos"),
+        F.bool_and(F.col("hit") | ~F.col("member")).alias("no_false_negative"),
+    )
+
+
+@query(
+    "stream_bloom",
+    oracle=f"""
+    WITH {_GRAM5_CTES},
+    allg AS (SELECT gram AS key FROM g)
+    SELECT word_idx, word FROM {_bloom_words_sql("allg", "key")} w
+    """,
+)
+def stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter maintained INCREMENTALLY by a streaming
+    aggregation over the document stream: each micro-batch's word
+    masks fold into the running state by bit_or — the same merge
+    operation agg_bloom_sketch's docstring promises — and the oracle
+    is the BATCH filter over the same corpus (all docs), so the hash
+    match proves stream-merged == batch-built bit for bit. State is
+    bounded at M/32 cells regardless of stream length — the entire
+    point of sketching membership for an unbounded dedup frontier
+    (dedup_incremental's exact bipartite check, with the old side
+    compressed to 32 KB of bits)."""
+    from tstables_spark.operators.dedup import shingles
+
+    src = _read_stream_docs(spark, sf_dir)
+    grams = shingles(src, n=5)
+    out = _run_stream_to_memory(_bloom_words(grams, "shingle"), "complete")
+    return out.select(
+        F.col("word_idx").cast("int").alias("word_idx"),
+        F.col("word").cast("long").alias("word"),
+    )
+
+
+def _read_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (the streaming_q._read_stream
+    shape, for this module's streaming maintainer)."""
+    from tstables_spark.plans.streaming_q import _read_stream
+
+    return _read_stream(spark, sf_dir, "documents")
+
+
+def _run_stream_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    from tstables_spark.plans.streaming_q import _run_to_memory
+
+    return _run_to_memory(df, mode)
