@@ -1421,3 +1421,73 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             (EXTRACT(EPOCH FROM ts) - 1704067200) / 3600 AS x,
+             value AS y
+      FROM events),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             {sql_sum('x')} AS sx, {sql_sum('y')} AS sy,
+             {sql_sum('x * x')} AS sxx, {sql_sum('x * y')} AS sxy,
+             {sql_sum('y * y')} AS syy
+      FROM pts GROUP BY 1)
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM mom
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope per hour, intercept, R²) of event
+    value over time — the drift/trend detector run per segment, and
+    the shape every larger regression reduces to: FIVE moment sums in
+    ONE partial+final hash aggregate, closed-form solve on the tiny
+    grouped result. No gradient loop, no per-row Python — the classic
+    'sufficient statistics beat iteration' pattern that holds at any
+    scale (the moments are the only thing that crosses the shuffle,
+    one row per group).
+
+    Determinism discipline: x is anchored at 2024-01-01 and scaled to
+    hours so x² sums stay far inside DECIMAL(30,6) (raw epoch seconds
+    squared would near the precision ceiling at corpus scale — at
+    100 TB, re-anchor per partition-epoch the same way); all five
+    moments are exact decimal sums, the closed-form division runs on
+    identical doubles in both engines, and the published coefficients
+    round to 6dp."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(1_000_000.0) - F.lit(1_704_067_200.0)) / F.lit(
+        3600.0
+    )
+    pts = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    mom = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact_sum("x").alias("sx"),
+        exact_sum("y").alias("sy"),
+        exact_sum(F.col("x") * F.col("x")).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y")).alias("sxy"),
+        exact_sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num * num / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

@@ -3008,3 +3008,153 @@ def ts_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.read_at(
         datetime(2024, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
+             CAST(FLOOR(CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT) AS m_micro
+      FROM events GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT event_type, h, hod, m_micro,
+             SUM(m_micro) OVER w AS wsum,
+             COUNT(*) OVER w AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    det AS (
+      SELECT event_type, hod,
+             m_micro - CAST(FLOOR(wsum / 25) AS BIGINT) AS d_micro
+      FROM tr WHERE wn = 25),
+    raw AS (
+      SELECT event_type, hod, COUNT(*) AS n_obs,
+             CAST(FLOOR(SUM(d_micro) / COUNT(*)) AS BIGINT) AS s_micro
+      FROM det GROUP BY 1, 2),
+    ctr AS (
+      SELECT event_type,
+             CAST(FLOOR(SUM(s_micro) / COUNT(*)) AS BIGINT) AS m_micro
+      FROM raw GROUP BY 1)
+    SELECT r.event_type, r.hod, r.n_obs,
+           r.s_micro - c.m_micro AS seasonal_micro
+    FROM raw r JOIN ctr c ON r.event_type = c.event_type
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the window-expressible
+    half: hourly means per event_type -> centered 25-hour moving
+    average as the TREND -> detrended values -> per hour-of-day mean
+    as the SEASONAL index, centered to sum to ~zero per type. This is
+    the step beyond ts_seasonal_profile's raw calendar averages: the
+    profile conflates trend with seasonality, the decomposition
+    removes the trend first (the textbook `decompose()` /
+    STL-lite shape, minus STL's loess robustness loop which is
+    sequential by nature).
+
+    Determinism discipline: the hourly mean is floored to FIXED-POINT
+    micro-units immediately after the one exact decimal sum, and
+    EVERYTHING downstream — the 25-hour window sum, the detrend
+    subtraction, the seasonal and centering means — is exact BIGINT
+    arithmetic (the graph_pagerank/ts_robust_zscore discipline).
+    floor() of an identical IEEE double is deterministic across
+    engines where round()/decimal casts are NOT: computed ratios are
+    dyadic (e.g. 205/3200 = .0640625) and land exactly on decimal
+    half boundaries, where Spark's HALF_UP disagrees with DuckDB's
+    banker's rounding — observed twice at sf0.1 before this shape,
+    including one divergence inside the per-row double->DECIMAL cast
+    of a windowed decimal sum. Integers cannot diverge. Trend rows
+    require the full 25-row frame so partial edge windows never enter
+    the seasonal estimate.
+
+    Scale shape: the hourly pre-aggregate collapses the raw scan to
+    (types x hours) rows BEFORE any window runs; the trend window
+    partitions by event_type over that bounded domain — never a
+    global single-task window — and the seasonal/centering aggs are
+    partial-agg reductions over type x 24 rows."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.floor(exact_sum("value") * F.lit(1_000_000) / F.count("*"))
+        .cast("long")
+        .alias("m_micro"),
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "event_type",
+        "hod",
+        "m_micro",
+        F.sum("m_micro").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wn"),
+    )
+    det = tr.where(F.col("wn") == 25).select(
+        "event_type",
+        "hod",
+        (F.col("m_micro") - F.floor(F.col("wsum") / F.lit(25)).cast("long")).alias(
+            "d_micro"
+        ),
+    )
+    raw = det.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"),
+        F.floor(F.sum("d_micro") / F.count("*")).cast("long").alias("s_micro"),
+    )
+    ctr = raw.groupBy("event_type").agg(
+        F.floor(F.sum("s_micro") / F.count("*")).cast("long").alias("m_micro")
+    )
+    return raw.join(F.broadcast(ctr), "event_type").select(
+        "event_type",
+        "hod",
+        "n_obs",
+        (F.col("s_micro") - F.col("m_micro")).alias("seasonal_micro"),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, value,
+           ntile(4) OVER w AS quartile,
+           CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT)
+             AS pct_rank_ppm,
+           CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm
+    FROM events
+    WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+                 ORDER BY value, event_id)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-distribution window family in one pass: daily per-type
+    quartile bucket (ntile), percentile position (percent_rank) and
+    cumulative distribution (cume_dist) of each event's value — the
+    'where does today's reading sit in today's distribution' monitor.
+    Ties broken by event_id so ntile's row assignment is total-order
+    deterministic on both engines; the two ratio outputs publish as
+    FLOORED parts-per-million (both engines floor the same IEEE
+    division — rank ratios like 205/3200 land exactly on .5 decimal
+    boundaries where Spark's HALF_UP round disagrees with DuckDB's
+    banker's; observed before the switch).
+
+    Scale shape: ONE shuffle on (event_type, date) serves all three
+    functions (same window spec -> one physical Window), and the
+    partition key keeps every window calendar-bounded — a day of one
+    type's events — rather than a whole-type global sort; the daily
+    distribution snapshot is also what you actually monitor. For a
+    corpus-wide (unbounded-partition) ranking, the histogram +
+    distributed_cumsum route (ts_robust_zscore's shape) replaces the
+    sort-based window."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type", F.to_date("ts")).orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("d"),
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1_000_000).alias("pct_rank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1_000_000).alias("cume_ppm"),
+    )
