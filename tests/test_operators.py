@@ -1023,3 +1023,50 @@ def test_asof_presorted_matches_union_window(spark, tmp_path):
     assert re.search(
         r"\(\d+\) Sort ", pre_bare._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_bpe_train_matches_reference(spark):
+    """Pin the BPE trainer's greedy semantics against an independent
+    plain-Python reference: left-to-right NON-OVERLAPPING merge
+    ('aaa' + merge(a,a) -> ('aa','a'), never ('a','aa')), frequency
+    weighting, and the (cnt DESC, pair ASC) tie-break."""
+    from tstables_spark.operators.bpe import bpe_train
+
+    corpus = [("aaa", 10), ("aab", 5), ("bab", 3), ("abab", 2), ("z", 7)]
+
+    def ref(n):
+        state = [(list(w), f) for w, f in corpus]
+        out = []
+        for r in range(1, n + 1):
+            counts = {}
+            for syms, f in state:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, f"{a} {b}", c))
+            nxt = []
+            for syms, f in state:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt.append((res, f))
+            state = nxt
+        return out
+
+    words = spark.createDataFrame(corpus, "w string, freq long")
+    got = [
+        (r["merge_rank"], r["pair"], r["cnt"])
+        for r in bpe_train(words, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == ref(6), (got, ref(6))
+    # the overlap case is genuinely exercised: first merge must be (a,a)
+    # from 'aaa' (2 overlapping pairs -> weight 2*10) and 'aab'
+    assert got[0][1] == "a a" and got[0][2] == 25

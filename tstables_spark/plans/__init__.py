@@ -33,10 +33,10 @@ def _load_all() -> None:
     # ROUND-8 verification window (first 50 = the harness's correctness
     # window). Priority per the standing rotation policy:
     # (a) the reference-identity pair, pinned permanently;
-    # (b) the TWELVE queries added in r7 plus the SEVEN added in r8 —
+    # (b) the TWELVE queries added in r7 plus the EIGHT added in r8 —
     #     local-parity green at three scales, never driver-windowed;
     #     their first driver evidence is this round's headline
-    #     (-> 237/241 ever-green, the max possible given the 4
+    #     (-> 238/242 ever-green, the max possible given the 4
     #     rows-only-by-design gates);
     # (c) re-check slots for every query whose implementing module
     #     changed since its last green row: the r7 core-lifecycle
@@ -83,7 +83,7 @@ def _load_all() -> None:
             "join_asof_multi_presorted",
             "agg_bloom_sketch", "dedup_bloom_probe", "stream_bloom",
             "ts_seasonal_decompose", "agg_linear_regression",
-            "win_distribution",
+            "win_distribution", "bpe_train_merges",
             # (c) re-checks: core-lifecycle hardening landed after these
             # queries' last green rows (tstable.py / streaming/)
             "ts_create_append", "ts_compact", "ts_upsert",
@@ -98,7 +98,7 @@ def _load_all() -> None:
             # (d) oldest-evidence backfill: r2 relational head
             "scan_parquet", "scan_csv", "scan_json", "project_filter",
             "join_broadcast", "join_shuffle", "join_salted",
-            "join_bucketed", "join_multi",
+            "join_bucketed",
         ]
     )
 

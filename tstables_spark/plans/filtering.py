@@ -488,3 +488,81 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("n_bigrams").cast("double"))
         ).alias("score"),
     )
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled-SQL twin of operators/bpe.py::bpe_train for ``n``
+    rounds: each round re-derives pair counts from the previous symbol
+    state, picks the (cnt DESC, pair ASC) argmax, and applies the merge
+    with the same single ``replace`` call the engine uses (the wrapped
+    '|sym|' representation makes string replace exactly BPE's greedy
+    left-to-right non-overlapping merge)."""
+    ctes = [
+        """words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY w)""",
+        r"""s0 AS (
+      SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, freq FROM words)""",
+    ]
+    for r in range(1, n + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+      SELECT arr[i] || ' ' || arr[i + 1] AS pair,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT arr, freq, unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM (SELECT str_split(substr(s, 2, len(s) - 2), '||') AS arr,
+                         freq
+                  FROM {prev}) a
+            WHERE len(arr) >= 2) t
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+      SELECT {r} AS merge_rank, pair, cnt FROM p{r}
+      ORDER BY cnt DESC, pair LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+      SELECT replace(s,
+               '|' || split_part(m.pair, ' ', 1) || '||'
+                   || split_part(m.pair, ' ', 2) || '|',
+               '|' || replace(m.pair, ' ', '') || '|') AS s, freq
+      FROM {prev}, m{r} m)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INT) AS merge_rank, pair, cnt FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(8))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed — the iterated trainer
+    bpe_pair_counts promises: 8 greedy merge rounds over the (word,
+    freq) table, emitting the merge table (rank, pair, count) in
+    training order with deterministic (cnt DESC, pair ASC) tie-breaks.
+
+    Scale shape (operators/bpe.py): training never re-touches the
+    corpus after the one word-count pass — every round is a single
+    pair-keyed partial+final aggregate over the VOCABULARY-bounded
+    word table plus a one-row argmax collect, and the merge applies as
+    a codegen'd string replace (the '|sym|'-wrapped state makes
+    replace's left-to-right non-overlapping scan exactly BPE's greedy
+    merge semantics). The oracle is the same 8 rounds unrolled as SQL
+    — every round's argmax AND the evolving symbol state are
+    hash-checked end to end, which pins the iteration order, the
+    tie-breaks, and the overlap semantics ('a a a' -> ('aa', 'a')),
+    not just the final counts."""
+    from tstables_spark.operators.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return bpe_train(words, n_merges=8)
