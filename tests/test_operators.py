@@ -1070,3 +1070,32 @@ def test_bpe_train_matches_reference(spark):
     # the overlap case is genuinely exercised: first merge must be (a,a)
     # from 'aaa' (2 overlapping pairs -> weight 2*10) and 'aab'
     assert got[0][1] == "a a" and got[0][2] == 25
+
+
+def test_pca_power_aligns_with_numpy(spark):
+    """The fixed-point power iteration must actually compute PCA: on a
+    corpus with a PLANTED dominant direction (the fixture's random
+    embeddings are near-flat-spectrum, where no small round count can
+    converge), 3 rounds must align with numpy's exact top covariance
+    eigenvector to |cosine| > 0.99 — the SQL-twin hash proves
+    determinism, this proves it is the right linear algebra."""
+    import numpy as np
+    from tstables_spark.plans.ann import _pca_power_fixed
+
+    rng = np.random.RandomState(7)
+    dims, n = 16, 400
+    u = rng.randn(dims)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(n) * 3.0, u) + rng.randn(n, dims) * 0.3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["dim"]: r["component"]
+           for r in _pca_power_fixed(emb, rounds=3, dims=dims).collect()}
+    v = np.array([got[d] for d in range(dims)], dtype=np.float64)
+    v /= np.linalg.norm(v)
+    Xc = X - X.mean(axis=0)
+    _, vecs = np.linalg.eigh(Xc.T @ Xc)
+    top = vecs[:, -1]
+    assert abs(float(v @ top)) > 0.99, abs(float(v @ top))

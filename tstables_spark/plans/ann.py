@@ -440,3 +440,133 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes pair rows)."""
     emb = load(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, block_col="label")
+
+
+def _pca_oracle(rounds: int = 3) -> str:
+    """Unrolled-SQL twin of embed_pca_power: the same fixed-point power
+    iteration, every intermediate either exact integer arithmetic or a
+    correctly-rounded int->double division both engines share."""
+    ctes = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)""",
+        """q AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(FLOOR(v[i] * 1048576) AS BIGINT) AS q
+           FROM e CROSS JOIN unnest(generate_series(1, len(v))) AS u(i))""",
+        """mu AS (SELECT dim, CAST(FLOOR(SUM(q) / COUNT(*)) AS BIGINT) AS m
+           FROM q GROUP BY dim)""",
+        """z AS (SELECT q.vec_id, q.dim, q.q - mu.m AS z
+           FROM q JOIN mu USING (dim))""",
+        """v0 AS (SELECT dim, CAST(1048576 AS BIGINT) AS v FROM mu)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT z.vec_id,
+             CAST(FLOOR(SUM(z.z * v.v) / 1048576) AS BIGINT) AS c
+      FROM z JOIN v{r - 1} v USING (dim) GROUP BY z.vec_id)"""
+        )
+        ctes.append(
+            f"""y{r} AS (
+      SELECT z.dim, CAST(SUM(c.c * z.z) AS BIGINT) AS y
+      FROM z JOIN c{r} c USING (vec_id) GROUP BY z.dim)"""
+        )
+        ctes.append(
+            f"""n{r} AS (SELECT MAX(ABS(y)) AS mx FROM y{r})"""
+        )
+        ctes.append(
+            f"""v{r} AS (
+      SELECT dim, CAST(FLOOR(y / mx * 1048576) AS BIGINT) AS v
+      FROM y{r}, n{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT dim, v AS component FROM v{rounds}"
+    )
+
+
+@query("embed_pca_power", oracle=_pca_oracle(3))
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by POWER
+    ITERATION — the one-pass-per-round building block behind PCA
+    whitening, spectral outlier detection, and low-rank drift monitors
+    at corpus scale. Three rounds of v <- normalize((X-mu)^T (X-mu) v)
+    over the centered corpus, entirely in FIXED POINT (the
+    graph_pagerank discipline, extended to linear algebra): vectors
+    quantize once to 2^20 units (floor of identical IEEE doubles), the
+    per-row projection c_r = z_r . v and the matvec y = sum c_r z_r
+    are exact BIGINT sums, and the only non-integer step — the
+    per-round max-normalization y/max|y| — is a correctly-rounded
+    int->double division both engines perform identically (y can
+    exceed 2^53; the int->double cast rounds, but IDENTICALLY, because
+    it is the same mathematical integer on both sides). The oracle
+    unrolls all three rounds in SQL, hash-checking every round's state
+    transitively through the final component.
+
+    Scale shape: each round is ONE narrow scan computing the row
+    projections against the 64-long LITERAL v (the ivf/PQ codebook
+    pattern — no join, no shuffle for the projection) feeding one
+    dim-keyed partial+final aggregate; only O(dims) numbers reach the
+    driver per round. Rescale shifts are sized for ~1e4 rows x 2^20
+    units (y <= ~5e17); at 1e8+ rows grow the c-shift by log2(N) —
+    the documented knob, same as pagerank's scale choice. Driver-side
+    normalization math is IEEE double, bit-identical to the engines'."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _pca_power_fixed(emb, rounds=3, dims=64)
+
+
+def _pca_power_fixed(emb: DataFrame, rounds: int, dims: int) -> DataFrame:
+    """The fixed-point power iteration over a frame with ``vec_id`` +
+    ``embedding`` (array<float|double>); see embed_pca_power for the
+    determinism and scale arguments. Factored out so tests can drive
+    it with a planted-spectrum corpus (the fixture's random embeddings
+    have a near-flat spectrum where 3 rounds cannot converge)."""
+    import math
+
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576)"
+            " AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    mu_rows = (
+        q.select(F.posexplode("q").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.floor(F.sum("x") / F.count("*")).cast("long").alias("m"))
+        .collect()
+    )
+    mu = [0] * dims
+    for r in mu_rows:
+        mu[r["dim"]] = int(r["m"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    z = q.select(
+        "vec_id",
+        F.zip_with("q", mu_lit, lambda a, b: a - b).alias("z"),
+    ).localCheckpoint(eager=True)
+    v = [1 << 20] * dims
+    for _ in range(rounds):
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        c = F.floor(
+            F.aggregate(
+                F.zip_with("z", v_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(1048576)
+        ).cast("long")
+        y_rows = (
+            z.select(c.alias("c"), F.posexplode("z").alias("dim", "zd"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("c") * F.col("zd")).alias("y"))
+            .collect()
+        )
+        y = [0] * dims
+        for r in y_rows:
+            y[r["dim"]] = int(r["y"])
+        mx = max(abs(t) for t in y)
+        v = [math.floor(t / mx * 1048576) for t in y]
+    return spark.createDataFrame(
+        [(d, int(v[d])) for d in range(dims)], "dim int, component long"
+    )
