@@ -1099,3 +1099,40 @@ def test_pca_power_aligns_with_numpy(spark):
     _, vecs = np.linalg.eigh(Xc.T @ Xc)
     top = vecs[:, -1]
     assert abs(float(v @ top)) > 0.99, abs(float(v @ top))
+
+
+def test_qsketch_bucket_algebra(spark):
+    """Every value must land in a bucket that contains it (lo <= v < hi)
+    whose relative width is <= 1/16 (for v >= 16; exact below), and the
+    bucket id must be monotone in v — the three invariants the
+    quantile-read guarantee (agg_qsketch_quantiles.in_bucket) rests on.
+    Exercised on the power-of-two boundaries where shift arithmetic
+    breaks first."""
+    from tstables_spark.plans._portable_sql import _qsketch_cells
+
+    vals = sorted(
+        {1, 2, 7, 8, 15, 16, 17, 31, 32, 33, 255, 256, 257}
+        | {(1 << k) - 1 for k in range(5, 50, 7)}
+        | {(1 << k) for k in range(5, 50, 7)}
+        | {(1 << k) + 12345 for k in range(15, 50, 7)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        _qsketch_cells(df)
+        .join(df, (df["v"] >= F.col("lo")) & (df["v"] < F.col("hi")))
+        .select("v", "bucket", "lo", "hi")
+        .collect()
+    )
+    # every value found its own bucket (the containment join kept all)
+    assert sorted(r["v"] for r in rows) == vals
+    by_v = {r["v"]: r for r in rows}
+    prev_bucket = -1
+    for v in vals:
+        r = by_v[v]
+        assert r["lo"] <= v < r["hi"]
+        if v >= 16:
+            assert (r["hi"] - r["lo"]) * 16 <= r["lo"], (v, r)
+        else:
+            assert r["hi"] - r["lo"] == 1
+        assert r["bucket"] >= prev_bucket
+        prev_bucket = r["bucket"]

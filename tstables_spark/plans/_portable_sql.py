@@ -132,6 +132,68 @@ def _bloom_words_sql(keys_cte: str, key_col: str = "key") -> str:
       GROUP BY word_idx)"""
 
 
+# Quantile sketch: a DDSketch-shaped log2 histogram with EXACT integer
+# bucketing so build, merge, probe, and the DuckDB twin are all
+# hash-identical — no libm log() anywhere (log's rounding is NOT
+# IEEE-mandated and may differ between the JVM and DuckDB at bucket
+# boundaries). Values are positive BIGINTs (a fixed-point measure such
+# as cents or micro-units); the bucket of v keeps its binary length e
+# and the top _QS_LEAD_BITS bits:
+#   v < 16           -> exact singleton bucket [v, v+1)   (id = v)
+#   v >= 16          -> lead = v >> (e-5)  in [16, 32)
+#                       bucket [lead << (e-5), (lead+1) << (e-5))
+#                       (id = e*32 + lead — monotone in v)
+# Relative bucket width is 1/lead <= 1/16, so any rank statistic read
+# from the histogram is within 6.25% relative error — the same
+# guarantee shape as DDSketch's gamma buckets, but in pure integer
+# arithmetic both engines evaluate bit-identically. Bucket count is
+# bounded at 16 + 59*16 < 1024 for any BIGINT measure, so the sketch
+# relation (one partial+final hash aggregate) is a mergeable
+# constant-size summary: shard sketches merge by summing cnt per
+# bucket, which is the SAME aggregate as the build.
+_QS_LEAD_BITS = 5
+
+
+def _qsketch_cells(vals: DataFrame, v_col: str = "v") -> DataFrame:
+    """The quantile-sketch relation ``(bucket, lo, hi, cnt)`` over a
+    positive-BIGINT measure column: one narrow projection (binary
+    length + shifts, all codegen'd) into a single partial+final hash
+    aggregate bounded at <1024 output rows regardless of input size."""
+    e = f"length(bin({v_col}))"
+    s = f"CAST({e} - 5 AS INT)"
+    lead = f"shiftright({v_col}, {s})"
+    return (
+        vals.selectExpr(
+            f"""CASE WHEN {v_col} < 16 THEN {v_col}
+                ELSE CAST({e} AS BIGINT) * 32 + {lead} END AS bucket""",
+            f"""CASE WHEN {v_col} < 16 THEN {v_col}
+                ELSE shiftleft({lead}, {s}) END AS lo""",
+            f"""CASE WHEN {v_col} < 16 THEN {v_col} + 1
+                ELSE shiftleft({lead} + 1, {s}) END AS hi""",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _qsketch_cells_sql(src_cte: str, v_col: str = "v") -> str:
+    """DuckDB twin of :func:`_qsketch_cells` — same integer bucketing
+    (DuckDB's ``>>``/``<<`` on the same BIGINTs), emitted as a
+    parenthesized relation with columns (bucket, lo, hi, cnt)."""
+    e = f"length(bin({v_col}))"
+    s = f"({e} - 5)"
+    lead = f"({v_col} >> {s})"
+    return f"""(
+      SELECT CAST(CASE WHEN {v_col} < 16 THEN {v_col}
+                  ELSE {e} * 32 + {lead} END AS BIGINT) AS bucket,
+             CAST(CASE WHEN {v_col} < 16 THEN {v_col}
+                  ELSE {lead} << {s} END AS BIGINT) AS lo,
+             CAST(CASE WHEN {v_col} < 16 THEN {v_col} + 1
+                  ELSE ({lead} + 1) << {s} END AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {src_cte} GROUP BY 1, 2, 3)"""
+
+
 def _cms_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> str:
     rows = "\n      UNION ALL ".join(
         f"SELECT {r} AS sketch_row, "

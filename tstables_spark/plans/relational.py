@@ -22,6 +22,7 @@ from tstables_spark.plans._exact import (
     sql_sum_distinct,
 )
 from tstables_spark.operators.skew import salted_join
+from tstables_spark.plans._portable_sql import _qsketch_cells, _qsketch_cells_sql
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load, register_views
 
@@ -1484,6 +1485,134 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias("p50_ok"),
         ((F.col("ap")[1] >= F.col("lo99")) & (F.col("ap")[1] <= F.col("hi99"))).alias("p99_ok"),
+    )
+
+
+_QS_SRC = "(SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)"
+
+
+@query(
+    "agg_qsketch",
+    oracle=f"""
+    SELECT bucket, lo AS lo_cents, hi AS hi_cents, cnt
+    FROM {_qsketch_cells_sql(_QS_SRC)} q
+    """,
+)
+def agg_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch of lineitem prices — the third
+    mergeable summary alongside the CMS (frequency) and Bloom
+    (membership) lifecycles: a DDSketch-shaped log2 histogram whose
+    bucketing is EXACT integer arithmetic (binary length + shifts over
+    cents), so unlike a libm-log gamma bucket both engines place every
+    value in bit-identically the same bucket and the driver hash-checks
+    the whole sketch, not a tolerance gate. See _portable_sql.py for
+    the bucket algebra and the <1024-bucket bound.
+
+    Scale shape: ONE narrow codegen'd projection into one partial+final
+    hash aggregate; output bounded at <1024 rows for any BIGINT measure
+    regardless of input size, and shard sketches merge by the very same
+    per-bucket cnt sum — the monitoring summary you ship from every
+    executor at 100 TB instead of a sort."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.selectExpr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v")
+    sk = _qsketch_cells(cents)
+    return sk.select(
+        "bucket",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@query(
+    "agg_qsketch_quantiles",
+    oracle=f"""
+    WITH src AS (SELECT v FROM {_QS_SRC} s),
+    n AS (SELECT count(*) AS n FROM src),
+    qs AS (SELECT unnest([500000, 900000, 990000, 999000]) AS q_ppm),
+    ranks AS (SELECT q_ppm, n, (n * q_ppm + 999999) // 1000000 AS k
+              FROM qs, n),
+    skc AS (SELECT bucket, lo, hi,
+                   sum(cnt) OVER (ORDER BY bucket) AS cum
+            FROM {_qsketch_cells_sql("src")} sk),
+    est AS (SELECT r.q_ppm, min(s.bucket) AS bucket
+            FROM ranks r JOIN skc s ON s.cum >= r.k GROUP BY r.q_ppm),
+    hist AS (SELECT v, count(*) AS c FROM src GROUP BY v),
+    hc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+    exact AS (SELECT r.q_ppm, min(h.v) AS exact_cents
+              FROM ranks r JOIN hc h ON h.cum >= r.k GROUP BY r.q_ppm)
+    SELECT CAST(r.q_ppm AS BIGINT) AS q_ppm, r.n AS n_rows, r.k AS rank,
+           s.lo AS est_lo_cents, s.hi AS est_hi_cents, x.exact_cents,
+           (x.exact_cents - s.lo) * 1000000 // x.exact_cents AS rel_err_ppm,
+           (s.lo <= x.exact_cents AND x.exact_cents < s.hi) AS in_bucket
+    FROM ranks r
+    JOIN est e ON e.q_ppm = r.q_ppm
+    JOIN skc s ON s.bucket = e.bucket
+    JOIN exact x ON x.q_ppm = r.q_ppm
+    """,
+)
+def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank statistics READ FROM the quantile sketch (p50/p90/p99/p999
+    of lineitem cents), with the DDSketch-style guarantee audited in
+    data: the exact rank-k value must land inside the estimating
+    bucket (in_bucket TRUE), whose relative width is <= 1/16 — so
+    rel_err_ppm (floored ppm distance from the bucket's lower bound)
+    is the checked accuracy story, hash-exact on both engines.
+
+    Scale shape: the sketch side is the bounded <1024-row relation, so
+    its cumulative walk is a window over a CONSTANT domain (the
+    bounded-domain window discipline, same as ts_seasonal_decompose's
+    hourly grid); ranks come from a 4-row literal frame crossed with a
+    1-row count broadcast. The EXACT side (value-keyed histogram +
+    distributed_cumsum) is the audit half a production run drops —
+    same split as dedup_bloom_probe's exact-membership join; its
+    cumulative uses the two-phase range-partitioned prefix sum, never
+    a single-task global window."""
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.selectExpr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v")
+    n = cents.agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [(500000,), (900000,), (990000,), (999000,)], "q_ppm long"
+    )
+    ranks = qs.join(F.broadcast(n)).selectExpr(
+        "q_ppm", "n", "(n * q_ppm + 999999) DIV 1000000 AS k"
+    )
+    skc = _qsketch_cells(cents).withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bucket"))
+    )
+    est = (
+        F.broadcast(ranks)
+        .join(skc, skc["cum"] >= ranks["k"])
+        .groupBy("q_ppm", "n", "k")
+        .agg(F.min(F.struct("bucket", "lo", "hi")).alias("b"))
+        .select("q_ppm", "n", "k", "b.lo", "b.hi")
+    )
+    hist = cents.groupBy("v").agg(F.count("*").alias("c"))
+    hc = distributed_cumsum(hist, ["v"], ["c"])
+    exact = (
+        F.broadcast(ranks.select("q_ppm", "k"))
+        .join(hc, hc["cum_c"] >= F.col("k"))
+        .groupBy("q_ppm")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q_ppm")
+        .select(
+            "q_ppm",
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("rank"),
+            F.col("lo").alias("est_lo_cents"),
+            F.col("hi").alias("est_hi_cents"),
+            "exact_cents",
+            F.expr("(exact_cents - lo) * 1000000 DIV exact_cents").alias(
+                "rel_err_ppm"
+            ),
+            ((F.col("lo") <= F.col("exact_cents")) & (F.col("exact_cents") < F.col("hi"))).alias(
+                "in_bucket"
+            ),
+        )
     )
 
 

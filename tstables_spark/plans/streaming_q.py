@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tstables_spark.plans._exact import sql_sum
-from tstables_spark.plans._portable_sql import _cms_cells, _cms_oracle
+from tstables_spark.plans._portable_sql import (
+    _cms_cells,
+    _cms_oracle,
+    _qsketch_cells,
+    _qsketch_cells_sql,
+)
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.streaming.ingest import ingest_stream
@@ -566,3 +571,39 @@ def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = src.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
     out = _run_to_memory(_cms_cells(tok), "complete")
     return out.select("sketch_row", "bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+@query(
+    "stream_qsketch",
+    oracle=f"""
+    WITH src AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
+    SELECT bucket, lo AS lo_cents, hi AS hi_cents, cnt
+    FROM {_qsketch_cells_sql("src")} q
+    """,
+)
+def stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch maintained INCREMENTALLY by a streaming
+    aggregation over the event stream: each micro-batch's bucket
+    counts fold into the running state by per-bucket addition — the
+    same merge agg_qsketch's docstring promises for shard sketches —
+    and the oracle is the BATCH sketch over the same events, so the
+    hash match proves stream-merged == batch-built bit-for-bit.
+    Completes the streaming-maintainer trio (stream_cms frequency,
+    stream_bloom membership, this one rank statistics); all three
+    exist because their summaries are commutative monoids, which is
+    the only thing Spark's incremental aggregation needs.
+
+    Scale shape: streaming state bounded at <1024 buckets regardless
+    of stream length (_portable_sql.py bucket algebra) — latency
+    percentile monitoring over an unbounded stream in constant
+    memory, read at any trigger by agg_qsketch_quantiles' bounded
+    cumulative walk."""
+    src = _read_stream(spark, sf_dir)
+    cents = src.selectExpr("CAST(FLOOR(value * 100) AS BIGINT) AS v")
+    out = _run_to_memory(_qsketch_cells(cents), "complete")
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
