@@ -446,6 +446,17 @@ def _pca_oracle(rounds: int = 3) -> str:
     """Unrolled-SQL twin of embed_pca_power: the same fixed-point power
     iteration, every intermediate either exact integer arithmetic or a
     correctly-rounded int->double division both engines share."""
+    return (
+        "WITH "
+        + ",\n    ".join(_pca_ctes(rounds))
+        + f"\n    SELECT dim, v AS component FROM v{rounds}"
+    )
+
+
+def _pca_ctes(rounds: int) -> list[str]:
+    """The CTE chain of the unrolled fixed-point power iteration,
+    shared by the component query (embed_pca_power) and the scorers
+    built on its state (embed_spectral_outlier)."""
     ctes = [
         """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)""",
@@ -478,11 +489,7 @@ def _pca_oracle(rounds: int = 3) -> str:
       SELECT dim, CAST(FLOOR(y / mx * 1048576) AS BIGINT) AS v
       FROM y{r}, n{r})"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT dim, v AS component FROM v{rounds}"
-    )
+    return ctes
 
 
 @query("embed_pca_power", oracle=_pca_oracle(3))
@@ -521,6 +528,18 @@ def _pca_power_fixed(emb: DataFrame, rounds: int, dims: int) -> DataFrame:
     determinism and scale arguments. Factored out so tests can drive
     it with a planted-spectrum corpus (the fixture's random embeddings
     have a near-flat spectrum where 3 rounds cannot converge)."""
+    z, v = _pca_power_state(emb, rounds, dims)
+    return emb.sparkSession.createDataFrame(
+        [(d, int(v[d])) for d in range(dims)], "dim int, component long"
+    )
+
+
+def _pca_power_state(emb: DataFrame, rounds: int, dims: int):
+    """Run the iteration and return ``(z, v)``: the centered quantized
+    corpus (vec_id, z array<bigint>) pinned by an eager checkpoint, and
+    the final component as a Python list of 2^20-unit BIGINTs — the
+    state downstream scorers (embed_spectral_outlier) project against
+    as a literal, exactly like the query's own rounds do."""
     import math
 
     q = emb.select(
@@ -530,7 +549,6 @@ def _pca_power_fixed(emb: DataFrame, rounds: int, dims: int) -> DataFrame:
             " AS BIGINT))"
         ).alias("q"),
     ).localCheckpoint(eager=True)
-    spark = emb.sparkSession
     mu_rows = (
         q.select(F.posexplode("q").alias("dim", "x"))
         .groupBy("dim")
@@ -567,6 +585,72 @@ def _pca_power_fixed(emb: DataFrame, rounds: int, dims: int) -> DataFrame:
             y[r["dim"]] = int(r["y"])
         mx = max(abs(t) for t in y)
         v = [math.floor(t / mx * 1048576) for t in y]
-    return spark.createDataFrame(
-        [(d, int(v[d])) for d in range(dims)], "dim int, component long"
+    return z, v
+
+
+def _spectral_outlier_oracle(rounds: int = 3) -> str:
+    """The PCA CTE chain plus per-row scoring: projection onto the
+    final component (scaled back to quant units by the same
+    floor-division the iteration rounds use) and the integer residual
+    norm^2 — identical arithmetic to the Spark side."""
+    ctes = _pca_ctes(rounds)
+    ctes.append(
+        f"""score AS (
+      SELECT z.vec_id,
+             CAST(FLOOR(SUM(z.z * v.v) / 1048576) AS BIGINT) AS proj_q,
+             CAST(SUM(z.z * z.z) AS BIGINT) AS n2
+      FROM z JOIN v{rounds} v USING (dim) GROUP BY z.vec_id)"""
     )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT vec_id, proj_q, n2 - proj_q * proj_q AS resid2
+    FROM score
+    ORDER BY resid2 DESC, vec_id LIMIT 20"""
+    )
+
+
+@query("embed_spectral_outlier", oracle=_spectral_outlier_oracle(3))
+def embed_spectral_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral (reconstruction-error) outliers: the 20 embeddings
+    worst explained by the corpus's dominant principal component —
+    proj_q = floor(z.v / 2^20) (the projection in quant units) and
+    resid2 = ||z||^2 - proj_q^2, the classic low-rank residual that
+    flags vectors pointing AWAY from the corpus's main axis (corrupt
+    embeddings, off-distribution content, modality mixups). Built on
+    embed_pca_power's state — same centered BIGINT corpus, same final
+    component — so every score is exact integer arithmetic and the
+    oracle (the PCA CTE chain plus one scoring CTE) hash-checks the
+    full top-20 including tie order (resid2 DESC, vec_id).
+
+    Scale shape: after the power rounds (see embed_pca_power), scoring
+    is ONE narrow map against the 64-long literal component — no join,
+    no shuffle — feeding TakeOrdered(20): per-partition top-20s reduce
+    on the driver, never a global sort. The early floor-by-2^20 keeps
+    proj_q^2 and ||z||^2 in comparable units within BIGINT range
+    (~6e14 at 2^20 quant x 64 dims), the documented alternative to an
+    overflowing exact-units residual."""
+    emb = load(spark, sf_dir, "embeddings")
+    z, v = _pca_power_state(emb, rounds=3, dims=64)
+    v_lit = F.array(*[F.lit(int(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with("z", v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.zip_with("z", F.col("z"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = z.select(
+        "vec_id",
+        F.floor(dot / F.lit(1048576)).cast("long").alias("proj_q"),
+        n2.alias("n2"),
+    ).select(
+        "vec_id",
+        "proj_q",
+        (F.col("n2") - F.col("proj_q") * F.col("proj_q")).alias("resid2"),
+    )
+    return scored.orderBy(F.desc("resid2"), "vec_id").limit(20)
