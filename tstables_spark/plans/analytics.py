@@ -1491,3 +1491,90 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "assoc_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+               FROM lineitem JOIN part ON p_partkey = l_partkey),
+    n AS (SELECT count(DISTINCT ok) AS n FROM b),
+    ic AS (SELECT item, count(*) AS c FROM b GROUP BY item),
+    p AS (SELECT x.item AS antecedent, y.item AS consequent,
+                 count(*) AS pair_cnt
+          FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+          GROUP BY 1, 2),
+    r AS (SELECT p.antecedent, p.consequent, p.pair_cnt,
+                 ca.c AS ante_cnt, cb.c AS cons_cnt, n.n AS n_baskets
+          FROM p JOIN ic ca ON ca.item = p.antecedent
+                 JOIN ic cb ON cb.item = p.consequent, n
+          WHERE p.pair_cnt >= 20)
+    SELECT antecedent, consequent, pair_cnt,
+           pair_cnt * 1000000 // n_baskets AS supp_ppm,
+           pair_cnt * 1000000 // ante_cnt AS conf_ppm,
+           pair_cnt * n_baskets * 1000000 // (ante_cnt * cons_cnt) AS lift_ppm
+    FROM r
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets of part
+    brands: support, confidence, and lift for every co-occurring
+    brand pair with pair support >= 20 baskets — the classic
+    data-mining readout (and, in a training-data pipeline, the
+    source-co-occurrence audit that flags entangled domains before
+    mixture reweighting). All three metrics are exact floored-ppm
+    integers, so both engines hash-match bit-for-bit.
+
+    Scale shape: basket building is one broadcast join (part is the
+    small dim) + a distinct; pair generation is a SELF-JOIN ON THE
+    BASKET KEY, whose cost is sum of per-basket item-count squared —
+    bounded here because TPC-H baskets hold <= 7 items, and bounded in
+    production by capping basket size before the join (the same
+    pre-join budget discipline as dedup_editdist). Item and basket
+    counts re-enter by broadcast (25 brands, 1 count row); the output
+    domain is at most #brands^2 / 2 pairs regardless of fact size.
+    lift's integer numerator pair_cnt*n*1e6 fits BIGINT through
+    ~1e12-basket corpora; past that, compute lift in DECIMAL(38) —
+    the documented knob."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    b = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("ok").alias("n_baskets"))
+    ic = b.groupBy("item").agg(F.count("*").alias("c"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.item") < F.col("y.item")))
+        .groupBy(
+            F.col("x.item").alias("antecedent"), F.col("y.item").alias("consequent")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 20)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(ic.select(F.col("item").alias("antecedent"), F.col("c").alias("ante_cnt"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("consequent"), F.col("c").alias("cons_cnt"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_cnt",
+        F.expr("pair_cnt * 1000000 DIV n_baskets").alias("supp_ppm"),
+        F.expr("pair_cnt * 1000000 DIV ante_cnt").alias("conf_ppm"),
+        F.expr("pair_cnt * n_baskets * 1000000 DIV (ante_cnt * cons_cnt)").alias(
+            "lift_ppm"
+        ),
+    )
