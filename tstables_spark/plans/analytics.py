@@ -1578,3 +1578,98 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_ppm"
         ),
     )
+
+
+@query(
+    "graph_jaccard",
+    oracle="""
+    WITH b0 AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS bucket
+      FROM events),
+    b AS (
+      SELECT user_id, bucket FROM (
+        SELECT user_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY user_id) AS rn
+        FROM b0) WHERE rn <= 256),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.user_id < b2.user_id),
+    adj0 AS (SELECT u AS w, v AS x FROM edges
+             UNION ALL SELECT v AS w, u AS x FROM edges),
+    adj AS (
+      SELECT w, x FROM (
+        SELECT w, x, row_number() OVER (PARTITION BY w ORDER BY x) AS rn
+        FROM adj0) WHERE rn <= 32),
+    cdeg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+    cn AS (
+      SELECT a1.x AS u, a2.x AS v, count(*) AS common
+      FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    jac AS (
+      SELECT cn.u, cn.v, cn.common,
+             du.d + dv.d - cn.common AS unions,
+             cn.common * 1000000 // (du.d + dv.d - cn.common) AS jac_ppm
+      FROM cn JOIN cdeg du ON du.w = cn.u
+              JOIN cdeg dv ON dv.w = cn.v)
+    SELECT u, v, common, unions, jac_ppm
+    FROM jac ORDER BY jac_ppm DESC, u, v LIMIT 50
+    """,
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard on the capped 1-minute
+    co-occurrence graph: the 50 non-adjacent-or-adjacent user pairs
+    whose CAPPED neighbor sets overlap most (common/union as exact
+    floored ppm) — the classic common-neighbors recommender, and in a
+    pipeline the account-correlation audit (two 'users' sharing most
+    of their co-occurrence neighborhood are one actor or one batch
+    job). Shares the exact b0/cap-256/edges derivation with
+    graph_triangles (one edge definition across the graph family).
+
+    Scale shape: the wedge expansion Σ deg² is the part that explodes
+    on hubs (the sf0.1 10-min graph's Σ deg² = 1.4e9 measured-OOM),
+    so adjacency lists are capped at the 32 lowest neighbor ids
+    BEFORE the self-join — deterministic, applied identically in the
+    oracle, and bounding the expansion at n*32² regardless of degree
+    skew (the link-prediction analog of the occupancy cap; capped-
+    neighborhood Jaccard is the documented contract, standard
+    practice for similarity search over power-law graphs). Top-50 via
+    TakeOrdered (jac_ppm DESC, u, v) — per-partition heads reduced on
+    the driver, never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("bucket")
+    ).distinct()
+    edges = cooccurrence_edges(b0, cap=256)
+    adj0 = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    wrn = Window.partitionBy("w").orderBy("x")
+    adj = (
+        adj0.withColumn("rn", F.row_number().over(wrn))
+        .where(F.col("rn") <= 32)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    cdeg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    cn = (
+        a1.join(a2, (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.x") < F.col("a2.x")))
+        .groupBy(F.col("a1.x").alias("u"), F.col("a2.x").alias("v"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    jac = (
+        cn.join(cdeg.select(F.col("w").alias("u"), F.col("d").alias("du")), "u")
+        .join(cdeg.select(F.col("w").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("du") + F.col("dv") - F.col("common")).alias("unions"),
+            F.expr("common * 1000000 DIV (du + dv - common)").alias("jac_ppm"),
+        )
+    )
+    return jac.orderBy(F.desc("jac_ppm"), "u", "v").limit(50)
