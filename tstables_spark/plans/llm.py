@@ -1272,3 +1272,93 @@ def _run_stream_to_memory(df: DataFrame, mode: str) -> DataFrame:
     from tstables_spark.plans.streaming_q import _run_to_memory
 
     return _run_to_memory(df, mode)
+
+
+@query(
+    "doc_bm25",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5 OFFSET 20),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS c
+      FROM tf JOIN q USING (term) JOIN dl USING (doc_id), stats s),
+    score AS (SELECT doc_id,
+                     round(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 6)
+                       AS bm25
+              FROM contrib GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+    FROM score ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75): the top-10 documents
+    for a 5-term query drawn deterministically from the corpus's own
+    mid-frequency band (df ranks 21-25, ties term-broken) — the
+    search-relevance primitive, and in a pipeline the
+    targeted-retrieval step behind decontamination audits and
+    curriculum mining. Same tokenizer as doc_tfidf; idf is the classic
+    ln(1 + (N - df + 0.5)/(df + 0.5)) with the tf saturation and
+    doc-length normalization terms written as ONE identical expression
+    on both engines. Per-doc scores sum in DECIMAL (exact_sum — the
+    order-insensitive float discipline), then round to 6dp BEFORE
+    ranking so tie order is engine-independent; ln() itself is libm
+    territory, handled exactly as doc_tfidf/token_pmi do (6dp-rounded
+    published score).
+
+    Scale shape: tf/dl/df are the explode-and-aggregate passes every
+    text query here shares; the query side is a 5-row broadcast
+    (TakeOrdered band selection, never a vocab-wide sort spill); the
+    per-doc sum touches only docs containing a query term (the
+    inverted-index contract — join prunes to the posting lists); final
+    top-10 via TakeOrdered. At 100 TB the df relation is the only
+    vocabulary-sized intermediate, one hash agg."""
+    from pyspark.sql import Window as W
+
+    from tstables_spark.plans._exact import exact_sum
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = (
+        df_rel.orderBy(F.desc("df"), "term")
+        .limit(25)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("df"), "term")))
+        .filter(F.col("rn") > 20)
+        .drop("rn")
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                " * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+            ).alias("c"),
+        )
+    )
+    score = contrib.groupBy("doc_id").agg(F.round(exact_sum("c"), 6).alias("bm25"))
+    ranked = score.orderBy(F.desc("bm25"), "doc_id").limit(10)
+    return ranked.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+    )
