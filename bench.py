@@ -58,6 +58,11 @@ HEADLINE = [
     "graph_triangles",
     "join_asof_multi",
     "join_asof_multi_presorted",
+    "embed_pca_power",
+    "assoc_rules",
+    "graph_jaccard",
+    "doc_bm25",
+    "agg_qsketch",
 ]
 
 # A single timing of a heavy query rides this box's ±1.5x load-noise

@@ -1136,3 +1136,53 @@ def test_qsketch_bucket_algebra(spark):
             assert r["hi"] - r["lo"] == 1
         assert r["bucket"] >= prev_bucket
         prev_bucket = r["bucket"]
+
+
+def test_asof_presorted_directional_matches_and_elides(spark, tmp_path):
+    """Forward and nearest reads over the SAME staged layout must match
+    the union+window asof_join for their directions — including the
+    equal-time right row the forward frame can't see (recovered from
+    the backward carry) — and must plan with zero Exchange and zero
+    Sort, same as the backward read."""
+    import re
+    from tstables_spark.operators.asof import (
+        asof_join, asof_join_presorted_directional, stage_asof_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 17, i * 31 % 1000) for i in range(2000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    # i*97 % 1000 collides with left's i*31 % 1000 grid often, so
+    # equal-timestamp matches (the forward-frame blind spot) are
+    # genuinely exercised.
+    right = spark.createDataFrame(
+        [(i % 17, i * 97 % 1000, i) for i in range(300)],
+        "k long, t long, val long",
+    ).groupBy("k", F.timestamp_seconds("t").alias("rts")).agg(F.max("val").alias("val"))
+    stage_asof_layout(
+        left, right, "ts", "rts", "k", "k", ["val"],
+        "asof_presorted_dir_test", str(tmp_path / "t"), num_buckets=4,
+    )
+    for direction in ("forward", "nearest"):
+        want = {
+            tuple(r)
+            for r in asof_join(
+                left, right, "ts", "rts", "k", "k", ["val"],
+                direction=direction,
+            ).collect()
+        }
+        pre = asof_join_presorted_directional(
+            spark, "asof_presorted_dir_test", ["event_id", "k", "ts"],
+            ["val"], direction=direction,
+        )
+        got = {tuple(r) for r in pre.collect()}
+        assert got == want and len(got) == 2000, direction
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (direction, plan)
+        assert not re.search(r"\(\d+\) Sort ", plan), (direction, plan)
+    # the equal-time blind spot actually occurred in this fixture
+    eq = left.join(
+        right, (left["k"] == right["k"]) & (left["ts"] == right["rts"])
+    ).count()
+    assert eq > 0

@@ -236,6 +236,77 @@ def asof_join_presorted(
     )
 
 
+def asof_join_presorted_directional(
+    spark,
+    table_name: str,
+    left_cols: Sequence[str],
+    right_values: Sequence[str],
+    direction: str = "forward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """FORWARD or NEAREST as-of over the SAME ``stage_asof_layout``
+    table the backward read uses — one staged layout serves all three
+    directions, so the staging shuffle+sort amortizes across the whole
+    direction family, not just backward retrievals.
+
+    The layout's physical sort is (key, time, side) with right rows
+    (side 0) before an equal-time left row — the backward convention.
+    Both auxiliary carries run over that SAME ascending order (backward
+    = last(ignorenulls) over preceding, forward = first(ignorenulls)
+    over following), so all window frames share the scan's claimed
+    distribution and ordering: the plan stays scan → Window → project
+    with ZERO Exchange and ZERO Sort for every direction.
+
+    The forward frame starts at currentRow and therefore never sees an
+    equal-time right row (it sorts BEFORE the left row in this layout);
+    at-or-after semantics recover it from the backward carry, whose
+    ``__rts`` equals the left time exactly in that case — one codegen'd
+    comparison per row, no extra pass. Nearest then chooses the closer
+    side with backward winning exact ties (gap 0), identical to
+    ``_asof_nearest``'s choice."""
+    if direction not in ("forward", "nearest"):
+        raise ValueError(f"direction must be 'forward' or 'nearest', got {direction!r}")
+    wb = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(_KEY)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = (
+        spark.table(table_name)
+        .withColumn("__cb", F.last(_CARRY, ignorenulls=True).over(wb))
+        .withColumn("__cf0", F.first(_CARRY, ignorenulls=True).over(wf))
+    )
+    bts = F.col("__cb.__rts").cast("timestamp")
+    # recover the inclusive equal-time match the forward frame misses
+    fw = F.when(F.unix_micros(bts) == F.unix_micros(F.col(_TIME)), F.col("__cb")).otherwise(
+        F.col("__cf0")
+    )
+    carried = carried.withColumn("__cf", fw)
+    gb = F.unix_micros(F.col(_TIME)) - F.unix_micros(bts)
+    gf = F.unix_micros(F.col("__cf.__rts").cast("timestamp")) - F.unix_micros(F.col(_TIME))
+    valid_b = F.col("__cb").isNotNull()
+    valid_f = F.col("__cf").isNotNull()
+    if tolerance_seconds is not None:
+        bound = tolerance_seconds * 1_000_000
+        valid_b = valid_b & (gb <= bound)
+        valid_f = valid_f & (gf <= bound)
+    if direction == "forward":
+        chosen = F.when(valid_f, F.col("__cf"))
+    else:
+        chosen = F.when(valid_b & (~valid_f | (gb <= gf)), F.col("__cb")).when(
+            valid_f, F.col("__cf")
+        )
+    return carried.where(F.col(_SIDE) == 1).select(
+        *left_cols,
+        *[chosen.getField(v).alias(v) for v in right_values],
+    )
+
+
 def stage_asof_multi_layout(
     left: DataFrame,
     sources: Sequence[tuple[DataFrame, str, str, Sequence[str]]],

@@ -2883,6 +2883,96 @@ def join_asof_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+@query(
+    "join_asof_forward_presorted",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_forward_presorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of through the SAME staged layout join_asof_presorted
+    reads — one bucketed-sorted relation serves the whole direction
+    family, so the staging cost amortizes across backward, forward and
+    nearest retrievals instead of one of them. The layout's backward
+    sort convention puts an equal-time right row before the left row,
+    outside the forward frame; the read recovers the inclusive match
+    from the backward carry when its __rts equals the left time
+    (operators/asof.py::asof_join_presorted_directional) — still scan
+    -> Window -> project, ZERO Exchange and ZERO Sort (pinned with the
+    backward read's plan test). Right side collapses per (key, time)
+    with MAX orderkey (the layout's convention; this oracle mirrors
+    it, unlike join_asof_forward's MIN-collapse fixture)."""
+    t = _asof_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted_directional
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted_directional(
+        spark,
+        t,
+        ["event_id", "user_id", "ts"],
+        ["o_orderkey", "o_totalprice"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_asof_nearest_presorted",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS bk, o.o_totalprice AS bp, o.o_orderdate AS bts
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id,
+             o.o_orderkey AS fk, o.o_totalprice AS fp, o.o_orderdate AS fts
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (b.ts - bts) <= (fts - b.ts))
+                THEN bk ELSE fk END AS o_orderkey,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (b.ts - bts) <= (fts - b.ts))
+                THEN bp ELSE fp END AS o_totalprice
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest_presorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of through the staged layout: both running carries
+    (backward last-preceding, forward first-following with the
+    equal-time recovery) share the scan's claimed bucket distribution
+    and sort, so choosing the closer side per row is STILL zero
+    Exchange / zero Sort — the direction family is now complete on one
+    staged relation (backward r7, multi + forward + nearest r8). Same
+    oracle as join_asof_nearest (backward wins exact ties at gap 0)."""
+    t = _asof_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted_directional
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted_directional(
+        spark,
+        t,
+        ["event_id", "user_id", "ts"],
+        ["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 _ASOF_MULTI_STAGED: dict = {}
 
 
