@@ -3248,3 +3248,65 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percent_rank().over(w) * 1_000_000).alias("pct_rank_ppm"),
         F.floor(F.cume_dist().over(w) * 1_000_000).alias("cume_ppm"),
     )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value, 2)  OVER win AS b2,
+             lag(value, 1)  OVER win AS b1,
+             lead(value, 1) OVER win AS a1,
+             lead(value, 2) OVER win AS a2
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           least(b1, a1) - value AS depth
+    FROM w
+    WHERE b2 > b1 AND b1 > value AND value < a1 AND a1 < a2
+    """,
+)
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern detection (MATCH_RECOGNIZE / Flink-CEP lite): every
+    strict V-shape in each user's value series — two consecutive drops
+    into a trough followed by two consecutive rises — emitted with its
+    trough row and depth (the smaller shoulder minus the trough; one
+    IEEE subtraction on identical doubles, hash-safe without
+    rounding). The row-pattern primitive behind dip-buying signals,
+    sensor-glitch detection, and engagement-dip mining, expressed as
+    plain bounded lags/leads instead of an NFA: a fixed-length pattern
+    over an ordered partition IS four window offsets and a codegen'd
+    predicate.
+
+    Scale shape: ONE shuffle on user_id, one in-partition sort shared
+    by all four offsets (a single Window node — same spec). Per-user
+    history rides one task, same contract as win_streaks/ts_cusum; for
+    unbounded per-user streams the pattern needs only ±2 rows of
+    context, so the production variant windows by (user, day) with a
+    2-row overlap stitch — the ts_fill_forward boundary discipline.
+    NULL values self-exclude (every comparison must hold)."""
+    ev = load(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 2).over(win).alias("b2"),
+        F.lag("value", 1).over(win).alias("b1"),
+        F.lead("value", 1).over(win).alias("a1"),
+        F.lead("value", 2).over(win).alias("a2"),
+    )
+    return w.where(
+        (F.col("b2") > F.col("b1"))
+        & (F.col("b1") > F.col("value"))
+        & (F.col("value") < F.col("a1"))
+        & (F.col("a1") < F.col("a2"))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.least("b1", "a1") - F.col("value")).alias("depth"),
+    )
