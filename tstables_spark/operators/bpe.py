@@ -62,6 +62,21 @@ def bpe_train(
     The per-round ``localCheckpoint`` pins each state so round r's
     aggregate doesn't re-execute rounds 1..r-1's replaces (the same
     iterated-lineage discipline as operators/components.py)."""
+    merges, _ = bpe_train_with_state(words, n_merges, word_col, freq_col)
+    return merges
+
+
+def bpe_train_with_state(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    freq_col: str = "freq",
+) -> tuple[DataFrame, DataFrame]:
+    """``bpe_train`` plus the FINAL symbol state ``(s, freq)`` — the
+    encoded vocabulary after all merges, which is what the encode step
+    (``bpe_encode``) reads: applying a trained tokenizer to the corpus
+    is exactly replaying its merges over the word table, so training
+    and encoding share this one loop."""
     spark = words.sparkSession
     state = words.select(
         F.regexp_replace(F.col(word_col), "(.)", "|$1|").alias("s"),
@@ -86,6 +101,7 @@ def bpe_train(
             ).alias("s"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank int, pair string, cnt long"
+    return (
+        spark.createDataFrame(merges, "merge_rank int, pair string, cnt long"),
+        state,
     )

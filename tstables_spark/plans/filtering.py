@@ -497,6 +497,17 @@ def _bpe_oracle(n: int) -> str:
     with the same single ``replace`` call the engine uses (the wrapped
     '|sym|' representation makes string replace exactly BPE's greedy
     left-to-right non-overlapping merge)."""
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INT) AS merge_rank, pair, cnt FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(_bpe_ctes(n)) + "\n    " + union
+
+
+def _bpe_ctes(n: int) -> list:
+    """The CTE chain of the unrolled BPE trainer, shared by the merge
+    table readout (bpe_train_merges) and the encoded-vocabulary
+    readout (bpe_encode)."""
     ctes = [
         """words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -531,11 +542,24 @@ def _bpe_oracle(n: int) -> str:
                '|' || replace(m.pair, ' ', '') || '|') AS s, freq
       FROM {prev}, m{r} m)"""
         )
-    union = "\n    UNION ALL ".join(
-        f"SELECT CAST(merge_rank AS INT) AS merge_rank, pair, cnt FROM m{r}"
-        for r in range(1, n + 1)
+    return ctes
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """The same ``n`` unrolled training rounds, read out as the ENCODED
+    vocabulary: explode the final symbol state and return the top-30
+    tokens by freq-weighted occurrence — hash-checking the end state
+    transitively through every merge."""
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(n))
+        + f"""
+    SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT unnest(str_split(substr(s, 2, len(s) - 2), '||')) AS sym,
+                 freq
+          FROM s{n} WHERE len(s) >= 2) t
+    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30"""
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle(8))
@@ -566,3 +590,41 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     return bpe_train(words, n_merges=8)
+
+
+@query("bpe_encode", oracle=_bpe_encode_oracle(8))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply half of the tokenizer lifecycle
+    bpe_train_merges trains: replay the 8 trained merges over the
+    (word, freq) table and read out the encoded vocabulary, i.e. the
+    top-30 tokens by freq-weighted occurrence after all merges
+    (cnt DESC, token ASC). Training and encoding share ONE loop
+    (operators/bpe.py::bpe_train_with_state) because applying a
+    trained tokenizer to its corpus IS replaying its merges; the
+    oracle unrolls the same 8 rounds and explodes the FINAL symbol
+    state, so the hash pins the end-to-end encoded corpus — token
+    inventory and weights — transitively through every merge, not
+    just the merge table.
+
+    Scale shape: identical to training (vocabulary-bounded state, one
+    pair-agg + one-row argmax + codegen'd replace per round) plus ONE
+    extra explode+agg over the final state and a TakeOrdered(30) —
+    the corpus itself is never re-touched."""
+    from tstables_spark.operators.bpe import bpe_train_with_state
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    _, state = bpe_train_with_state(words, n_merges=8)
+    arr = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|")
+    toks = (
+        state.where(F.length("s") >= 2)
+        .select("freq", F.explode(arr).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return toks.orderBy(F.desc("cnt"), "token").limit(30)
