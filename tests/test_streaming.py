@@ -370,3 +370,61 @@ def test_compact_includes_batch_appends_on_streamed_table(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 25, "compaction dropped batch-appended rows"
     assert got.agg(F.max("v")).collect()[0][0] == 104.0
+
+
+def test_v_pattern_multi_batch_exactly_once():
+    """Drive the stateful V-detector's update function directly through
+    MANY batch splits of the same per-user sequence (the fixture stream
+    delivers one micro-batch, so the cross-batch carry is otherwise
+    unexercised): every split must emit exactly the brute-force batch
+    troughs, each exactly once — including troughs whose +-2 context
+    straddles a batch boundary."""
+    import pandas as pd
+
+    from tstables_spark.streaming.stateful import _v_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = __import__("random").Random(11)
+    vals = [rng.randint(0, 9) * 1.0 for _ in range(60)]
+    rows = [(1_000_000 * i, i, vals[i]) for i in range(60)]
+    want = [
+        (7, i, 1_000_000 * i, min(vals[i - 1], vals[i + 1]) - vals[i])
+        for i in range(2, 58)
+        if vals[i - 2] > vals[i - 1] > vals[i] < vals[i + 1] < vals[i + 2]
+    ]
+    assert want, "fixture must contain troughs"
+
+    def run(split_points):
+        state = FakeState()
+        got = []
+        bounds = [0] + split_points + [60]
+        for a, b in zip(bounds, bounds[1:]):
+            pdf = pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(t, unit="us") for t, _, _ in rows[a:b]],
+                    "event_id": [e for _, e, _ in rows[a:b]],
+                    "value": [v for _, _, v in rows[a:b]],
+                    "user_id": 7,
+                }
+            )
+            # shuffle within the batch: group rows arrive unordered
+            pdf = pdf.sample(frac=1.0, random_state=a)
+            for out in _v_update((7,), iter([pdf]), state):
+                got.extend(tuple(r) for r in out.itertuples(index=False, name=None))
+        return got
+
+    for splits in ([], [30], [5, 10, 15, 20], [1, 2, 3, 4, 5, 6], list(range(1, 60))):
+        got = run(splits)
+        assert got == want, (splits, got[:5], want[:5])

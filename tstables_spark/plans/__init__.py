@@ -33,11 +33,13 @@ def _load_all() -> None:
     # ROUND-8 verification window (first 50 = the harness's correctness
     # window). Priority per the standing rotation policy:
     # (a) the reference-identity pair, pinned permanently;
-    # (b) the TWELVE queries added in r7 plus the TWENTY added in
+    # (b) the TWELVE queries added in r7 plus the TWENTY-ONE added in
     #     r8 — local-parity green at three scales, never
     #     driver-windowed; their first driver evidence is this round's
-    #     headline (-> 250/254 ever-green, the max possible given the
-    #     4 rows-only-by-design gates);
+    #     headline (-> 251/255 ever-green, the max possible given the
+    #     4 rows-only-by-design gates). 2+12+21+12 re-checks = 47 of
+    #     50: the window is FULL — any further r8 additions go BELOW
+    #     the (c) re-checks and wait for the r9 window;
     # (c) re-check slots for every query whose implementing module
     #     changed since its last green row: the r7 core-lifecycle
     #     hardening (1432c25 + b05b44a touched tstable.py + streaming/
@@ -88,7 +90,7 @@ def _load_all() -> None:
             "embed_spectral_outlier", "assoc_rules", "graph_jaccard",
             "doc_bm25", "join_asof_forward_presorted",
             "join_asof_nearest_presorted", "ts_pattern_match",
-            "bpe_encode",
+            "bpe_encode", "stream_pattern",
             # (c) re-checks: core-lifecycle hardening landed after these
             # queries' last green rows (tstable.py / streaming/)
             "ts_create_append", "ts_compact", "ts_upsert",

@@ -607,3 +607,38 @@ def stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("long").alias("hi_cents"),
         F.col("cnt").cast("long").alias("cnt"),
     )
+
+
+from tstables_spark.plans.timeseries import V_PATTERN_ORACLE
+
+
+@query("stream_pattern", oracle=V_PATTERN_ORACLE)
+def stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING event-pattern detection (Flink-CEP's core use case):
+    the V-shape detector ts_pattern_match runs in batch, maintained
+    incrementally by a custom stateful operator — per-user state is
+    just the last 4 rows (a fixed-length pattern needs exactly +-2
+    rows of context), so state is CONSTANT per key regardless of
+    stream length, and every trough is emitted exactly ONCE in the
+    micro-batch where its following context first arrives (Append
+    mode; the carried-suffix start-index argument in
+    streaming/stateful.py::_v_update). Batch rows sort by (ts,
+    event_id) before the scan — group rows arrive shuffle-ordered
+    within a batch — and batches must arrive in event-time order, the
+    standard in-order-source CEP contract (the fixture stream is
+    time-ordered; production fronts this with a watermark-bounded
+    sort, the stream_append_windows discipline).
+
+    The oracle is the BATCH pattern query (same SQL as
+    ts_pattern_match), so the driver check proves stream-detected ==
+    batch-detected row for row."""
+    from tstables_spark.streaming.stateful import v_pattern_stream
+
+    src = _read_stream(spark, sf_dir)
+    out = _run_to_memory(v_pattern_stream(src), "append")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts")).alias("ts"),
+        "depth",
+    )

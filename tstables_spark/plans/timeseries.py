@@ -3250,9 +3250,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ts_pattern_match",
-    oracle="""
+V_PATTERN_ORACLE = """
     WITH w AS (
       SELECT user_id, event_id, ts, value,
              lag(value, 2)  OVER win AS b2,
@@ -3266,8 +3264,10 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(b1, a1) - value AS depth
     FROM w
     WHERE b2 > b1 AND b1 > value AND value < a1 AND a1 < a2
-    """,
-)
+    """
+
+
+@query("ts_pattern_match", oracle=V_PATTERN_ORACLE)
 def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-pattern detection (MATCH_RECOGNIZE / Flink-CEP lite): every
     strict V-shape in each user's value series — two consecutive drops

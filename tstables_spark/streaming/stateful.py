@@ -115,3 +115,80 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+V_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts bigint, depth double"
+# The carried context: the last (up to) 4 rows of each user's sequence,
+# flattened to fixed slots — a V-trough needs exactly +-2 rows of
+# context, so 4 carried rows are sufficient for every cross-batch
+# pattern and the state is CONSTANT size regardless of stream length.
+V_STATE_SCHEMA = (
+    "s int, "
+    "t0 bigint, t1 bigint, t2 bigint, t3 bigint, "
+    "e0 bigint, e1 bigint, e2 bigint, e3 bigint, "
+    "v0 double, v1 double, v2 double, v3 double"
+)
+
+
+def _v_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Detect strict V-troughs (b2 > b1 > v < a1 < a2) in a user's
+    in-order value sequence across micro-batches. Rows of one batch are
+    sorted by (ts, event_id) before scanning (group rows arrive shuffle
+    -ordered WITHIN a batch); batches themselves must arrive in event-
+    time order — the standard in-order-source CEP contract, satisfied
+    by the file stream's time-ordered fixture and documented in
+    stream_pattern. Positions 0..s-3 of the carried suffix were fully
+    checked last batch (both their following rows existed), so the scan
+    starts at max(2, s-2): every trough is emitted exactly once."""
+    (user_id,) = key
+    if state.exists:
+        st = state.get
+        s = st[0]
+        carried = [(st[1 + i], st[5 + i], st[9 + i]) for i in range(s)]
+    else:
+        carried = []
+    chunks = [p for p in pdfs if len(p)]
+    batch = pd.concat(chunks, ignore_index=True) if chunks else None
+    new = []
+    if batch is not None and len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        new = [
+            (int(pd.Timestamp(r.ts).value // 1000), int(r.event_id), float(r.value))
+            for r in batch.itertuples()
+        ]
+    seq = carried + new
+    out = []
+    for i in range(max(2, len(carried) - 2), len(seq) - 2):
+        b2, b1, v, a1, a2 = (
+            seq[i - 2][2], seq[i - 1][2], seq[i][2], seq[i + 1][2], seq[i + 2][2],
+        )
+        if b2 > b1 and b1 > v and v < a1 and a1 < a2:
+            out.append((user_id, seq[i][1], seq[i][0], min(b1, a1) - v))
+    tail = seq[-4:]
+    pad = [(0, 0, 0.0)] * (4 - len(tail))
+    full = tail + pad
+    state.update(
+        (
+            len(tail),
+            *[t[0] for t in full],
+            *[t[1] for t in full],
+            *[t[2] for t in full],
+        )
+    )
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "depth"])
+
+
+def v_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming V-shape detector (see plans/streaming_q.py::
+    stream_pattern): per-user bounded-state CEP over
+    applyInPandasWithState, Append mode (each trough emitted once, in
+    the batch where its full +-2 context first exists)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _v_update,
+        outputStructType=V_OUTPUT_SCHEMA,
+        stateStructType=V_STATE_SCHEMA,
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
