@@ -1115,6 +1115,8 @@ def test_qsketch_bucket_algebra(spark):
         | {(1 << k) - 1 for k in range(5, 50, 7)}
         | {(1 << k) for k in range(5, 50, 7)}
         | {(1 << k) + 12345 for k in range(15, 50, 7)}
+        # top octave incl. the clamped final bucket (hi would be 2^63)
+        | {(31 << 58) + 5, (1 << 62) + 123, (1 << 63) - 2}
     )
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     rows = (

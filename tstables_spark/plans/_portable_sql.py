@@ -162,6 +162,10 @@ def _qsketch_cells(vals: DataFrame, v_col: str = "v") -> DataFrame:
     e = f"length(bin({v_col}))"
     s = f"CAST({e} - 5 AS INT)"
     lead = f"shiftright({v_col}, {s})"
+    # The very top bucket's exclusive bound is exactly 2^63 (e=63,
+    # lead=31): Spark's shiftleft would silently wrap negative and
+    # DuckDB's << raises — clamp that one bucket's hi to BIGINT max
+    # (its bound becomes inclusive; every other bucket is unaffected).
     return (
         vals.selectExpr(
             f"""CASE WHEN {v_col} < 16 THEN {v_col}
@@ -169,6 +173,7 @@ def _qsketch_cells(vals: DataFrame, v_col: str = "v") -> DataFrame:
             f"""CASE WHEN {v_col} < 16 THEN {v_col}
                 ELSE shiftleft({lead}, {s}) END AS lo""",
             f"""CASE WHEN {v_col} < 16 THEN {v_col} + 1
+                WHEN {e} = 63 AND {lead} = 31 THEN 9223372036854775807
                 ELSE shiftleft({lead} + 1, {s}) END AS hi""",
         )
         .groupBy("bucket", "lo", "hi")
@@ -189,6 +194,7 @@ def _qsketch_cells_sql(src_cte: str, v_col: str = "v") -> str:
              CAST(CASE WHEN {v_col} < 16 THEN {v_col}
                   ELSE {lead} << {s} END AS BIGINT) AS lo,
              CAST(CASE WHEN {v_col} < 16 THEN {v_col} + 1
+                  WHEN {e} = 63 AND {lead} = 31 THEN 9223372036854775807
                   ELSE ({lead} + 1) << {s} END AS BIGINT) AS hi,
              CAST(count(*) AS BIGINT) AS cnt
       FROM {src_cte} GROUP BY 1, 2, 3)"""

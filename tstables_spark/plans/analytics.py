@@ -1512,7 +1512,7 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT antecedent, consequent, pair_cnt,
            pair_cnt * 1000000 // n_baskets AS supp_ppm,
            pair_cnt * 1000000 // ante_cnt AS conf_ppm,
-           pair_cnt * n_baskets * 1000000 // (ante_cnt * cons_cnt) AS lift_ppm
+           (pair_cnt * 1000000 // ante_cnt) * n_baskets // cons_cnt AS lift_ppm
     FROM r
     """,
 )
@@ -1533,9 +1533,15 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-join budget discipline as dedup_editdist). Item and basket
     counts re-enter by broadcast (25 brands, 1 count row); the output
     domain is at most #brands^2 / 2 pairs regardless of fact size.
-    lift's integer numerator pair_cnt*n*1e6 fits BIGINT through
-    ~1e12-basket corpora; past that, compute lift in DECIMAL(38) —
-    the documented knob."""
+    lift is DEFINED as conf_ppm * n // cons_cnt (confidence over the
+    consequent's base rate, floored once more): the triple-product
+    form pair*n*1e6 overflows BIGINT already at ~1e7 baskets for a
+    popular pair (pair_cnt = O(n) in a 25-item domain), while this
+    form's intermediate is bounded by 1e6 * n — safe through ~9e12
+    baskets, and exactly identical on both engines. The basket
+    relation feeds four consumers (n, item counts, both join legs), so
+    it is pinned with an eager checkpoint — the multi-leg reuse
+    discipline of graph_triangles."""
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
     b = (
@@ -1545,6 +1551,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = b.agg(F.countDistinct("ok").alias("n_baskets"))
     ic = b.groupBy("item").agg(F.count("*").alias("c"))
@@ -1574,7 +1581,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_cnt",
         F.expr("pair_cnt * 1000000 DIV n_baskets").alias("supp_ppm"),
         F.expr("pair_cnt * 1000000 DIV ante_cnt").alias("conf_ppm"),
-        F.expr("pair_cnt * n_baskets * 1000000 DIV (ante_cnt * cons_cnt)").alias(
+        F.expr("(pair_cnt * 1000000 DIV ante_cnt) * n_baskets DIV cons_cnt").alias(
             "lift_ppm"
         ),
     )
@@ -1601,7 +1608,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, x FROM (
         SELECT w, x, row_number() OVER (PARTITION BY w ORDER BY x) AS rn
         FROM adj0) WHERE rn <= 32),
-    cdeg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+    cdeg AS (SELECT x, count(*) AS d FROM adj GROUP BY x),
     cn AS (
       SELECT a1.x AS u, a2.x AS v, count(*) AS common
       FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
@@ -1610,30 +1617,31 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cn.u, cn.v, cn.common,
              du.d + dv.d - cn.common AS unions,
              cn.common * 1000000 // (du.d + dv.d - cn.common) AS jac_ppm
-      FROM cn JOIN cdeg du ON du.w = cn.u
-              JOIN cdeg dv ON dv.w = cn.v)
+      FROM cn JOIN cdeg du ON du.x = cn.u
+              JOIN cdeg dv ON dv.x = cn.v)
     SELECT u, v, common, unions, jac_ppm
     FROM jac ORDER BY jac_ppm DESC, u, v LIMIT 50
     """,
 )
 def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighborhood Jaccard on the capped 1-minute
-    co-occurrence graph: the 50 non-adjacent-or-adjacent user pairs
-    whose CAPPED neighbor sets overlap most (common/union as exact
-    floored ppm) — the classic common-neighbors recommender, and in a
-    pipeline the account-correlation audit (two 'users' sharing most
-    of their co-occurrence neighborhood are one actor or one batch
-    job). Shares the exact b0/cap-256/edges derivation with
-    graph_triangles (one edge definition across the graph family).
+    """Link prediction by CO-CITATION Jaccard on the capped 1-minute
+    co-occurrence graph: for users u, v, their capped CITER sets
+    M(u) = {w : u is among w's 32 lowest-id neighbors}, scored
+    |M(u) ∩ M(v)| / |M(u) ∪ M(v)| as exact floored ppm — the
+    co-citation similarity recommender (two users repeatedly listed
+    together by the same third parties), and in a pipeline the
+    correlated-account audit. Shares the exact b0/cap-256/edges
+    derivation with graph_triangles.
 
-    Scale shape: the wedge expansion Σ deg² is the part that explodes
-    on hubs (the sf0.1 10-min graph's Σ deg² = 1.4e9 measured-OOM),
-    so adjacency lists are capped at the 32 lowest neighbor ids
-    BEFORE the self-join — deterministic, applied identically in the
-    oracle, and bounding the expansion at n*32² regardless of degree
-    skew (the link-prediction analog of the occupancy cap; capped-
-    neighborhood Jaccard is the documented contract, standard
-    practice for similarity search over power-law graphs). Top-50 via
+    The intersection counts co-MEMBERSHIP in w's capped list and the
+    degrees count the SAME relation grouped by member (cdeg on x, not
+    on w) — the two sides of the metric use one set definition, so
+    common <= min(|M(u)|, |M(v)|) by construction: the union is
+    always >= 2 (division-safe under ANSI mode) and jac_ppm <= 1e6.
+    Scale shape: the wedge expansion through w costs Σ out-capped² <=
+    n·32² under ANY degree skew (the out-cap is what the self-join
+    fans out over; an in-degree-based variant would be unbounded on
+    low-id hubs — rejected for exactly that reason). Top-50 via
     TakeOrdered (jac_ppm DESC, u, v) — per-partition heads reduced on
     the driver, never a global sort."""
     from pyspark.sql import Window
@@ -1653,7 +1661,7 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=True)
     )
-    cdeg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    cdeg = adj.groupBy("x").agg(F.count("*").alias("d"))
     a1, a2 = adj.alias("a1"), adj.alias("a2")
     cn = (
         a1.join(a2, (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.x") < F.col("a2.x")))
@@ -1662,8 +1670,8 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common") >= 2)
     )
     jac = (
-        cn.join(cdeg.select(F.col("w").alias("u"), F.col("d").alias("du")), "u")
-        .join(cdeg.select(F.col("w").alias("v"), F.col("d").alias("dv")), "v")
+        cn.join(cdeg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(cdeg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
         .select(
             "u",
             "v",

@@ -590,16 +590,23 @@ def _pca_power_state(emb: DataFrame, rounds: int, dims: int):
 
 def _spectral_outlier_oracle(rounds: int = 3) -> str:
     """The PCA CTE chain plus per-row scoring: projection onto the
-    final component (scaled back to quant units by the same
-    floor-division the iteration rounds use) and the integer residual
-    norm^2 — identical arithmetic to the Spark side."""
+    UNIT-normalized final component (z.v / ||v||, floored to quant
+    units) and the integer residual norm^2 — identical arithmetic to
+    the Spark side: ||v||^2 is an exact BIGINT < 2^53 (so the
+    int->double conversion is exact), sqrt is IEEE-correctly-rounded
+    on both engines, and dot products stay < 2^53 so their double
+    conversions are exact too."""
     ctes = _pca_ctes(rounds)
+    ctes.append(
+        f"""nv AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM v{rounds})"""
+    )
     ctes.append(
         f"""score AS (
       SELECT z.vec_id,
-             CAST(FLOOR(SUM(z.z * v.v) / 1048576) AS BIGINT) AS proj_q,
+             CAST(FLOOR(SUM(z.z * v.v) / nv.nrm) AS BIGINT) AS proj_q,
              CAST(SUM(z.z * z.z) AS BIGINT) AS n2
-      FROM z JOIN v{rounds} v USING (dim) GROUP BY z.vec_id)"""
+      FROM z JOIN v{rounds} v USING (dim), nv GROUP BY z.vec_id, nv.nrm)"""
     )
     return (
         "WITH "
@@ -615,24 +622,29 @@ def _spectral_outlier_oracle(rounds: int = 3) -> str:
 def embed_spectral_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral (reconstruction-error) outliers: the 20 embeddings
     worst explained by the corpus's dominant principal component —
-    proj_q = floor(z.v / 2^20) (the projection in quant units) and
-    resid2 = ||z||^2 - proj_q^2, the classic low-rank residual that
-    flags vectors pointing AWAY from the corpus's main axis (corrupt
-    embeddings, off-distribution content, modality mixups). Built on
-    embed_pca_power's state — same centered BIGINT corpus, same final
-    component — so every score is exact integer arithmetic and the
-    oracle (the PCA CTE chain plus one scoring CTE) hash-checks the
-    full top-20 including tie order (resid2 DESC, vec_id).
+    proj_q = floor(z.v / ||v||) (the projection onto the UNIT
+    direction, in quant units — the max-normalized component is NOT
+    unit length, so dividing by 2^20 alone would inflate proj^2 by up
+    to (||v||/2^20)^2 <= 64 and invert the ranking; r8 review fix)
+    and resid2 = ||z||^2 - proj_q^2, the classic low-rank residual
+    that flags vectors pointing AWAY from the corpus's main axis
+    (corrupt embeddings, off-distribution content, modality mixups).
+    Built on embed_pca_power's state; every input to the one float
+    division is an exact-in-double integer (< 2^53) and sqrt/floor are
+    IEEE-identical on both engines, so the oracle hash-checks the full
+    top-20 including tie order (resid2 DESC, vec_id).
 
     Scale shape: after the power rounds (see embed_pca_power), scoring
     is ONE narrow map against the 64-long literal component — no join,
     no shuffle — feeding TakeOrdered(20): per-partition top-20s reduce
-    on the driver, never a global sort. The early floor-by-2^20 keeps
-    proj_q^2 and ||z||^2 in comparable units within BIGINT range
-    (~6e14 at 2^20 quant x 64 dims), the documented alternative to an
-    overflowing exact-units residual."""
+    on the driver, never a global sort. Normalizing the projection
+    early keeps proj_q^2 and ||z||^2 in comparable units within
+    BIGINT range (~6e14 at 2^20 quant x 64 dims)."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings")
     z, v = _pca_power_state(emb, rounds=3, dims=64)
+    norm = math.sqrt(float(sum(x * x for x in v)))
     v_lit = F.array(*[F.lit(int(x)) for x in v])
     dot = F.aggregate(
         F.zip_with("z", v_lit, lambda a, b: a * b),
@@ -646,7 +658,7 @@ def embed_spectral_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = z.select(
         "vec_id",
-        F.floor(dot / F.lit(1048576)).cast("long").alias("proj_q"),
+        F.floor(dot / F.lit(norm)).cast("long").alias("proj_q"),
         n2.alias("n2"),
     ).select(
         "vec_id",

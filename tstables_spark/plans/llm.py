@@ -1331,8 +1331,14 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tf feeds THREE consumers (df_rel, the contrib join, and dl via
+    # re-aggregation) — pin it once so the corpus explode+shuffle runs
+    # once, and derive doc lengths from it (sum tf == count tok)
+    # instead of a second explode pass over the corpus.
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
