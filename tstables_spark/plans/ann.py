@@ -542,6 +542,10 @@ def _pca_power_state(emb: DataFrame, rounds: int, dims: int):
     as a literal, exactly like the query's own rounds do."""
     import math
 
+    # q is checkpointed even though it has only two consumers (mu, z):
+    # dropping the pin and re-running the quantize map twice measured a
+    # WASH at sf0.1 (2.69 s pinned vs 2.78 s lazy, 3-run min — SCALE.md
+    # measured non-win), so the simpler always-pinned form stays.
     q = emb.select(
         "vec_id",
         F.expr(
