@@ -1188,3 +1188,57 @@ def test_asof_presorted_directional_matches_and_elides(spark, tmp_path):
         right, (left["k"] == right["k"]) & (left["ts"] == right["rts"])
     ).count()
     assert eq > 0
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Independent reference for the whole as-of direction family:
+    pandas merge_asof on the same data must agree with asof_join for
+    backward / forward / nearest, with and without tolerance — a THIRD
+    implementation (the DuckDB oracles are the second), on a fixture
+    with deliberate exact-timestamp ties and equal-distance nearest
+    ties (pandas resolves those backward, as we do)."""
+    import pandas as pd
+
+    rng = __import__("random").Random(23)
+    # small time domain -> many exact ties and equal-distance pairs
+    left_rows = [(i, i % 5, rng.randrange(0, 120) * 10) for i in range(400)]
+    right_keyed = {}
+    for i in range(150):
+        k, t = i % 5, rng.randrange(0, 120) * 10 + rng.choice([0, 5])
+        right_keyed[(k, t)] = i  # unique per (key, time): last writer wins
+    lpdf = pd.DataFrame(left_rows, columns=["event_id", "k", "t"])
+    lpdf["ts"] = pd.to_datetime(lpdf["t"], unit="s")
+    rpdf = pd.DataFrame(
+        [(k, t, v) for (k, t), v in right_keyed.items()], columns=["k", "t", "val"]
+    )
+    rpdf["rts"] = pd.to_datetime(rpdf["t"], unit="s")
+    left = spark.createDataFrame(lpdf[["event_id", "k", "ts"]])
+    right = spark.createDataFrame(rpdf[["k", "rts", "val"]])
+
+    from tstables_spark.operators.asof import asof_join
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 30):
+            got = {
+                (r["event_id"], r["val"])
+                for r in asof_join(
+                    left, right, "ts", "rts", "k", "k", ["val"],
+                    tolerance_seconds=tol, direction=direction,
+                ).collect()
+            }
+            want_pdf = pd.merge_asof(
+                lpdf.sort_values("ts"),
+                rpdf.sort_values("rts")[["k", "rts", "val"]],
+                left_on="ts",
+                right_on="rts",
+                by="k",
+                direction=direction,
+                allow_exact_matches=True,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            want = {
+                (int(r.event_id), None if pd.isna(r.val) else int(r.val))
+                for r in want_pdf.itertuples()
+            }
+            assert got == want, (direction, tol,
+                                 sorted(got - want)[:5], sorted(want - got)[:5])
