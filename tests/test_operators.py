@@ -1242,3 +1242,21 @@ def test_asof_directions_match_pandas_merge_asof(spark):
             }
             assert got == want, (direction, tol,
                                  sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_distributed_cumsum_decimal_column(spark):
+    """A DecimalType value column must survive the offsets broadcast
+    join (r8 review: the first partition's offset is the Python int 0,
+    which used to mis-infer a mixed Long/Decimal column and crash
+    createDataFrame)."""
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    df = (
+        spark.createDataFrame([(i, i + 1) for i in range(200)], "k long, w long")
+        .select("k", F.col("w").cast("decimal(20,2)").alias("w"))
+    )
+    out = {r["k"]: r["cum_w"] for r in
+           distributed_cumsum(df, ["k"], ["w"], num_partitions=7).collect()}
+    import decimal
+    assert out[0] == decimal.Decimal("1.00")
+    assert out[199] == decimal.Decimal(sum(i + 1 for i in range(200)))

@@ -499,6 +499,12 @@ def test_snapshot_read_with_uri_spelled_root(spark, root):
     v1 = ts.snapshot()
     via_uri = TimeSeriesTable.open(spark, "file://" + root, "uri_s")
     assert via_uri.read_version(v1).count() == 40
+    # writer-side twin (r8 review): SNAPSHOT taken through the URI
+    # spelling must record the real manifest, not silently an empty one
+    via_uri.append(_ticks(spark, datetime(2024, 3, 5, tzinfo=UTC), 8))
+    v2 = via_uri.snapshot()
+    assert via_uri.read_version(v2).count() == 48
+    assert ts.read_version(v2).count() == 48
 
 
 def test_snapshot_invalidated_by_purge(spark, root):

@@ -106,8 +106,12 @@ def _apply_offsets(
     """Join the per-partition offset relation onto ``out`` as
     ``__off_<col>`` columns (broadcast, O(P) rows). Offsets are summed
     driver-side in Python, so a column's offsets are all int unless some
-    partition total was float — normalize per column so createDataFrame
-    infers one type (LongType or DoubleType)."""
+    partition total was float or Decimal (a decimal-typed sum column) —
+    normalize per column so createDataFrame infers one type (LongType,
+    DoubleType, or DecimalType; the first partition's offset is always
+    the Python int 0, which would otherwise mis-infer a mixed column)."""
+    import decimal
+
     if not offsets:
         for c in value_cols:
             out = out.withColumn(f"__off_{c}", F.lit(0))
@@ -116,7 +120,9 @@ def _apply_offsets(
     per_col: dict[str, list] = {}
     for c in value_cols:
         vals = [offsets[pid][c] for pid in pids]
-        if any(isinstance(v, float) for v in vals):
+        if any(isinstance(v, decimal.Decimal) for v in vals):
+            vals = [v if isinstance(v, decimal.Decimal) else decimal.Decimal(v) for v in vals]
+        elif any(isinstance(v, float) for v in vals):
             vals = [float(v) for v in vals]
         per_col[c] = vals
     rows = [

@@ -115,8 +115,6 @@ def cosine_topk(
 
     raw = emb.select(id_col, vec_col).mapInPandas(score, "qid long, nid long, cosine double")
     scored = raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -467,8 +465,6 @@ def _ivf_probes(
     """Each query's ``n_probe`` nearest centroids: (qid, qv, qn2, cell)
     — the probe relation both the scorer and the candidate-count
     diagnostic join against."""
-    from pyspark.sql import Window as W
-
     q = cells.where(query_pred).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
     )
@@ -653,8 +649,6 @@ def lsh_topk(
         # rank below counts each neighbor once
         .distinct()
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -785,8 +779,6 @@ def knn_graph(
         .groupBy("blk")
         .applyInPandas(_block_knn, "qid long, nid long, cosine double")
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))

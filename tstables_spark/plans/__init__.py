@@ -39,7 +39,12 @@ def _load_all() -> None:
     #     headline (-> 251/255 ever-green, the max possible given the
     #     4 rows-only-by-design gates). 2+12+21+12 re-checks = 47 of
     #     50: the window is FULL — any further r8 additions go BELOW
-    #     the (c) re-checks and wait for the r9 window;
+    #     the (c) re-checks and wait for the r9 window.
+    #     NOTE the list below intentionally holds MORE than 50 names:
+    #     only the first 50 are the window (verified: fn_math is #50);
+    #     the tail (fn_array..join_bucketed) is ordered next-in-line
+    #     backfill, NOT covered this round — the r9 plan must treat
+    #     those as oldest-evidence, not as re-checked;
     # (c) re-check slots for every query whose implementing module
     #     changed since its last green row: the r7 core-lifecycle
     #     hardening (1432c25 + b05b44a touched tstable.py + streaming/

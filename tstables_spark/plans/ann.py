@@ -503,10 +503,12 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize once to 2^20 units (floor of identical IEEE doubles), the
     per-row projection c_r = z_r . v and the matvec y = sum c_r z_r
     are exact BIGINT sums, and the only non-integer step — the
-    per-round max-normalization y/max|y| — is a correctly-rounded
-    int->double division both engines perform identically (y can
-    exceed 2^53; the int->double cast rounds, but IDENTICALLY, because
-    it is the same mathematical integer on both sides). The oracle
+    per-round max-normalization y/max|y| — casts each BIGINT to double
+    FIRST and then divides, on all three sides (Spark, DuckDB, and the
+    driver loop, which casts explicitly via float() — big-int true
+    division would be up to ~2 ulps off past 2^53): the same
+    mathematical integers round to the same doubles, so the division
+    and its floor are bit-identical. The oracle
     unrolls all three rounds in SQL, hash-checking every round's state
     transitively through the final component.
 
@@ -588,7 +590,13 @@ def _pca_power_state(emb: DataFrame, rounds: int, dims: int):
         for r in y_rows:
             y[r["dim"]] = int(r["y"])
         mx = max(abs(t) for t in y)
-        v = [math.floor(t / mx * 1048576) for t in y]
+        # Cast each operand to double BEFORE dividing — the engines'
+        # 'FLOOR(y / mx * 1048576)' converts the BIGINTs to double
+        # first, while Python's big-int true division would compute the
+        # correctly-rounded quotient of the EXACT rational (up to ~2
+        # ulps apart when |y| > 2^53), which could flip a floor and
+        # fork every later round (r8 review).
+        v = [math.floor(float(t) / float(mx) * 1048576) for t in y]
     return z, v
 
 

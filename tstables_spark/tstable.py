@@ -816,15 +816,17 @@ class TimeSeriesTable:
         compaction/purge/upsert delete files, so older snapshots
         spanning rewritten days become unreadable — the standard
         vacuum trade every snapshotting table format makes."""
+        # Qualify the root exactly as read_version does: listFiles
+        # returns Hadoop-normalized URIs, so substring-matching the raw
+        # self.path spelling (e.g. file:///x vs file:/x) would reject
+        # every file and silently record an EMPTY manifest.
         manifest = []
-        base = self.path.rstrip("/") + "/"
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        it = fs.listFiles(hpath(self.path), True)
+        fs, jroot, _ = _jfs(self.spark, self.path)
+        base = fs.makeQualified(jroot).toString().rstrip("/") + "/"
+        it = fs.listFiles(jroot, True)
         while it.hasNext():
             p = it.next().getPath().toString()
-            rel = p[p.index(base) + len(base):] if base in p else p
+            rel = p[len(base):] if p.startswith(base) else p
             if rel.startswith(f"{DATE_COL}=") and rel.endswith(".parquet"):
                 manifest.append(rel)
         _fs_mkdirs(self.spark, self._versions_dir())
