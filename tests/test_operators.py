@@ -1260,3 +1260,42 @@ def test_distributed_cumsum_decimal_column(spark):
     import decimal
     assert out[0] == decimal.Decimal("1.00")
     assert out[199] == decimal.Decimal(sum(i + 1 for i in range(200)))
+
+
+def test_qsketch_quantile_guarantee_random(spark):
+    """The rank-walk guarantee on random data: for several random value
+    distributions (uniform, log-uniform, heavy-duplicate), the exact
+    rank-k value must land inside the bucket selected by the cumulative
+    walk for every q in {.5, .9, .99} — the in_bucket contract
+    agg_qsketch_quantiles publishes, checked off-fixture."""
+    import math
+    import random
+
+    from tstables_spark.plans._portable_sql import _qsketch_cells
+
+    for seed, gen in [
+        (1, lambda r: r.randrange(1, 10**6)),
+        (2, lambda r: int(math.exp(r.uniform(0, 30))) + 1),
+        (3, lambda r: r.choice([5, 17, 123, 45678, 10**9])),
+    ]:
+        r = random.Random(seed)
+        vals = sorted(gen(r) for _ in range(2000))
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        sk = sorted(
+            (row["bucket"], row["lo"], row["hi"], row["cnt"])
+            for row in _qsketch_cells(df).collect()
+        )
+        n = len(vals)
+        for q_ppm in (500000, 900000, 990000):
+            k = (n * q_ppm + 999999) // 1000000
+            exact = vals[k - 1]
+            cum = 0
+            for _, lo, hi, cnt in sk:
+                cum += cnt
+                if cum >= k:
+                    assert lo <= exact < hi, (seed, q_ppm, exact, lo, hi)
+                    if exact >= 16:
+                        assert (hi - lo) * 16 <= lo
+                    break
+            else:
+                raise AssertionError("rank walk exhausted the sketch")
