@@ -26,6 +26,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Portable hashing: every fingerprint below is reproducible OUTSIDE this
@@ -625,8 +626,6 @@ def prefix_dup_flags(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("__pid").orderBy(text_col, id_col)
     led = d.withColumn("__nxt", F.lead(text_col).over(w))
     firsts = d.groupBy("__pid").agg(

@@ -86,6 +86,11 @@ def cosine_topk(
     qn2 = np.zeros(len(qids))
     for i in range(d):
         qn2 += QM[:, i] * QM[:, i]
+    if (qn2 == 0).any():
+        raise ValueError(
+            f"zero-norm query vector(s): {qids[qn2 == 0][:5].tolist()} — "
+            "cosine is undefined; filter or re-embed them first"
+        )
     local_keep = max(2 * k, k + 5)
 
     def score(batches):
@@ -102,7 +107,12 @@ def cosine_topk(
                 dot = np.zeros(len(ids))
                 for i in range(d):
                     dot += QM[qi, i] * M[:, i]
-                cos = dot / np.sqrt(qn2[qi] * n2)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    # zero-norm corpus rows yield NaN, which fails every
+                    # comparison below: they drop from all results
+                    # DETERMINISTICALLY (cosine with the zero vector is
+                    # undefined) instead of warning per batch
+                    cos = dot / np.sqrt(qn2[qi] * n2)
                 mask = ids != qids[qi]
                 c, nid = cos[mask], ids[mask]
                 if len(c) > local_keep:
@@ -115,6 +125,14 @@ def cosine_topk(
 
     raw = emb.select(id_col, vec_col).mapInPandas(score, "qid long, nid long, cosine double")
     scored = raw.select("qid", "nid", F.round("cosine", 4).alias("cosine"))
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored, k: int):
+    """The ONE top-k rank epilogue every ANN variant shares: rank by
+    (cosine DESC, nid) — the tie-break order the oracles hash — keep
+    rank <= k, emit (qid, nid, cosine, rank). Factored so a tie-break
+    change cannot silently diverge between variants."""
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -173,21 +191,30 @@ def embedding_near_dup_pairs(
         n2 = np.zeros(n)
         for i in range(d):
             n2 += M[:, i] * M[:, i]
-        ia, ib = np.triu_indices(n, 1)  # ids sorted -> vec_a < vec_b
+        # banded pair generation: a full np.triu_indices(n, 1) would
+        # materialize ~8n^2 bytes of int64 indices BEFORE any chunking
+        # (r8 review) — generate each band's (a, b) indices on the fly
+        # so index memory is bounded by the same pair budget as the
+        # gathered float temporaries.
         outs = []
-        for s in range(0, len(ia), chunk):
-            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
-            A, B = M[ca], M[cb]
-            dot = np.zeros(len(ca))
-            for i in range(d):
-                dot += A[:, i] * B[:, i]
-            cos = dot / np.sqrt(n2[ca] * n2[cb])
-            keep = cos >= margin
-            outs.append(
-                pd.DataFrame(
-                    {"vec_a": ids[ca[keep]], "vec_b": ids[cb[keep]], "cosine": cos[keep]}
+        row_chunk = max(1, chunk // max(1, n - 1))
+        for a0 in range(0, n - 1, row_chunk):
+            arng = np.arange(a0, min(a0 + row_chunk, n - 1))
+            ia = np.repeat(arng, n - 1 - arng)
+            ib = np.concatenate([np.arange(a + 1, n) for a in arng])
+            for s in range(0, len(ia), chunk):
+                ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+                A, B = M[ca], M[cb]
+                dot = np.zeros(len(ca))
+                for i in range(d):
+                    dot += A[:, i] * B[:, i]
+                cos = dot / np.sqrt(n2[ca] * n2[cb])
+                keep = cos >= margin
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": ids[ca[keep]], "vec_b": ids[cb[keep]], "cosine": cos[keep]}
+                    )
                 )
-            )
         return pd.concat(outs, ignore_index=True)
 
     raw = (
@@ -379,7 +406,7 @@ def ivf_assign(
     (by id — deterministic, no RNG) act as the coarse codebook, and
     every vector is assigned the cell of its nearest centroid by cosine.
 
-    Returns (cells, centroids): ``cells`` = emb columns + ``cell``;
+    Returns (cells, centroids): ``cells`` = (id_col, v, n2, cell);
     ``centroids`` = (cell, cv, cn2). The codebook rows are collected
     once (n_cells·d doubles) and assignment happens scan-side with zero
     shuffle — see ``_cells_from_codebook``. Seeding by id keeps this
@@ -401,6 +428,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    dim: int = DIM,
 ) -> DataFrame:
     """Approximate top-k via IVF: score each query only against the
     members of its ``n_probe`` nearest cells.
@@ -412,8 +440,8 @@ def ivf_topk(
     table BY cell so probes hit co-located partitions without a
     shuffle. Exact twin: ``cosine_topk``; recall floor pinned by unit
     test."""
-    cells, cents = ivf_assign(emb, n_cells, id_col)
-    return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
+    cells, cents = ivf_assign(emb, n_cells, id_col, dim=dim)
+    return _ivf_probe_topk(emb, cells, cents, query_pred, k, n_probe, id_col, dim)
 
 
 def ivf_topk_kmeans(
@@ -452,24 +480,31 @@ def ivf_topk_kmeans(
             acc += x * x
         cn2s.append(acc)
     cells, cents = _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
-    return _ivf_probe_topk(cells, cents, query_pred, k, n_probe, id_col)
+    return _ivf_probe_topk(emb, cells, cents, query_pred, k, n_probe, id_col, dim)
 
 
 def _ivf_probes(
+    emb: DataFrame,
     cells: DataFrame,
     cents: DataFrame,
     query_pred: Column,
     n_probe: int,
     id_col: str,
+    dim: int = DIM,
 ) -> DataFrame:
     """Each query's ``n_probe`` nearest centroids: (qid, qv, qn2, cell)
     — the probe relation both the scorer and the candidate-count
-    diagnostic join against."""
-    q = cells.where(query_pred).select(
+    diagnostic join against. ``query_pred`` resolves against the FULL
+    ``emb`` schema (then a broadcast semi-join picks those rows out of
+    the kernel's (id, v, n2, cell) projection), so any predicate the
+    exact twin cosine_topk accepts works here too — not just id
+    predicates (r8 review)."""
+    q_ids = emb.where(query_pred).select(id_col)
+    q = cells.join(F.broadcast(q_ids), id_col, "semi").select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
     )
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos", _dot("qv", "cv") / F.sqrt(F.col("qn2") * F.col("cn2"))
+        "__cos", _dot("qv", "cv", dim) / F.sqrt(F.col("qn2") * F.col("cn2"))
     )
     probe_w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), "cell")
     return (
@@ -485,6 +520,7 @@ def ivf_candidate_counts(
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    dim: int = DIM,
 ) -> DataFrame:
     """Diagnostic for the IVF gate: per-query CANDIDATE-SET SIZE — the
     number of corpus vectors the query actually scores (members of its
@@ -495,8 +531,8 @@ def ivf_candidate_counts(
     the quantity that distinguishes them, expected ≈ |corpus| *
     n_probe / n_cells. Same ivf_assign + _ivf_probes path the real
     query uses."""
-    cells, cents = ivf_assign(emb, n_cells, id_col)
-    probes = _ivf_probes(cells, cents, query_pred, n_probe, id_col).select(
+    cells, cents = ivf_assign(emb, n_cells, id_col, dim=dim)
+    probes = _ivf_probes(emb, cells, cents, query_pred, n_probe, id_col, dim).select(
         "qid", "cell"
     )
     c = cells.select(F.col(id_col).alias("nid"), "cell")
@@ -509,32 +545,31 @@ def ivf_candidate_counts(
 
 
 def _ivf_probe_topk(
+    emb: DataFrame,
     cells: DataFrame,
     cents: DataFrame,
     query_pred: Column,
     k: int,
     n_probe: int,
     id_col: str,
+    dim: int = DIM,
 ) -> DataFrame:
     """Shared IVF probe + score: each query scores only the members of
     its ``n_probe`` nearest cells (broadcast probes → equi-join on
-    cell → per-query rank)."""
-    probes = _ivf_probes(cells, cents, query_pred, n_probe, id_col)
+    cell → per-query rank). ``dim`` reaches every dot product — the
+    r8 review found the probe/score path silently hardcoding DIM=64
+    while cell assignment honored the caller's dim."""
+    probes = _ivf_probes(emb, cells, cents, query_pred, n_probe, id_col, dim)
     c = cells.select(
         F.col(id_col).alias("nid"), F.col("v").alias("cv2"), F.col("n2").alias("cn22"), "cell"
     )
-    cos = F.round(_dot("qv", "cv2") / F.sqrt(F.col("qn2") * F.col("cn22")), 4)
+    cos = F.round(_dot("qv", "cv2", dim) / F.sqrt(F.col("qn2") * F.col("cn22")), 4)
     scored = (
         c.join(F.broadcast(probes), "cell")
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", cos.alias("cosine"))
     )
-    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _lsh_pairs(
@@ -557,7 +592,16 @@ def _lsh_pairs(
         F.col("n2").alias("cn2"),
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    masks = [0] + ([1 << j for j in range(planes)] if probe_bits >= 1 else [])
+    # all XOR masks with popcount <= probe_bits (Hamming-b probing;
+    # probe_bits=1 reproduces the classic single-flip multi-probe
+    # exactly). r8 review: values > 1 used to silently act as 1.
+    from itertools import combinations
+
+    masks = [
+        sum(1 << j for j in bits)
+        for b in range(probe_bits + 1)
+        for bits in combinations(range(planes), b)
+    ]
     probe_structs = F.array(
         *[
             F.struct(
@@ -649,12 +693,7 @@ def lsh_topk(
         # rank below counts each neighbor once
         .distinct()
     )
-    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_range(
@@ -687,6 +726,11 @@ def cosine_range(
     qn2 = np.zeros(len(qids))
     for i in range(d):
         qn2 += QM[:, i] * QM[:, i]
+    if (qn2 == 0).any():
+        raise ValueError(
+            f"zero-norm query vector(s): {qids[qn2 == 0][:5].tolist()} — "
+            "cosine is undefined; filter or re-embed them first"
+        )
 
     def score(batches):
         for pdf in batches:
@@ -702,7 +746,8 @@ def cosine_range(
                 dot = np.zeros(len(ids))
                 for i in range(d):
                     dot += QM[qi, i] * M[:, i]
-                cos = dot / np.sqrt(qn2[qi] * n2)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dot / np.sqrt(qn2[qi] * n2)
                 sel = (cos >= tau - 1e-4) & (ids != qids[qi])
                 if sel.any():
                     outs.append(
