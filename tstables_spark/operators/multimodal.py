@@ -124,3 +124,41 @@ def frame_sample(packed: DataFrame, every_n: int = 4, frame_bytes: int = 64) -> 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_feat": feats})
 
     return packed.mapInPandas(run, FRAME_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id long, frame_idx long, n_bytes long, energy long"
+
+
+def audio_frame_energy(
+    packed: DataFrame, frame_bytes: int = 32, max_frames: int = 16
+) -> DataFrame:
+    """Audio frame-energy extraction (the librosa/PCM shape): window
+    the payload into fixed-size frames and emit one scalar per frame —
+    energy = sum of squared sample values. The real path decodes PCM
+    and squares amplitudes; the stand-in squares the raw payload BYTES,
+    which is the identical windowed-aggregate computation over the
+    identical batching, so the Spark-side plumbing (1 row -> N frame
+    rows, bounded by ``max_frames``, exact integer sums) is fully
+    exercised and oracle-checkable. Byte values and frame boundaries
+    are engine-independent, so every emitted number is an exact
+    BIGINT."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, engs = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob["data"])
+                # empty payloads emit no frames (matching the oracle's
+                # empty generate_series)
+                n_frames = min((len(data) + frame_bytes - 1) // frame_bytes, max_frames)
+                for fi in range(n_frames):
+                    fr = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(fr))
+                    engs.append(sum(b * b for b in fr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": lens, "energy": engs}
+            )
+
+    return packed.mapInPandas(run, ENERGY_SCHEMA)

@@ -44,7 +44,9 @@ def _load_all() -> None:
     #     only the first 50 are the window (verified: fn_math is #50);
     #     the tail (fn_array..join_bucketed) is ordered next-in-line
     #     backfill, NOT covered this round — the r9 plan must treat
-    #     those as oldest-evidence, not as re-checked;
+    #     those as oldest-evidence, not as re-checked. QUEUED FOR r9
+    #     (registered after the window filled, never driver-checked,
+    #     local-parity green at 3 scales): multimodal_audio_energy;
     # (c) re-check slots for every query whose implementing module
     #     changed since its last green row: the r7 core-lifecycle
     #     hardening (1432c25 + b05b44a touched tstable.py + streaming/

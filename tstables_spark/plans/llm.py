@@ -1368,3 +1368,52 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, hx, nb,
+             unnest(generate_series(0, least((nb + 31) // 32, 16) - 1)) AS fi
+      FROM b
+    ),
+    by AS (
+      SELECT doc_id, fi,
+             ('0x' || hx[bi*2 + 1 : bi*2 + 2])::BIGINT AS bv
+      FROM (SELECT doc_id, fi, hx,
+                   unnest(generate_series(fi * 32,
+                            least((fi + 1) * 32, nb) - 1)) AS bi
+            FROM fr) t
+    )
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(bv * bv) AS BIGINT) AS energy
+    FROM by GROUP BY doc_id, fi
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAME-ENERGY extraction over the multimodal struct — the
+    windowed per-frame feature shape every audio pipeline runs
+    (librosa frame -> energy/MFCC): each payload windows into 32-byte
+    frames (first 16 per doc) and emits one exact-integer energy
+    scalar per frame. Real decode is the documented
+    operators/multimodal.py gate; the stand-in squares raw payload
+    bytes — the IDENTICAL windowed-aggregate over the identical Arrow
+    batching, so the 1-row->N-frames plumbing, frame boundaries, and
+    integer sums are all hash-checked against the byte-level oracle.
+
+    Scale shape: one mapInPandas pass, output bounded at max_frames
+    rows per doc; at 100 TB the payload column streams through Arrow
+    batches and metadata-only readers never touch it (parquet column
+    pruning — see multimodal_schema)."""
+    from tstables_spark.operators.multimodal import audio_frame_energy, pack_multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_multimodal(docs)
+    return audio_frame_energy(packed, frame_bytes=32, max_frames=16)
