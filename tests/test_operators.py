@@ -1299,3 +1299,34 @@ def test_qsketch_quantile_guarantee_random(spark):
                     break
             else:
                 raise AssertionError("rank walk exhausted the sketch")
+
+
+def test_audio_frame_energy_edges(spark):
+    """Frame boundaries of the audio-energy kernel: empty payload emits
+    NO frames (matching the oracle's empty generate_series), an exact
+    frame multiple emits full frames only, a short tail emits a partial
+    frame with the correct byte count, and max_frames truncates."""
+    import pandas as pd
+    from tstables_spark.operators.multimodal import audio_frame_energy
+
+    rows = [
+        (1, b""),                # no frames
+        (2, bytes(range(32))),   # exactly one full frame
+        (3, bytes(range(40))),   # one full + one 8-byte tail
+        (4, bytes(200)),         # 7 frames, truncated to max_frames=3
+    ]
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows]})
+    packed = spark.createDataFrame(
+        [(d, (b, "audio/pcm", {})) for d, b in rows],
+        "doc_id long, blob struct<data: binary, mime: string, meta: map<string,string>>",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["n_bytes"], r["energy"])
+        for r in audio_frame_energy(packed, frame_bytes=32, max_frames=3).collect()
+    }
+    assert not any(d == 1 for d, _ in got)
+    assert got[(2, 0)] == (32, sum(b * b for b in range(32)))
+    assert got[(3, 0)] == (32, sum(b * b for b in range(32)))
+    assert got[(3, 1)] == (8, sum(b * b for b in range(32, 40)))
+    assert {f for d, f in got if d == 4} == {0, 1, 2}
+    assert got[(4, 0)] == (32, 0)
