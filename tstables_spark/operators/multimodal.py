@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -141,7 +142,16 @@ def audio_frame_energy(
     rows, bounded by ``max_frames``, exact integer sums) is fully
     exercised and oracle-checkable. Byte values and frame boundaries
     are engine-independent, so every emitted number is an exact
-    BIGINT."""
+    BIGINT.
+
+    The frame kernel is numpy-vectorized (frombuffer -> widen to int64
+    -> zero-pad the ragged tail -> reshape(-1, frame_bytes) -> row
+    square-sums): this is the hot loop of a real audio pass where
+    payloads are MBs, and a per-byte Python loop would dominate the
+    stage. Squares are <= 255^2 and a frame sum is <= frame_bytes *
+    65025, so int64 arithmetic is exact — output is bit-identical to
+    the scalar form (pinned by tests/test_operators.py's edge-case
+    frame-boundary test)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,12 +161,20 @@ def audio_frame_energy(
                 # empty payloads emit no frames (matching the oracle's
                 # empty generate_series)
                 n_frames = min((len(data) + frame_bytes - 1) // frame_bytes, max_frames)
-                for fi in range(n_frames):
-                    fr = data[fi * frame_bytes : (fi + 1) * frame_bytes]
-                    ids.append(doc_id)
-                    idxs.append(fi)
-                    lens.append(len(fr))
-                    engs.append(sum(b * b for b in fr))
+                if n_frames == 0:
+                    continue
+                used = min(len(data), n_frames * frame_bytes)
+                sq = np.frombuffer(data, dtype=np.uint8, count=used).astype(np.int64)
+                sq *= sq
+                pad = -used % frame_bytes
+                if pad:
+                    sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+                energies = sq.reshape(n_frames, frame_bytes).sum(axis=1)
+                ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                lens.extend([frame_bytes] * (n_frames - 1))
+                lens.append(used - (n_frames - 1) * frame_bytes)
+                engs.extend(energies.tolist())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "n_bytes": lens, "energy": engs}
             )
