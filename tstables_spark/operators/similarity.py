@@ -579,13 +579,14 @@ def _lsh_pairs(
     n_tables: int,
     probe_bits: int,
     id_col: str,
+    dim: int = DIM,
 ) -> DataFrame:
     """The raw LSH collision relation: every (query, corpus) row pair
     sharing a (table, bucket), self excluded, one row per collision
     (NOT deduped — ``lsh_topk`` dedups after projecting the cosine;
     ``lsh_candidate_counts`` dedups on (qid, nid)). Carries qid/qv/qn2
     and nid/cv/cn2 so callers can score or count."""
-    b = _lsh_scan(emb, planes, n_tables, DIM, id_col)
+    b = _lsh_scan(emb, planes, n_tables, dim, id_col)
     c = b.select(
         F.col(id_col).alias("nid"),
         F.col("v").alias("cv"),
@@ -602,25 +603,26 @@ def _lsh_pairs(
         for b in range(probe_bits + 1)
         for bits in combinations(range(planes), b)
     ]
-    probe_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.col("buckets")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
-            )
-            for t in range(n_tables)
-            for m in masks
-        ]
+    # The (tbl, mask) probe set rides in as a broadcast literal
+    # RELATION, not one giant array expression: n_tables * sum
+    # C(planes, b) struct literals in a single projection recreates
+    # the codegen-size blowup distributed_cumsum removed in r8 —
+    # growing with the probe config instead of staying O(1). A
+    # cross-join against <= a few hundred constant rows is the same
+    # row expansion with a constant-size plan.
+    probes = emb.sparkSession.createDataFrame(
+        [(t, m) for t in range(n_tables) for m in masks], "tbl INT, mask INT"
     )
-    q = (
-        _lsh_scan(emb.where(query_pred), planes, n_tables, DIM, id_col)
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("n2").alias("qn2"),
-            F.explode(probe_structs).alias("pb"),
-        )
-        .select("qid", "qv", "qn2", F.col("pb.tbl").alias("tbl"), F.col("pb.bucket").alias("bucket"))
+    q = _lsh_scan(emb.where(query_pred), planes, n_tables, dim, id_col).crossJoin(
+        F.broadcast(probes)
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("tbl"),
+        F.element_at("buckets", F.col("tbl") + 1)
+        .bitwiseXOR(F.col("mask"))
+        .alias("bucket"),
     )
     return c.join(F.broadcast(q), ["tbl", "bucket"]).where(
         F.col("qid") != F.col("nid")
@@ -634,6 +636,7 @@ def lsh_candidate_counts(
     n_tables: int = 8,
     probe_bits: int = 1,
     id_col: str = "vec_id",
+    dim: int = DIM,
 ) -> DataFrame:
     """Diagnostic for the LSH gate: per-query DISTINCT candidate count
     (corpus vectors sharing any probed bucket). Same rationale as
@@ -641,7 +644,7 @@ def lsh_candidate_counts(
     regression in either direction; the candidate count is what tells
     selective-and-accurate apart from accidentally-brute-force."""
     return (
-        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col)
+        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col, dim)
         .select("qid", "nid")
         .distinct()
         .groupBy("qid")
@@ -657,6 +660,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     probe_bits: int = 1,
     n_tables: int = 8,
+    dim: int = DIM,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE multi-probe hyperplane LSH: a
     vector is a candidate for a query if they share a bucket in ANY of
@@ -683,10 +687,10 @@ def lsh_topk(
     the ``_lsh_scan`` kernel (one Arrow-batched pass; the equivalent
     column-expression tree falls out of codegen and runs ~10x slower —
     see its docstring)."""
-    dot = _dot("qv", "cv")
+    dot = _dot("qv", "cv", dim)
     cos = F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 4)
     scored = (
-        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col)
+        _lsh_pairs(emb, query_pred, planes, n_tables, probe_bits, id_col, dim)
         .select("qid", "nid", cos.alias("cosine"))
         # a pair can collide in several tables; dedup the 3-column
         # projection (cosine is identical across duplicates) so the

@@ -166,6 +166,13 @@ def _qsketch_cells(vals: DataFrame, v_col: str = "v") -> DataFrame:
     # lead=31): Spark's shiftleft would silently wrap negative and
     # DuckDB's << raises — clamp that one bucket's hi to BIGINT max
     # (its bound becomes inclusive; every other bucket is unaffected).
+    # DECLARED MEASURE DOMAIN: 0 <= v < 2^63 - 1. Consumers check
+    # containment with the uniform exclusive `v < hi` (relational.py
+    # in_bucket, the test containment join), so the single value
+    # v = 2^63 - 1 would fall outside its own clamped bucket — both
+    # engines agree (no parity risk), but the published per-bucket
+    # guarantee excludes that one value by contract rather than
+    # special-casing every consumer's predicate.
     return (
         vals.selectExpr(
             f"""CASE WHEN {v_col} < 16 THEN {v_col}

@@ -1444,6 +1444,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM mom
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
     """,
 )
 def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1479,12 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate groups (single row, or zero x/y variance) hit 0/0,
+    # where Spark non-ANSI (NULL) and DuckDB (inf/NaN or error) are
+    # not pinned to agree — filter them on BOTH sides so the oracle
+    # contract is data-independent, not fixture luck.
+    mom = mom.where((F.col("n") >= 2) & (den != 0) & (deny != 0))
     slope = num / den
     return mom.select(
         "event_type",

@@ -3104,17 +3104,18 @@ def ts_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_decompose",
     oracle=f"""
     WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
+      SELECT event_type,
+             CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) // 3600 AS he,
              CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
              CAST(FLOOR(CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT) AS m_micro
       FROM events GROUP BY 1, 2, 3),
     tr AS (
-      SELECT event_type, h, hod, m_micro,
+      SELECT event_type, he, hod, m_micro,
              SUM(m_micro) OVER w AS wsum,
              COUNT(*) OVER w AS wn
       FROM hourly
-      WINDOW w AS (PARTITION BY event_type ORDER BY h
-                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      WINDOW w AS (PARTITION BY event_type ORDER BY he
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
     det AS (
       SELECT event_type, hod,
              m_micro - CAST(FLOOR(wsum / 25) AS BIGINT) AS d_micro
@@ -3154,9 +3155,15 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     half boundaries, where Spark's HALF_UP disagrees with DuckDB's
     banker's rounding — observed twice at sf0.1 before this shape,
     including one divergence inside the per-row double->DECIMAL cast
-    of a windowed decimal sum. Integers cannot diverge. Trend rows
-    require the full 25-row frame so partial edge windows never enter
-    the seasonal estimate.
+    of a windowed decimal sum. Integers cannot diverge.
+
+    The trend frame is a RANGE over integer hour-epoch, not 25 ROWS:
+    on a series with missing hours a ROWS frame silently averages 25
+    OBSERVATIONS over a wider time span, while RANGE +/-12 hours with
+    the wn = 25 requirement asserts hour-CONTIGUITY — windows touching
+    a gap (and partial edge windows) drop out of the seasonal estimate
+    instead of widening the trend span, matching the textbook
+    decomposition on sparse series.
 
     Scale shape: the hourly pre-aggregate collapses the raw scan to
     (types x hours) rows BEFORE any window runs; the trend window
@@ -3166,14 +3173,14 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
-        F.date_trunc("hour", "ts").alias("h"),
+        F.expr("unix_seconds(date_trunc('hour', ts)) div 3600").alias("he"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(
         F.floor(exact_sum("value") * F.lit(1_000_000) / F.count("*"))
         .cast("long")
         .alias("m_micro"),
     )
-    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    w = W.partitionBy("event_type").orderBy("he").rangeBetween(-12, 12)
     tr = hourly.select(
         "event_type",
         "hod",
