@@ -240,9 +240,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-@query(
-    "stream_stateful",
-    oracle="""
+_STATEFUL_ORACLE = """
     WITH l AS (
       SELECT user_id, value AS last_value,
              row_number() OVER (PARTITION BY user_id
@@ -253,8 +251,10 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events GROUP BY user_id)
     SELECT c.user_id, c.n_events, l.last_value, TRUE AS total_ok
     FROM c JOIN l ON c.user_id = l.user_id AND l.rn = 1
-    """,
-)
+    """
+
+
+@query("stream_stateful", oracle=_STATEFUL_ORACLE)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running count/sum/last over the stream, checked against its batch
@@ -267,10 +267,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in micro-batch arrival order, so the oracle instead
     expects ``total_ok`` TRUE = within 1e-9 relative of the
     order-independent decimal-exact batch sum."""
+    return _stateful_final(spark, sf_dir, running_user_stats)
+
+
+def _stateful_final(spark: SparkSession, sf_dir: str, stats_fn) -> DataFrame:
+    """Shared body of stream_stateful and its transformWithState twin:
+    run the given streaming stats operator to completion, keep each
+    user's final state, attach the exact-batch total tolerance bool."""
     from pyspark.sql import Window
 
     src = _read_stream(spark, sf_dir)
-    out = _run_to_memory(running_user_stats(src), "update")
+    out = _run_to_memory(stats_fn(src), "update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     batch = (
@@ -294,13 +301,37 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE: running_user_stats_tws (transformWithStateInPandas, the Spark
-# 4.x forward path for custom stateful ops) is implemented in
-# streaming/stateful.py but NOT registered: the API's driver-side
-# worker needs the python protobuf package, which is broken in this
-# container (ImportError on google.protobuf.descriptor). The
-# applyInPandasWithState twin above covers the semantics; the tws
-# variant is covered by a test that skips when protobuf is unusable.
+# running_user_stats_tws (transformWithStateInPandas, the Spark 4.x
+# forward path for custom stateful ops — typed state on a RocksDB-
+# backed store) is implemented in streaming/stateful.py. Its driver-
+# side worker needs the python protobuf package, which is broken in
+# this container (ImportError on google.protobuf.descriptor), so the
+# twin query registers CONDITIONALLY: probe protobuf at import time
+# and register stream_stateful_tws the moment the environment allows,
+# giving the forward path driver evidence automatically. Until then
+# the applyInPandasWithState twin above carries the semantics and the
+# tws code is covered by a skip-guarded test (tests/test_streaming.py).
+
+
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_usable():  # pragma: no cover - protobuf broken in this container
+
+    @query("stream_stateful_tws", oracle=_STATEFUL_ORACLE)
+    def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas twin of stream_stateful — same
+        semantics, same oracle, state held in typed ValueState on the
+        state store (streaming/stateful.py::running_user_stats_tws)."""
+        from tstables_spark.streaming.stateful import running_user_stats_tws
+
+        return _stateful_final(spark, sf_dir, running_user_stats_tws)
 
 
 @query(
