@@ -307,6 +307,76 @@ def asof_join_presorted_directional(
     )
 
 
+def stage_asof_interval_layout(
+    right: DataFrame,
+    right_on: str,
+    right_by: str,
+    right_values: Sequence[str],
+    table_name: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Stage a STATIC right side as validity intervals for REPEATED
+    as-of retrieval against changing left sides (the streaming case).
+
+    ``stage_asof_layout`` pre-sorts the UNION of both sides, so it only
+    amortizes when the left side is fixed too. When the left side is a
+    stream, every micro-batch is new rows — but the book is static, so
+    the backward-as-of lookup "last right row at-or-before t" can be
+    precomputed as an interval: right row i is the answer for every t
+    in [time_i, time_{i+1}). One lead() window at staging time (paid
+    once) turns the book into (key, __vfrom, __vto, values); each
+    micro-batch then needs only an equi-join on key with two range
+    conjuncts — NO union, NO window, NO sort of the book, per trigger.
+    The table is bucketed by key so the book side of every per-batch
+    sort-merge join is Exchange-free; only the (small) batch shuffles.
+
+    Requires the right side unique per (key, time) — the same
+    precondition every as-of entry point documents."""
+    book = right.select(
+        F.col(right_by).alias(_KEY),
+        F.col(right_on).alias("__vfrom"),
+        *right_values,
+    ).withColumn(
+        "__vto", F.lead("__vfrom").over(W.partitionBy(_KEY).orderBy("__vfrom"))
+    )
+    (
+        book.repartition(num_buckets, F.col(_KEY))
+        .write.bucketBy(num_buckets, _KEY)
+        .sortBy(_KEY, "__vfrom")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def asof_join_interval(
+    left: DataFrame,
+    table_name: str,
+    left_on: str,
+    left_by: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """Backward as-of of ``left`` against a ``stage_asof_interval_layout``
+    table: a plain LEFT equi-join on key with the interval containment
+    conjuncts (__vfrom <= t < __vto, open-ended last interval). Each
+    left row matches at most one interval, so semantics are identical
+    to ``asof_join`` — but per retrieval the book is scanned, never
+    shuffled or sorted, and the only window ever run was the one
+    lead() at staging time."""
+    book = left.sparkSession.table(table_name)
+    t = left[left_on]
+    cond = (
+        (left[left_by] == book[_KEY])
+        & (t >= book["__vfrom"])
+        & (book["__vto"].isNull() | (t < book["__vto"]))
+    )
+    return left.join(book, cond, "left").select(
+        *[left[c] for c in left.columns],
+        *[book[v] for v in right_values],
+    )
+
+
 def stage_asof_multi_layout(
     left: DataFrame,
     sources: Sequence[tuple[DataFrame, str, str, Sequence[str]]],

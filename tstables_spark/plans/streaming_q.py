@@ -510,6 +510,40 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_INTERVAL_STAGED: dict = {}
+
+
+def _asof_interval_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the pre-collapsed order book as validity intervals once
+    per (app, sf) — the streaming twin of timeseries._asof_staged_table
+    (same pay-the-window-at-write-time pattern, interval flavor)."""
+    from tstables_spark.operators.asof import stage_asof_interval_layout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ASOF_INTERVAL_STAGED:
+        tag = "asof_iv_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix="asof_interval_")
+        od = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(
+                F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            )
+        )
+        stage_asof_interval_layout(
+            od,
+            right_on="o_orderdate",
+            right_by="o_custkey",
+            right_values=["o_orderkey", "o_totalprice"],
+            table_name=tag,
+            path=f"{base}/t",
+            num_buckets=8,
+        )
+        _ASOF_INTERVAL_STAGED[key] = tag
+    return _ASOF_INTERVAL_STAGED[key]
+
+
 @query(
     "stream_asof",
     oracle="""
@@ -526,27 +560,30 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING as-of enrichment: each micro-batch of the event stream
-    is as-of joined (union+window single-shuffle plan, operators/asof)
-    against a static, pre-collapsed order book via ``foreachBatch`` —
-    the production shape for "stamp each tick with the prevailing
-    reference price". Against a STATIC right side the as-of result is
-    per-row independent, so multi-batch equals single-batch; the input
-    is split over three files consumed one per trigger to prove it.
-    State stays ZERO (no stream-stream watermark bookkeeping) — at
-    100 TB the right side is a broadcast or hash side per micro-batch,
-    never growing state. The oracle is the batch twin (DuckDB ASOF):
-    the hash match proves batch boundaries don't leak into results."""
-    from tstables_spark.operators.asof import asof_join
+    is as-of joined against a static, pre-collapsed order book via
+    ``foreachBatch`` — the production shape for "stamp each tick with
+    the prevailing reference price". Against a STATIC right side the
+    as-of result is per-row independent, so multi-batch equals
+    single-batch; the input is split over three files consumed one per
+    trigger to prove it.
+
+    The book rides the INTERVAL layout
+    (operators/asof.py::stage_asof_interval_layout): the backward-as-of
+    answer per (key, t) is precomputed as validity intervals by ONE
+    lead() window at staging time, so every micro-batch is a plain
+    bucketed equi-join with range conjuncts — no union, no window, no
+    book shuffle or sort per trigger (the r8 shape re-ran the
+    union+window against the full book EVERY batch; measured over the
+    3 sf0.1 triggers: 2.31 s -> 1.45 s, staging 2.75 s paid once —
+    SCALE.md). State stays ZERO (no
+    stream-stream watermark bookkeeping) — at 100 TB the staged book
+    is the scan side of each per-batch join, never growing state. The
+    oracle is the batch twin (DuckDB ASOF): the hash match proves
+    batch boundaries don't leak into results."""
+    from tstables_spark.operators.asof import asof_join_interval
 
     ev = load(spark, sf_dir, "events")
-    od = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(
-            F.max("o_orderkey").alias("o_orderkey"),
-            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
-        )
-    )
+    t = _asof_interval_staged_table(spark, sf_dir)
     sdir = tempfile.mkdtemp(prefix="asof_src_") + "/events"
     ev.repartition(3).write.parquet(sdir)
     src = (
@@ -558,13 +595,11 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def enrich(batch: DataFrame, _id: int) -> None:
         (
-            asof_join(
+            asof_join_interval(
                 batch.select("event_id", "user_id", "ts"),
-                od,
+                t,
                 left_on="ts",
-                right_on="o_orderdate",
                 left_by="user_id",
-                right_by="o_custkey",
                 right_values=["o_orderkey", "o_totalprice"],
             )
             .select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
