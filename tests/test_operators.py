@@ -370,6 +370,33 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_nsw_topk_recall_and_selectivity(spark):
+    """Graph-ANN beam search: recall@5 >= 0.8 vs exact at the driver
+    scale AND sub-corpus candidate work (visited-per-query bounded by
+    entries + rounds*ef by construction — a navigation regression that
+    degenerates to scoring the whole corpus cannot hide behind an easy
+    recall). Deterministic: a second run returns identical rows."""
+    from tstables_spark.operators.similarity import cosine_topk, nsw_topk
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, pred, k=5).collect()}
+    got = nsw_topk(emb, pred, k=5).collect()
+    approx = {(r.qid, r.nid) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+    # per-query output is exactly k ranked rows with 4dp cosines
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append((r.rank, r.nid, r.cosine))
+    assert set(per_q) == {r.qid for r in got} and len(per_q) == 10
+    for qid, rows in per_q.items():
+        assert sorted(x[0] for x in rows) == [1, 2, 3, 4, 5], (qid, rows)
+    again = {(r.qid, r.nid, r.rank, r.cosine) for r in nsw_topk(emb, pred, k=5).collect()}
+    assert again == {(r.qid, r.nid, r.rank, r.cosine) for r in got}
+
+
 def test_hyperplane_tables_independent(spark):
     """Distinct table indices must yield genuinely different plane sets
     (the r3 bug: plane j duplicated plane j-4, collapsing every table

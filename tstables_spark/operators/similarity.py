@@ -837,3 +837,116 @@ def knn_graph(
             F.col("qid").alias(id_col), F.col("nid").alias("nn_id"), "cosine", "rank"
         )
     )
+
+
+def nsw_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    graph_k: int = 12,
+    ef: int = 24,
+    rounds: int = 4,
+    entries_per_block: int = 8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Approximate top-k via GRAPH-based ANN: beam search over the
+    exact kNN graph, expressed as a bounded number of broadcast joins —
+    the navigable-small-world retrieval shape (HNSW's layer-0 walk)
+    with the sequential greedy walk re-expressed as bulk-synchronous
+    frontier expansion so it distributes.
+
+    Index = the ``knn_graph`` output made UNDIRECTED (union of both
+    edge directions — navigability needs in-edges too). Search: every
+    query starts at ``entries_per_block`` deterministic entry points
+    per block (the lowest-id vectors of each label — the graph is
+    block-partitioned, so per-block entries make every component
+    reachable), then ``rounds`` iterations of: expand the frontier
+    through the edge relation, score new candidates, keep the
+    per-query top-``ef`` beam. The final answer is the top-``k`` of
+    everything visited. Defaults are tuned on the fixture corpus —
+    weakly-similar neighbors, the hard case for graph navigability:
+    measured recall@5 vs exact cosine_topk = 1.00 / 1.00 / 0.86 at
+    sf0.001/0.01/0.1 visiting ~10% of the sf0.1 corpus per query
+    (SCALE.md); a real near-dup corpus navigates with far smaller
+    ef/rounds.
+
+    Scale shape: the edge relation is O(n * 2 * graph_k) rows and is
+    SCANNED once per round as the probe side of a broadcast hash join
+    — the frontier (|Q| * ef rows, query side small by the same
+    contract as every ANN op here) is the broadcast build side, so the
+    graph never shuffles; per-round state (visited ∪ frontier) is
+    O(|Q| * ef * rounds). At a repeated-retrieval deployment, stage
+    the edge relation bucketed by src (the stage_asof_layout trade).
+    Candidate scoring is the codegen'd ``_dot`` against the broadcast
+    query vectors — rows cross the plan, never |Q|x|C| pairs.
+
+    Deterministic end to end: exact graph, fixed entries, 4dp-rounded
+    cosine with nid tie-breaks in both the beam and the final rank —
+    stable across runs and partitionings. Approximate BY DESIGN
+    (rows-only driver check); the quality contract is hash-gated by
+    sim_recall's recall@5 >= 0.8 floor alongside the IVF/LSH variants.
+    """
+    base = with_norm2(emb, vec_col=vec_col, dim=dim)
+    # undirected edge relation from the exact per-block kNN graph
+    g = knn_graph(emb, k=graph_k, block_col=block_col, id_col=id_col, vec_col=vec_col)
+    edges = (
+        g.select(F.col(id_col).alias("src"), F.col("nn_id").alias("dst"))
+        .unionByName(g.select(F.col("nn_id").alias("src"), F.col(id_col).alias("dst")))
+        .distinct()
+    )
+    # the (small) query side: id, vector, norm2 — broadcast everywhere
+    queries = base.where(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    # deterministic entry points: the lowest-id vectors of every block
+    wb = W.partitionBy(block_col).orderBy(id_col)
+    entries = (
+        emb.select(block_col, id_col)
+        .withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= entries_per_block)
+        .select(F.col(id_col).alias("nid"))
+    )
+    cand = base.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    cos = F.round(
+        _dot("qv", "cv", dim) / F.sqrt(F.col("qn2") * F.col("cn2")), 4
+    ).alias("cosine")
+
+    def score(pairs: DataFrame) -> DataFrame:
+        """(qid, nid) -> (qid, nid, cosine), self-matches dropped."""
+        return (
+            pairs.join(cand, "nid")
+            .join(F.broadcast(queries), "qid")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", cos)
+        )
+
+    beam_w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    visited = score(
+        queries.select("qid").crossJoin(F.broadcast(entries))
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(rounds):
+        expanded = (
+            edges.join(
+                F.broadcast(frontier.select("qid", F.col("nid").alias("src"))), "src"
+            )
+            .select("qid", "dst")
+            .withColumnRenamed("dst", "nid")
+            .distinct()
+            .join(visited.select("qid", "nid"), ["qid", "nid"], "left_anti")
+        )
+        scored = score(expanded)
+        frontier = (
+            scored.withColumn("__r", F.row_number().over(beam_w))
+            .where(F.col("__r") <= ef)
+            .drop("__r")
+        )
+        # visited ∪ frontier, pinned: three consumers next round (anti-
+        # join, final rank) and an iterative lineage to cut
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return _rank_topk(visited, k)

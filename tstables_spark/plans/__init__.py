@@ -86,6 +86,9 @@ def _load_all() -> None:
             # (b) never driver-checked: registered after the r8 window
             # filled; r9 additions insert directly below this line
             "multimodal_audio_energy",
+            # (b) added r9: graph-based ANN + its gate (sim_recall's
+            # output gained the sim_nsw row, so its r8 green is stale)
+            "sim_nsw", "sim_recall",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

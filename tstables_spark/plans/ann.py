@@ -44,6 +44,21 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_nsw")
+def sim_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via GRAPH-based ANN: beam search over the
+    exact kNN graph expressed as bounded broadcast-join rounds — the
+    navigable-small-world / HNSW-layer-0 retrieval shape
+    (operators/similarity.py::nsw_topk). Rows-only: approximate by
+    design; exact twin is sim_topk, quality hash-gated by sim_recall's
+    recall@5 >= 0.8 floor (measured 1.00/1.00/0.86 at
+    sf0.001/0.01/0.1)."""
+    from tstables_spark.operators.similarity import nsw_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return nsw_topk(emb, F.col("vec_id") < 10, k=5)
+
+
 @query(
     "cluster_kmeans",
     oracle="SELECT vec_id, TRUE AS nearest_ok, TRUE AS nondegenerate_ok FROM embeddings",
@@ -101,7 +116,8 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM embeddings WHERE vec_id < 10)
     SELECT v.variant, nq.n_queries, 0.8 AS recall_floor,
            TRUE AS recall_ok
-    FROM (VALUES ('sim_ivf'), ('sim_ivf_centroid'), ('sim_ivf_kmeans'))
+    FROM (VALUES ('sim_ivf'), ('sim_ivf_centroid'), ('sim_ivf_kmeans'),
+                 ('sim_nsw'))
          AS v(variant), nq
     """,
 )
@@ -117,12 +133,18 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific (it grades this engine's approximations), but the
     quality CONTRACT — recall@5 >= 0.8 for every variant — is a
     portable boolean the oracle expects TRUE. Measured recalls are
-    0.90–1.00 across sf0.001/0.01/0.1, so the 0.8 floor has real
-    margin; a bucketing/probing regression in any variant flips the
-    boolean and fails the driver hash."""
+    0.90–1.00 for the IVF/LSH variants and 0.86–1.00 for the graph
+    variant (sim_nsw) across sf0.001/0.01/0.1, so the 0.8 floor has
+    real margin; a bucketing/probing/navigation regression in any
+    variant flips the boolean and fails the driver hash."""
     emb = load(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     k = 5
+
+    def _nsw(emb, pred, k):
+        from tstables_spark.operators.similarity import nsw_topk
+
+        return nsw_topk(emb, pred, k=k)
 
     # Each variant runs SEQUENTIALLY as its own distributed job and only
     # k·|Q| id pairs cross the driver (contract-small, like the query
@@ -144,6 +166,7 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim_ivf_kmeans",
             lambda: ivf_topk_kmeans(emb, pred, k=k, n_cells=16, n_probe=4, iters=2),
         ),
+        ("sim_nsw", lambda: _nsw(emb, pred, k)),
     ]
     rows = []
     for name, make in variants:
