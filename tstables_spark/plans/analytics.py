@@ -1688,3 +1688,64 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.orderBy(F.desc("jac_ppm"), "u", "v").limit(50)
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH p AS (SELECT p_brand, p_partkey, p_size, p_retailprice FROM part)
+    SELECT a.p_brand, a.p_partkey, a.p_size, a.p_retailprice
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_brand = a.p_brand AND (
+            (b.p_size > a.p_size AND b.p_retailprice <= a.p_retailprice)
+         OR (b.p_size >= a.p_size AND b.p_retailprice < a.p_retailprice)))
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (pareto frontier): the parts for which no
+    other part of the same brand is simultaneously at-least-as-large
+    AND at-least-as-cheap with a strict improvement in one dimension —
+    "the cheapest part for its size class, per brand".
+
+    Scale shape: the naive skyline (the oracle's NOT-EXISTS self-join)
+    is O(n^2) per brand and dies at 100 TB. This plan exploits that one
+    skyline dimension (p_size) has a BOUNDED domain (TPC-H sizes are
+    1..50): a partial-agg-friendly ``min(price) GROUP BY (brand, size)``
+    reduces the data to at most |brands|x|sizes| rows map-side before
+    its (tiny) shuffle, two running-min windows over that bounded
+    relation compute, per (brand, size), the cheapest strictly-larger
+    and at-least-as-large prices, and a broadcast join streams every
+    part row past its own pair of thresholds. No self-join, no global
+    sort, one scan of the fact table; the only shuffle on a data-sized
+    relation is the grouped min, which partial-aggregates to the domain
+    size on every map task. A row is on the frontier iff
+    ``price < m_strict`` (nobody strictly larger is as-cheap) AND
+    ``price <= m_incl`` (nobody at-least-as-large is strictly cheaper).
+    Duplicate (size, price) points co-survive, matching the oracle's
+    strict-improvement dominance."""
+    from pyspark.sql import Window as W
+
+    p = load(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size", "p_retailprice"
+    )
+    per_size = p.groupBy("p_brand", "p_size").agg(
+        F.min("p_retailprice").alias("minp")
+    )
+    desc = W.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    thresholds = per_size.select(
+        "p_brand",
+        "p_size",
+        F.min("minp")
+        .over(desc.rowsBetween(W.unboundedPreceding, -1))
+        .alias("m_strict"),
+        F.min("minp")
+        .over(desc.rowsBetween(W.unboundedPreceding, 0))
+        .alias("m_incl"),
+    )
+    j = p.join(F.broadcast(thresholds), ["p_brand", "p_size"])
+    return j.where(
+        (F.col("m_strict").isNull() | (F.col("p_retailprice") < F.col("m_strict")))
+        & (F.col("p_retailprice") <= F.col("m_incl"))
+    ).select("p_brand", "p_partkey", "p_size", "p_retailprice")
