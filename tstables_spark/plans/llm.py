@@ -1417,3 +1417,80 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     packed = pack_multimodal(docs)
     return audio_frame_energy(packed, frame_bytes=32, max_frames=16)
+
+
+@query(
+    "token_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t
+                  FROM documents WHERE len(str_split(lower(text), ' ')) >= 3),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks)
+    ),
+    fs AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+    SELECT tri.doc_id,
+           COUNT(*) AS total_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = tri.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = tri.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM tri JOIN fs ON tri.g = fs.g
+    GROUP BY tri.doc_id
+    """,
+)
+def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the training-data curation signal
+    behind "how much of this document has the corpus already seen?":
+    for each doc, the fraction (ppm) of its DISTINCT word trigrams
+    whose corpus-wide first appearance (min doc_id = ingestion order)
+    is this doc. Near-1.0 = fresh content; near-0 = boilerplate or a
+    late near-duplicate. Docs under 3 tokens have no trigram and are
+    excluded (both engines).
+
+    Scale shape: trigrams are fingerprinted to 16 hex chars of md5 AT
+    THE SCAN (both engines — md5 is bit-identical), so every shuffle
+    key is 16 bytes instead of an unbounded 3-word string; at 100 TB
+    that is the difference between shuffling the corpus text 3x over
+    and shuffling fixed-width digests. Three shuffles, all inherent:
+    the per-doc distinct (partial-agg), the first-seen min per gram
+    (partial-agg), and the gram-keyed equi-join back — sort-merge with
+    both sides already gram-partitioned, and stop-word-gram skew (one
+    hot gram = millions of docs) is AQE skew-join territory, which a
+    min-over-Window formulation (the join-free alternative) could not
+    split. novelty_ppm is integer division of exact BIGINTs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    tri = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> substr(md5(concat_ws(' ', t[i-1], t[i], t[i+1])), 1, 16))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    fs = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        tri.join(fs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            novel.cast("long").alias("novel_grams"),
+            (novel * 1000000).cast("long").alias("_n"),
+        )
+        .select(
+            "doc_id",
+            "total_grams",
+            "novel_grams",
+            F.expr("_n DIV total_grams").alias("novelty_ppm"),
+        )
+    )
