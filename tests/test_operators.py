@@ -1357,3 +1357,71 @@ def test_audio_frame_energy_edges(spark):
     assert got[(3, 1)] == (8, sum(b * b for b in range(32, 40)))
     assert {f for d, f in got if d == 4} == {0, 1, 2}
     assert got[(4, 0)] == (32, 0)
+
+
+def test_kll_deterministic_and_weight_preserving():
+    """The pure-Python MRL kernel: compaction preserves total weight
+    exactly, is deterministic, and the eps-approximate rank contract
+    holds on adversarial orders (sorted input is the worst case for a
+    deterministic even-index survivor) and shapes (uniform, lognormal,
+    90%-tied)."""
+    import numpy as np
+
+    from tstables_spark.operators.kll import _carry, merge_pairs, quantile
+
+    rng = np.random.default_rng(7)
+    datasets = {
+        "sorted": np.arange(50000, dtype=float),
+        "reversed": np.arange(50000, dtype=float)[::-1],
+        "lognormal": rng.lognormal(0.0, 2.0, 50000),
+        "ties": np.repeat(rng.integers(0, 100, 5000), 10).astype(float),
+    }
+    k = 512
+    for name, data in datasets.items():
+        levels = [[]]
+        for start in range(0, len(data), 1000):  # arrow-batch shaped feed
+            levels[0].extend(data[start : start + 1000].tolist())
+            _carry(levels, k)
+        pairs = [(v, 1 << l) for l, buf in enumerate(levels) for v in buf]
+        n = sum(w for _, w in pairs)
+        assert n == len(data), name  # weight == count, exactly
+        srt = np.sort(data)
+        for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+            est = quantile(pairs, q, n)
+            lt = int(np.searchsorted(srt, est, side="left"))
+            le = int(np.searchsorted(srt, est, side="right"))
+            assert lt <= (q + 0.05) * n and le >= (q - 0.05) * n, (name, q)
+        # rerun => identical sketch (determinism)
+        levels2 = [[]]
+        for start in range(0, len(data), 1000):
+            levels2[0].extend(data[start : start + 1000].tolist())
+            _carry(levels2, k)
+        assert levels2 == levels, name
+
+
+def test_kll_merge_of_shards_matches_contract():
+    """Shard sketches (the per-partition partial aggregates) merged via
+    merge_pairs satisfy the same eps contract as a single-pass sketch,
+    and the merge preserves total weight exactly."""
+    import numpy as np
+
+    from tstables_spark.operators.kll import _carry, merge_pairs, quantile
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(0.0, 1.0, 60000)
+    k = 512
+    shard_pairs = []
+    for shard in np.array_split(data, 7):
+        levels = [[]]
+        levels[0].extend(shard.tolist())
+        _carry(levels, k)
+        shard_pairs.extend((v, 1 << l) for l, buf in enumerate(levels) for v in buf)
+    merged = merge_pairs(shard_pairs, k)
+    n = sum(w for _, w in merged)
+    assert n == len(data)
+    srt = np.sort(data)
+    for q in [0.05, 0.5, 0.95]:
+        est = quantile(merged, q, n)
+        lt = int(np.searchsorted(srt, est, side="left"))
+        le = int(np.searchsorted(srt, est, side="right"))
+        assert lt <= (q + 0.05) * n and le >= (q - 0.05) * n, q

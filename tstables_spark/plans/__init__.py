@@ -90,8 +90,9 @@ def _load_all() -> None:
             # output gained the sim_nsw row, so its r8 green is stale)
             "sim_nsw", "sim_recall",
             # (b) added r9: per-brand skyline (bounded-domain plan),
-            # per-doc trigram novelty (fingerprinted-gram shuffles)
-            "pareto_frontier", "token_ngram_novelty",
+            # per-doc trigram novelty (fingerprinted-gram shuffles),
+            # deterministic KLL quantile-sketch rank gate
+            "pareto_frontier", "token_ngram_novelty", "agg_kll_gate",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

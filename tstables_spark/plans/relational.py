@@ -1815,3 +1815,59 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     + NOT EXISTS anti-join + final rollup by country code."""
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_TPCH_Q22)
+
+
+@query(
+    "agg_kll_gate",
+    oracle="""
+    WITH nn AS (SELECT count(value) AS n FROM events)
+    SELECT q.q_bp, nn.n, TRUE AS within_bound
+    FROM (SELECT unnest([100, 500, 1000, 2500, 5000, 7500, 9000, 9500,
+                         9900]) AS q_bp) q, nn
+    """,
+)
+def agg_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth mergeable-summary lifecycle (after CMS / Bloom /
+    qsketch): a deterministic MRL/KLL weighted-sample quantile sketch
+    (operators/kll.py) built per input partition, merged, and AUDITED
+    against the exact ranks — for each probe quantile q the estimate
+    v must satisfy the standard eps-approximate contract
+    ``rank_lt(v) <= (q + eps) * n`` and ``rank_le(v) >= (q - eps) * n``
+    with eps = 5% (the deterministic compaction's worst-case bias is
+    ~levels*n/2k ~ 1.6% at k=512 here, measured; see tests). The
+    sketch's sample CONTENT depends on partition boundaries (any
+    partitioned sketch's does), so like sim_recall this query
+    hash-checks the CONTRACT booleans plus the exact n — never the
+    samples.
+
+    Scale shape: one Arrow-batched mapInPandas pass per partition with
+    O(k * levels) task memory, a bounded ``partitions x 2k x levels``
+    summary collect (the sketch IS the reduction — at 100 TB this is
+    the per-executor partial aggregate a tree-reduce would combine),
+    one driver merge, and ONE conditional-aggregation scan computing
+    all 18 exact rank counters in a single partial-agg pass — no sort,
+    no per-probe job."""
+    from tstables_spark.operators.kll import merge_pairs, quantile, sketch_partitions
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    k = 512
+    pairs = [
+        (r["value"], r["weight"]) for r in sketch_partitions(ev, "value", k).collect()
+    ]
+    merged = merge_pairs(pairs, k)
+    n = sum(w for _, w in merged)
+    bps = [100, 500, 1000, 2500, 5000, 7500, 9000, 9500, 9900]
+    probes = [(bp, quantile(merged, bp / 10000.0, n)) for bp in bps]
+    aggs = []
+    for bp, v in probes:
+        aggs.append(F.sum((F.col("value") < F.lit(v)).cast("long")).alias(f"lt_{bp}"))
+        aggs.append(F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"le_{bp}"))
+    row = ev.agg(*aggs).collect()[0]
+    eps_bp = 500
+    out = []
+    for bp, _v in probes:
+        ok = (row[f"lt_{bp}"] * 10000 <= (bp + eps_bp) * n) and (
+            row[f"le_{bp}"] * 10000 >= (bp - eps_bp) * n
+        )
+        out.append((bp, n, bool(ok)))
+    return spark.createDataFrame(out, "q_bp int, n long, within_bound boolean")
