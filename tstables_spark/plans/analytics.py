@@ -1749,3 +1749,90 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_strict").isNull() | (F.col("p_retailprice") < F.col("m_strict")))
         & (F.col("p_retailprice") <= F.col("m_incl"))
     ).select("p_brand", "p_partkey", "p_size", "p_retailprice")
+
+
+@query(
+    "agg_winsorize",
+    oracle=f"""
+    WITH src AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    hist AS (SELECT event_type, value, count(*) AS c FROM src GROUP BY 1, 2),
+    cum AS (SELECT event_type, value,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cumt
+            FROM hist),
+    nt AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1),
+    lo AS (SELECT cum.event_type, min(cum.value) AS lo
+           FROM cum JOIN nt ON cum.event_type = nt.event_type
+           WHERE cum.cumt >= (5 * nt.n + 99) // 100 GROUP BY 1),
+    hi AS (SELECT cum.event_type, min(cum.value) AS hi
+           FROM cum JOIN nt ON cum.event_type = nt.event_type
+           WHERE cum.cumt >= (95 * nt.n + 99) // 100 GROUP BY 1)
+    SELECT s.event_type, nt.n, lo.lo, hi.hi,
+           CAST(SUM(CASE WHEN s.value < lo.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_low,
+           CAST(SUM(CASE WHEN s.value > hi.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_high,
+           {sql_sum('greatest(lo.lo, least(hi.hi, s.value))')} AS sum_winsorized
+    FROM src s
+    JOIN nt ON s.event_type = nt.event_type
+    JOIN lo ON s.event_type = lo.event_type
+    JOIN hi ON s.event_type = hi.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit — the robust-stats preprocessing
+    pass (clip each event type's values at its own exact 5th/95th
+    percentile_disc before any mean-based model sees them): bounds,
+    clip counts, and the exact winsorized sum per type.
+
+    Scale shape: exact per-group order statistics WITHOUT sorting the
+    data — the ts_robust_zscore discipline: a (type, value) histogram
+    (partial-agg; shuffle carries distinct values, not rows), one
+    distributed_cumsum over the histogram in (type, value) order
+    (range-partitioned two-phase prefix sum — no single-task window on
+    the unbounded value domain), per-type offsets from a |types|-row
+    broadcast relation, rank thresholds ceil(q*n) picked by min-over-
+    filter, and ONE clip-and-aggregate pass over the raw scan against
+    the broadcast bounds. percentile_disc (a data value, not an
+    interpolation) keeps every output bit-identical cross-engine; the
+    winsorized sum uses the exact-decimal trick."""
+    from pyspark.sql import Window as W
+
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    src = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
+    hist = src.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    cum = distributed_cumsum(hist, ["event_type", "value"], ["c"])
+    nt = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pre = W.orderBy("event_type").rowsBetween(W.unboundedPreceding, -1)
+    off = nt.select(
+        "event_type", "n", F.coalesce(F.sum("n").over(pre), F.lit(0)).alias("off")
+    )
+    cum_t = cum.join(F.broadcast(off), "event_type").withColumn(
+        "cumt", F.col("cum_c") - F.col("off")
+    )
+    lo = (
+        cum_t.where(F.col("cumt") >= F.expr("(5 * n + 99) DIV 100"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"))
+    )
+    hi = (
+        cum_t.where(F.col("cumt") >= F.expr("(95 * n + 99) DIV 100"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("hi"))
+    )
+    bounds = nt.select("event_type", "n").join(lo, "event_type").join(hi, "event_type")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        src.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("clipped_high"),
+            exact_sum(clamped).alias("sum_winsorized"),
+        )
+    )
