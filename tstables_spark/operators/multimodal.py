@@ -180,3 +180,47 @@ def audio_frame_energy(
             )
 
     return packed.mapInPandas(run, ENERGY_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, phash string"
+
+
+def image_ahash(packed: DataFrame, side: int = 8, cell: int = 2) -> DataFrame:
+    """Perceptual average-hash (aHash) over the multimodal struct —
+    the image near-dup fingerprint (resize to a tiny grid, threshold
+    each cell against the mean). Real path: PIL decode + grayscale +
+    resize feeds the same thresholding; the deterministic stand-in
+    treats the first ``(side*cell)^2`` payload bytes (zero-padded) as a
+    square grayscale image. All-integer: cell value = SUM of its
+    ``cell x cell`` bytes, bit = 1 iff ``cell_sum * n_cells >
+    total_sum`` — no float mean, so the hash is bit-identical to the
+    byte-level SQL oracle. Emitted as a ``side*side``-char bit string
+    (a production deployment packs it into 8 bytes; the string keeps
+    the differential hash-check trivially cross-engine).
+
+    One Arrow-batched mapInPandas pass, 1 row -> 1 row, numpy block-sum
+    per payload; payload bytes never leave the executor."""
+    dim = side * cell
+    n = dim * dim
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob["data"])[:n]
+                arr = np.zeros(n, dtype=np.int64)
+                if data:
+                    buf = np.frombuffer(data, dtype=np.uint8)
+                    arr[: len(buf)] = buf
+                cells = (
+                    arr.reshape(dim, dim)
+                    .reshape(side, cell, side, cell)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                )
+                bits = cells * (side * side) > cells.sum()
+                hashes.append("".join("1" if b else "0" for b in bits))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return packed.mapInPandas(run, AHASH_SCHEMA)

@@ -93,8 +93,9 @@ def _load_all() -> None:
             # per-doc trigram novelty (fingerprinted-gram shuffles),
             # deterministic KLL quantile-sketch rank gate
             "pareto_frontier", "token_ngram_novelty", "agg_kll_gate",
-            # (b) added r9: sort-free exact per-group winsorization
-            "agg_winsorize",
+            # (b) added r9: sort-free exact per-group winsorization,
+            # image aHash near-dup clusters
+            "agg_winsorize", "multimodal_phash",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

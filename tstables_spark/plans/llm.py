@@ -1494,3 +1494,55 @@ def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_n DIV total_grams").alias("novelty_ppm"),
         )
     )
+
+
+@query(
+    "multimodal_phash",
+    oracle="""
+    WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS nb FROM documents),
+    bytes AS (
+      SELECT doc_id,
+             ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk,
+             CASE WHEN i < nb THEN ('0x' || hx[i*2+1 : i*2+2])::BIGINT
+                  ELSE 0 END AS bv
+      FROM (SELECT doc_id, hx, nb, unnest(generate_series(0, 255)) AS i
+            FROM b)),
+    blocks AS (SELECT doc_id, blk, SUM(bv) AS bsum FROM bytes GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY 1),
+    ph AS (SELECT blocks.doc_id,
+                  string_agg(CASE WHEN bsum * 64 > tsum THEN '1' ELSE '0' END,
+                             '' ORDER BY blk) AS phash
+           FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+           GROUP BY blocks.doc_id),
+    cl AS (SELECT phash, COUNT(*) AS n_same, MIN(doc_id) AS canonical_doc
+           FROM ph GROUP BY phash)
+    SELECT ph.doc_id, ph.phash, cl.n_same, cl.canonical_doc
+    FROM ph JOIN cl ON ph.phash = cl.phash
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image near-dup pass over the multimodal
+    struct — the image twin of dedup_exact's content hash: downsample
+    to an 8x8 cell grid, threshold each cell against the image mean in
+    EXACT integer arithmetic (cell_sum * 64 > total_sum), group equal
+    hashes into near-dup clusters. Real path: PIL decode feeds the
+    same grid; the stand-in's 16x16 grayscale comes from the first 256
+    payload bytes, so every bit is hash-checked against a byte-level
+    SQL oracle (multimodal_audio_energy's hex-slice discipline).
+
+    Scale shape: one 1-row->1-row mapInPandas pass (numpy block sums,
+    payloads never leave the executor), then a phash-keyed count/min
+    aggregate (partial-agg) joined back — groupBy+join rather than a
+    per-hash Window so a degenerate hot hash (all-black thumbnails) is
+    AQE skew-join splittable. Cluster relation carries 64-bit
+    fingerprints (as bit-strings here for the cross-engine check; 8
+    bytes packed in production)."""
+    from tstables_spark.operators.multimodal import image_ahash, pack_multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    ph = image_ahash(pack_multimodal(docs), side=8, cell=2)
+    cl = ph.groupBy("phash").agg(
+        F.count("*").alias("n_same"), F.min("doc_id").alias("canonical_doc")
+    )
+    return ph.join(cl, "phash").select("doc_id", "phash", "n_same", "canonical_doc")
