@@ -63,6 +63,9 @@ HEADLINE = [
     "graph_jaccard",
     "doc_bm25",
     "agg_qsketch",
+    "token_ngram_novelty",
+    "agg_winsorize",
+    "agg_kll_gate",
 ]
 
 # A single timing of a heavy query rides this box's ±1.5x load-noise

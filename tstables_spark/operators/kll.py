@@ -65,13 +65,15 @@ def sketch_partitions(df: DataFrame, col: str, k: int = K_DEFAULT) -> DataFrame:
     """One summary relation from all partitions: mapInPandas streams
     each partition's Arrow batches through the carry loop (peak Python
     memory ``O(k * levels)`` per task, never the partition) and emits
-    its ``(value, weight)`` samples. NULLs are dropped — callers count
-    ``n`` over the same non-null filter."""
+    its ``(value, weight)`` samples. NULL **and NaN** are dropped (the
+    Arrow->pandas bridge conflates them, and NaN has no rank) — callers
+    must count ``n`` and compute ranks over the same
+    ``IS NOT NULL AND NOT isnan`` filter."""
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         levels: list[list[float]] = [[]]
         for pdf in batches:
-            vals = pdf[col].dropna()
+            vals = pdf[col].dropna()  # drops SQL NULL and float NaN alike
             if len(vals):
                 levels[0].extend(vals.astype(float).tolist())
                 _carry(levels, k)
@@ -108,10 +110,15 @@ def quantile(pairs: list[tuple[float, int]], q: float, n: int) -> float:
     (weighted percentile_disc over the summary)."""
     if not pairs:
         raise ValueError("empty sketch")
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"quantile q must be in (0, 1], got {q}")
     target = q * n
     cum = 0
-    for v, w in sorted(pairs):
+    s = sorted(pairs)
+    for v, w in s:
         cum += w
         if cum >= target:
             return v
-    return sorted(pairs)[-1][0]
+    # cum == sum(weights) >= target for any q <= 1 when n == sum(weights);
+    # reachable only if the caller's n overstates the sketch weight.
+    return s[-1][0]

@@ -917,9 +917,14 @@ def nsw_topk(
     ).alias("cosine")
 
     def score(pairs: DataFrame) -> DataFrame:
-        """(qid, nid) -> (qid, nid, cosine), self-matches dropped."""
+        """(qid, nid) -> (qid, nid, cosine), self-matches dropped.
+
+        The pair set is O(|Q| * ef * 2k) rows of two ids — broadcast
+        it so the corpus projection (the vector bytes) is scanned in
+        place every round instead of shuffling on nid rounds+1 times.
+        """
         return (
-            pairs.join(cand, "nid")
+            F.broadcast(pairs).join(cand, "nid")
             .join(F.broadcast(queries), "qid")
             .where(F.col("qid") != F.col("nid"))
             .select("qid", "nid", cos)

@@ -1820,7 +1820,8 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_kll_gate",
     oracle="""
-    WITH nn AS (SELECT count(value) AS n FROM events)
+    WITH nn AS (SELECT count(*) AS n FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value))
     SELECT q.q_bp, nn.n, TRUE AS within_bound
     FROM (SELECT unnest([100, 500, 1000, 2500, 5000, 7500, 9000, 9500,
                          9900]) AS q_bp) q, nn
@@ -1849,7 +1850,11 @@ def agg_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-probe job."""
     from tstables_spark.operators.kll import merge_pairs, quantile, sketch_partitions
 
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # NULL and NaN both: the sketch kernel's pandas dropna removes both,
+    # so n and the rank counters must run over the identical filter.
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     k = 512
     pairs = [
         (r["value"], r["weight"]) for r in sketch_partitions(ev, "value", k).collect()
