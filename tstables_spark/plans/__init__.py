@@ -94,8 +94,8 @@ def _load_all() -> None:
             # deterministic KLL quantile-sketch rank gate
             "pareto_frontier", "token_ngram_novelty", "agg_kll_gate",
             # (b) added r9: sort-free exact per-group winsorization,
-            # image aHash near-dup clusters
-            "agg_winsorize", "multimodal_phash",
+            # image aHash near-dup clusters, banded motif discovery
+            "agg_winsorize", "multimodal_phash", "ts_motif",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

@@ -3317,3 +3317,134 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.least("b1", "a1") - F.col("value")).alias("depth"),
     )
+
+
+@query(
+    "ts_motif",
+    oracle="""
+    WITH src AS (SELECT event_type, epoch_us(ts) // 3600000000 AS e, value
+                 FROM events),
+    bounds AS (SELECT min(e) AS e0, max(e) AS e1 FROM src),
+    types AS (SELECT DISTINCT event_type FROM src),
+    grid AS (SELECT event_type, unnest(generate_series(e0, e1)) AS e
+             FROM types, bounds),
+    hourly AS (SELECT event_type, e,
+                      CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,6))) * 100)
+                           AS BIGINT) AS c
+               FROM src WHERE value IS NOT NULL GROUP BY 1, 2),
+    dense AS (SELECT g.event_type, g.e, COALESCE(h.c, 0) AS c
+              FROM grid g LEFT JOIN hourly h
+                ON g.event_type = h.event_type AND g.e = h.e),
+    vec AS (SELECT event_type, e, c AS v0,
+               lead(c, 1) OVER w AS v1,
+               lead(c, 2) OVER w AS v2,
+               lead(c, 3) OVER w AS v3,
+               lead(c, 4) OVER w AS v4,
+               lead(c, 5) OVER w AS v5,
+               lead(c, 6) OVER w AS v6,
+               lead(c, 7) OVER w AS v7
+            FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY e)),
+    starts AS (SELECT * FROM vec WHERE v7 IS NOT NULL),
+    pairs AS (SELECT a.event_type, a.e AS a_hour, b.e AS b_hour,
+                     (a.v0 - b.v0) * (a.v0 - b.v0) + (a.v1 - b.v1) * (a.v1 - b.v1) + (a.v2 - b.v2) * (a.v2 - b.v2) + (a.v3 - b.v3) * (a.v3 - b.v3) + (a.v4 - b.v4) * (a.v4 - b.v4) + (a.v5 - b.v5) * (a.v5 - b.v5) + (a.v6 - b.v6) * (a.v6 - b.v6) + (a.v7 - b.v7) * (a.v7 - b.v7) AS ssd
+              FROM starts a JOIN starts b
+                ON a.event_type = b.event_type
+               AND b.e - a.e BETWEEN 8 AND 168)
+    SELECT event_type, a_hour, b_hour, ssd FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ssd, a_hour, b_hour) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """,
+)
+def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery (matrix-profile shape): per event type, the most
+    similar pair of non-overlapping 8-hour activity windows within a
+    7-day lag band — "which two disjoint stretches of this series look
+    most alike". Distance is the exact-integer SSD of hourly
+    cents-of-value vectors; the hourly grid is DENSIFIED first (missing
+    hours = 0 activity), so windows span contiguous wall-clock hours —
+    the r9 seasonal-decompose advice applied from the start.
+
+    Scale shape: the raw scan reduces to a (type, hour) partial-agg
+    histogram whose domain is TIME-BOUNDED (720 rows/type for a 30-day
+    span — 8.8k/type/year — regardless of corpus size); everything
+    after runs on that bounded grid: per-type lead windows (partition =
+    one type's grid), a band-bucketed self-join (a-side explodes into 2
+    hour//168 buckets, so candidate pairs are O(H * 168), linear in the
+    span — never the O(H^2) all-pairs matrix profile), and the argmin
+    is a min-of-struct partial aggregate with a (ssd, a, b)
+    lexicographic tiebreak — deterministic cross-engine, no global
+    sort. Band width trades off: wider bands = fewer duplicate probes,
+    narrower = tighter candidate sets; 168 h (the lag horizon) keeps
+    the explode factor at exactly 2."""
+    src = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("e"),
+        "value",
+    )
+    bounds = src.agg(F.min("e").alias("e0"), F.max("e").alias("e1"))
+    grid = (
+        src.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(e0, e1)")).alias("e"))
+    )
+    hourly = (
+        src.where(F.col("value").isNotNull())
+        .groupBy("event_type", "e")
+        .agg(
+            F.floor(F.sum(F.col("value").cast("decimal(30,6)")) * 100)
+            .cast("long")
+            .alias("c")
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "e"], "left").select(
+        "event_type", "e", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("e")
+    vec = dense.select(
+        "event_type",
+        "e",
+        F.col("c").alias("v0"),
+        *[F.lead("c", i).over(w).alias(f"v{i}") for i in range(1, 8)],
+    )
+    starts = vec.where(F.col("v7").isNotNull())
+    a = starts.select(
+        F.col("event_type"),
+        F.col("e").alias("a_hour"),
+        *[F.col(f"v{i}").alias(f"av{i}") for i in range(8)],
+        F.explode(
+            F.array(F.expr("e DIV 168"), F.expr("e DIV 168 + 1"))
+        ).alias("__band"),
+    )
+    b = starts.select(
+        F.col("event_type"),
+        F.col("e").alias("b_hour"),
+        *[F.col(f"v{i}").alias(f"bv{i}") for i in range(8)],
+        F.expr("e DIV 168").alias("__band"),
+    )
+    diff2 = None
+    for i in range(8):
+        term = (F.col(f"av{i}") - F.col(f"bv{i}")) * (
+            F.col(f"av{i}") - F.col(f"bv{i}")
+        )
+        diff2 = term if diff2 is None else diff2 + term
+    pairs = (
+        a.join(b, ["event_type", "__band"])
+        .where(
+            (F.col("b_hour") - F.col("a_hour") >= 8)
+            & (F.col("b_hour") - F.col("a_hour") <= 168)
+        )
+        .select("event_type", "a_hour", "b_hour", diff2.alias("ssd"))
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.min(F.struct("ssd", "a_hour", "b_hour")).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.a_hour").alias("a_hour"),
+            F.col("m.b_hour").alias("b_hour"),
+            F.col("m.ssd").alias("ssd"),
+        )
+    )
