@@ -851,6 +851,7 @@ def nsw_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Approximate top-k via GRAPH-based ANN: beam search over the
     exact kNN graph, expressed as a bounded number of broadcast joins —
@@ -889,6 +890,10 @@ def nsw_topk(
     (rows-only driver check); the quality contract is hash-gated by
     sim_recall's recall@5 >= 0.8 floor alongside the IVF/LSH variants.
     """
+    # checkpoint=False keeps the full lineage (no eager jobs) so tests
+    # can assert the join strategy of every round in ONE static plan;
+    # production always pins (the iterative-lineage discipline).
+    cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
     base = with_norm2(emb, vec_col=vec_col, dim=dim)
     # undirected edge relation from the exact per-block kNN graph
     g = knn_graph(emb, k=graph_k, block_col=block_col, id_col=id_col, vec_col=vec_col)
@@ -897,6 +902,11 @@ def nsw_topk(
         .unionByName(g.select(F.col("nn_id").alias("src"), F.col(id_col).alias("dst")))
         .distinct()
     )
+    # O(n * 2k) id pairs, consumed once per round: pin them so the
+    # per-round checkpoint jobs re-scan THIS relation instead of
+    # re-running the applyInPandas kNN build + distinct every round
+    # (the dedup_clusters iterative-lineage discipline).
+    edges = cp(edges)
     # the (small) query side: id, vector, norm2 — broadcast everywhere
     queries = base.where(query_pred).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
@@ -931,9 +941,7 @@ def nsw_topk(
         )
 
     beam_w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    visited = score(
-        queries.select("qid").crossJoin(F.broadcast(entries))
-    ).localCheckpoint(eager=True)
+    visited = cp(score(queries.select("qid").crossJoin(F.broadcast(entries))))
     frontier = visited
     for _ in range(rounds):
         expanded = (
@@ -943,7 +951,9 @@ def nsw_topk(
             .select("qid", "dst")
             .withColumnRenamed("dst", "nid")
             .distinct()
-            .join(visited.select("qid", "nid"), ["qid", "nid"], "left_anti")
+            # visited is O(|Q| * ef * rounds) — broadcast the anti-join
+            # side so dedup never shuffles the expansion on (qid, nid)
+            .join(F.broadcast(visited.select("qid", "nid")), ["qid", "nid"], "left_anti")
         )
         scored = score(expanded)
         frontier = (
@@ -953,5 +963,5 @@ def nsw_topk(
         )
         # visited ∪ frontier, pinned: three consumers next round (anti-
         # join, final rank) and an iterative lineage to cut
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = cp(visited.unionByName(frontier))
     return _rank_topk(visited, k)

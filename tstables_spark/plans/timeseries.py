@@ -3322,16 +3322,16 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_motif",
     oracle="""
-    WITH src AS (SELECT event_type, epoch_us(ts) // 3600000000 AS e, value
-                 FROM events),
-    bounds AS (SELECT min(e) AS e0, max(e) AS e1 FROM src),
-    types AS (SELECT DISTINCT event_type FROM src),
-    grid AS (SELECT event_type, unnest(generate_series(e0, e1)) AS e
-             FROM types, bounds),
-    hourly AS (SELECT event_type, e,
+    WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS e,
                       CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,6))) * 100)
                            AS BIGINT) AS c
-               FROM src WHERE value IS NOT NULL GROUP BY 1, 2),
+               FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)
+               GROUP BY 1, 2),
+    bounds AS (SELECT min(e) AS e0, max(e) AS e1 FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (SELECT event_type, unnest(generate_series(e0, e1)) AS e
+             FROM types, bounds),
     dense AS (SELECT g.event_type, g.e, COALESCE(h.c, 0) AS c
               FROM grid g LEFT JOIN hourly h
                 ON g.event_type = h.event_type AND g.e = h.e),
@@ -3344,7 +3344,9 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(c, 6) OVER w AS v6,
                lead(c, 7) OVER w AS v7
             FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY e)),
-    starts AS (SELECT * FROM vec WHERE v7 IS NOT NULL),
+    starts AS (SELECT * FROM vec WHERE v7 IS NOT NULL
+                 AND abs(v0) + abs(v1) + abs(v2) + abs(v3)
+                   + abs(v4) + abs(v5) + abs(v6) + abs(v7) > 0),
     pairs AS (SELECT a.event_type, a.e AS a_hour, b.e AS b_hour,
                      (a.v0 - b.v0) * (a.v0 - b.v0) + (a.v1 - b.v1) * (a.v1 - b.v1) + (a.v2 - b.v2) * (a.v2 - b.v2) + (a.v3 - b.v3) * (a.v3 - b.v3) + (a.v4 - b.v4) * (a.v4 - b.v4) + (a.v5 - b.v5) * (a.v5 - b.v5) + (a.v6 - b.v6) * (a.v6 - b.v6) + (a.v7 - b.v7) * (a.v7 - b.v7) AS ssd
               FROM starts a JOIN starts b
@@ -3383,21 +3385,23 @@ def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 3600000000").alias("e"),
         "value",
     )
-    bounds = src.agg(F.min("e").alias("e0"), F.max("e").alias("e1"))
-    grid = (
-        src.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("event_type", F.explode(F.expr("sequence(e0, e1)")).alias("e"))
-    )
+    # the IS NOT NULL AND NOT isnan policy of agg_kll_gate: a NaN would
+    # be a NULL-ing cast here but a cast error in the DuckDB twin
     hourly = (
-        src.where(F.col("value").isNotNull())
+        src.where(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("event_type", "e")
         .agg(
             F.floor(F.sum(F.col("value").cast("decimal(30,6)")) * 100)
             .cast("long")
             .alias("c")
         )
+    )
+    # hourly is the ONLY scan of the fact table; the bounded grid
+    # inputs (types, global hour bounds) both derive from it
+    types = hourly.select("event_type").distinct()
+    bounds = hourly.agg(F.min("e").alias("e0"), F.max("e").alias("e1"))
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(e0, e1)")).alias("e")
     )
     dense = grid.join(hourly, ["event_type", "e"], "left").select(
         "event_type", "e", F.coalesce("c", F.lit(0)).alias("c")
@@ -3409,7 +3413,11 @@ def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("v0"),
         *[F.lead("c", i).over(w).alias(f"v{i}") for i in range(1, 8)],
     )
-    starts = vec.where(F.col("v7").isNotNull())
+    # drop EMPTY windows (all-zero after densify): otherwise a sparse
+    # series' "best motif" is trivially the first two gaps (ssd = 0) —
+    # the flat-window exclusion real matrix profiles apply
+    activity = sum(F.abs(F.col(f"v{i}")) for i in range(8))
+    starts = vec.where(F.col("v7").isNotNull() & (activity > 0))
     a = starts.select(
         F.col("event_type"),
         F.col("e").alias("a_hour"),
