@@ -96,8 +96,9 @@ def _load_all() -> None:
             # (b) added r9: sort-free exact per-group winsorization,
             # image aHash near-dup clusters, banded motif discovery
             "agg_winsorize", "multimodal_phash", "ts_motif",
-            # (b) added r9: streaming KLL fold (lifecycle twin)
-            "stream_kll_gate",
+            # (b) added r9: streaming KLL fold (lifecycle twin),
+            # banded Hamming near-miss pHash pairs
+            "stream_kll_gate", "dedup_phash_band",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

@@ -1496,10 +1496,11 @@ def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_phash",
-    oracle="""
-    WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+
+# Shared byte-level aHash derivation (multimodal_phash + dedup_phash_band
+# oracles): 16x16 stand-in image from the first 256 payload bytes, 2x2
+# block sums, exact-integer mean threshold -> 64-char bit string.
+_PHASH_CTES = """b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
                       octet_length(encode(text)) AS nb FROM documents),
     bytes AS (
       SELECT doc_id,
@@ -1514,7 +1515,13 @@ def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                   string_agg(CASE WHEN bsum * 64 > tsum THEN '1' ELSE '0' END,
                              '' ORDER BY blk) AS phash
            FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
-           GROUP BY blocks.doc_id),
+           GROUP BY blocks.doc_id)"""
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+    WITH {_PHASH_CTES},
     cl AS (SELECT phash, COUNT(*) AS n_same, MIN(doc_id) AS canonical_doc
            FROM ph GROUP BY phash)
     SELECT ph.doc_id, ph.phash, cl.n_same, cl.canonical_doc
@@ -1546,3 +1553,93 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_same"), F.min("doc_id").alias("canonical_doc")
     )
     return ph.join(cl, "phash").select("doc_id", "phash", "n_same", "canonical_doc")
+
+
+@query(
+    "dedup_phash_band",
+    oracle=f"""
+    WITH {_PHASH_CTES},
+    bands AS (SELECT doc_id, phash, bi, substr(phash, bi * 16 + 1, 16) AS bv
+              FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi)),
+    capped AS (SELECT doc_id, phash, bi, bv FROM (
+        SELECT doc_id, phash, bi, bv,
+               row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rn
+        FROM bands) t WHERE rn <= 256),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                    a.phash AS pa, b2.phash AS pb
+             FROM capped a JOIN capped b2
+               ON a.bi = b2.bi AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa::BIT, pb::BIT)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa::BIT, pb::BIT)) BETWEEN 1 AND 3
+    """,
+)
+def dedup_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-miss image pairs by banded perceptual-hash LSH — the
+    Hamming extension of multimodal_phash's exact-equality clusters:
+    split each 64-bit aHash into 4 16-bit bands, candidate = any pair
+    sharing a band value, verify exact Hamming distance, keep 1..3
+    (0 = identical, already clustered by multimodal_phash). By
+    pigeonhole, ANY pair within Hamming 3 shares at least one clean
+    band, so recall at the verify threshold is 1.0 by construction
+    among uncapped bucket members — the banded-MinHash argument in
+    Hamming space.
+
+    Scale shape: the pair expansion is capped BEFORE the join (256
+    docs per (band, value) bucket, lowest doc_id first — the
+    graph-family cap discipline, mirrored in the oracle), so the
+    candidate set is bounded at 4 * buckets * C(256,2) no matter how
+    hot a bucket (all-dark thumbnails) gets; the verify is two
+    codegen'd 32-bit XOR+bit_count terms per candidate (the hash rides
+    the join as two BIGINTs, never re-derived), and duplicate
+    candidates from multi-band agreement collapse with one distinct.
+    At 100 TB the recall cap is the documented trade: a bucket beyond
+    256 members is a degenerate hash region better served by the exact
+    cluster pass."""
+    from pyspark.sql import Window as W
+
+    from tstables_spark.operators.multimodal import image_ahash, pack_multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    ph = image_ahash(pack_multimodal(docs), side=8, cell=2).select(
+        "doc_id",
+        "phash",
+        F.conv(F.substring("phash", 1, 32), 2, 10).cast("long").alias("h1"),
+        F.conv(F.substring("phash", 33, 32), 2, 10).cast("long").alias("h2"),
+    )
+    bands = ph.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("bi"),
+        F.expr("substring(phash, bi * 16 + 1, 16)").alias("bv"),
+    )
+    wb = W.partitionBy("bi", "bv").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= 256)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("h1").alias("ah1"),
+        F.col("h2").alias("ah2"), "bi", "bv",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("h1").alias("bh1"),
+        F.col("h2").alias("bh2"), "bi", "bv",
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ah1", "ah2", "bh1", "bh2")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("ah1").bitwiseXOR(F.col("bh1")))
+        + F.bit_count(F.col("ah2").bitwiseXOR(F.col("bh2")))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming").between(1, 3))
+    )
