@@ -122,3 +122,44 @@ def quantile(pairs: list[tuple[float, int]], q: float, n: int) -> float:
     # cum == sum(weights) >= target for any q <= 1 when n == sum(weights);
     # reachable only if the caller's n overstates the sketch weight.
     return s[-1][0]
+
+
+GATE_BPS = [100, 500, 1000, 2500, 5000, 7500, 9000, 9500, 9900]
+EPS_BP = 500
+
+# DuckDB twin shared by agg_kll_gate and stream_kll_gate: the driver
+# hash-checks (probe, exact n, TRUE) rows — one definition so the batch
+# and streaming twins cannot silently diverge on probes or eps.
+GATE_ORACLE = """
+    WITH nn AS (SELECT count(*) AS n FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value))
+    SELECT q.q_bp, nn.n, TRUE AS within_bound
+    FROM (SELECT unnest([100, 500, 1000, 2500, 5000, 7500, 9000, 9500,
+                         9900]) AS q_bp) q, nn
+    """
+
+
+def rank_gate(ev: DataFrame, merged: list[tuple[float, int]], col: str = "value"):
+    """The eps-approximate rank audit shared by the batch and streaming
+    KLL queries: estimate every GATE_BPS quantile from the merged
+    sketch, compute all exact rank counters in ONE conditional-agg scan
+    of ``ev`` (already NULL/NaN-filtered by the caller), and emit the
+    (q_bp, n, within_bound) contract rows. n is the sketch's total
+    weight — equality with the oracle's batch count is the lossless
+    check."""
+    from pyspark.sql import functions as F
+
+    n = sum(w for _, w in merged)
+    probes = [(bp, quantile(merged, bp / 10000.0, n)) for bp in GATE_BPS]
+    aggs = []
+    for bp, v in probes:
+        aggs.append(F.sum((F.col(col) < F.lit(v)).cast("long")).alias(f"lt_{bp}"))
+        aggs.append(F.sum((F.col(col) <= F.lit(v)).cast("long")).alias(f"le_{bp}"))
+    row = ev.agg(*aggs).collect()[0]
+    out = []
+    for bp, _v in probes:
+        ok = (row[f"lt_{bp}"] * 10000 <= (bp + EPS_BP) * n) and (
+            row[f"le_{bp}"] * 10000 >= (bp - EPS_BP) * n
+        )
+        out.append((bp, n, bool(ok)))
+    return ev.sparkSession.createDataFrame(out, "q_bp int, n long, within_bound boolean")

@@ -1817,15 +1817,12 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q22)
 
 
+from tstables_spark.operators.kll import GATE_ORACLE as _KLL_GATE_ORACLE
+
+
 @query(
     "agg_kll_gate",
-    oracle="""
-    WITH nn AS (SELECT count(*) AS n FROM events
-                WHERE value IS NOT NULL AND NOT isnan(value))
-    SELECT q.q_bp, nn.n, TRUE AS within_bound
-    FROM (SELECT unnest([100, 500, 1000, 2500, 5000, 7500, 9000, 9500,
-                         9900]) AS q_bp) q, nn
-    """,
+    oracle=_KLL_GATE_ORACLE,
 )
 def agg_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fourth mergeable-summary lifecycle (after CMS / Bloom /
@@ -1848,7 +1845,7 @@ def agg_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver merge, and ONE conditional-aggregation scan computing
     all 18 exact rank counters in a single partial-agg pass — no sort,
     no per-probe job."""
-    from tstables_spark.operators.kll import merge_pairs, quantile, sketch_partitions
+    from tstables_spark.operators.kll import merge_pairs, rank_gate, sketch_partitions
 
     # NULL and NaN both: the sketch kernel's pandas dropna removes both,
     # so n and the rank counters must run over the identical filter.
@@ -1860,19 +1857,4 @@ def agg_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["value"], r["weight"]) for r in sketch_partitions(ev, "value", k).collect()
     ]
     merged = merge_pairs(pairs, k)
-    n = sum(w for _, w in merged)
-    bps = [100, 500, 1000, 2500, 5000, 7500, 9000, 9500, 9900]
-    probes = [(bp, quantile(merged, bp / 10000.0, n)) for bp in bps]
-    aggs = []
-    for bp, v in probes:
-        aggs.append(F.sum((F.col("value") < F.lit(v)).cast("long")).alias(f"lt_{bp}"))
-        aggs.append(F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"le_{bp}"))
-    row = ev.agg(*aggs).collect()[0]
-    eps_bp = 500
-    out = []
-    for bp, _v in probes:
-        ok = (row[f"lt_{bp}"] * 10000 <= (bp + eps_bp) * n) and (
-            row[f"le_{bp}"] * 10000 >= (bp - eps_bp) * n
-        )
-        out.append((bp, n, bool(ok)))
-    return spark.createDataFrame(out, "q_bp int, n long, within_bound boolean")
+    return rank_gate(ev, merged)
