@@ -790,3 +790,75 @@ def doc_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inflation"
         ),
     )
+
+
+@query(
+    "vocab_growth",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+    toks AS (SELECT least(doc_id * 10 // (mid + 1), 9) AS dec,
+                    substr(md5(tok), 1, 16) AS g
+             FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+                   FROM documents), mx),
+    per_dec AS (SELECT dec, CAST(count(*) AS BIGINT) AS tokens
+                FROM toks GROUP BY dec),
+    fs AS (SELECT g, min(dec) AS first_dec FROM toks GROUP BY g),
+    new_t AS (SELECT first_dec AS dec, CAST(count(*) AS BIGINT) AS new_types
+              FROM fs GROUP BY first_dec)
+    SELECT p.dec AS decile, p.tokens,
+           CAST(sum(p.tokens) OVER (ORDER BY p.dec) AS BIGINT) AS cum_tokens,
+           COALESCE(n.new_types, 0) AS new_types,
+           CAST(sum(COALESCE(n.new_types, 0)) OVER (ORDER BY p.dec)
+                AS BIGINT) AS cum_types
+    FROM per_dec p LEFT JOIN new_t n ON p.dec = n.dec
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit) by ingestion-order
+    decile: per tenth of the corpus, token occurrences and NEW distinct
+    types (first corpus-wide appearance), plus both cumulative curves —
+    the "is new data still adding vocabulary?" curation diagnostic that
+    pairs with token_ngram_novelty's per-doc view.
+
+    Scale shape: deciles come from pure doc_id arithmetic against one
+    broadcast max (no global row_number over the data-sized documents
+    relation); tokens are md5-fingerprinted at the scan (novelty's
+    16-byte shuffle-key discipline); both aggregations are partial-agg
+    (first-appearance = min over the token-keyed agg); the cumulative
+    sums run over the TEN-row decile relation — a bounded window, not a
+    data-sized one. Assumes nothing about doc_id density beyond
+    monotone-in-ingestion ids: sparse ids just make deciles uneven,
+    deterministically on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.expr("doc_id * 10 DIV (mid + 1)"), F.lit(9)).alias("dec"),
+            F.substring(F.md5("tok"), 1, 16).alias("g"),
+        )
+    )
+    per_dec = toks.groupBy("dec").agg(F.count("*").alias("tokens"))
+    new_t = (
+        toks.groupBy("g")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").alias("new_types"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = W.orderBy("dec").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_dec.join(new_t, "dec", "left")
+        .select(
+            F.col("dec").alias("decile"),
+            "tokens",
+            F.sum("tokens").over(cum).cast("long").alias("cum_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(cum)
+            .cast("long")
+            .alias("cum_types"),
+        )
+    )
