@@ -1425,3 +1425,51 @@ def test_kll_merge_of_shards_matches_contract():
         lt = int(np.searchsorted(srt, est, side="left"))
         le = int(np.searchsorted(srt, est, side="right"))
         assert lt <= (q + 0.05) * n and le >= (q - 0.05) * n, q
+
+
+def test_mg_guarantees_any_partitioning():
+    """Misra-Gries invariants under arbitrary shard splits: estimates
+    never overcount, undercount by at most n/(k+1), and every item
+    above the n/(k+1) threshold survives the subtract-merge — on a
+    Zipf-ish synthetic with adversarial (sorted / interleaved) shard
+    orders."""
+    import collections
+
+    import numpy as np
+
+    from tstables_spark.operators.heavyhitters import mg_merge
+
+    rng = np.random.default_rng(5)
+    data = [f"t{int(x)}" for x in rng.zipf(1.3, 40000) if x < 5000]
+    exact = collections.Counter(data)
+    n = len(data)
+    k = 64
+    for order in ["asis", "sorted", "interleave"]:
+        items = {"asis": data, "sorted": sorted(data),
+                 "interleave": data[::2] + data[1::2]}[order]
+        shard_summaries = []
+        for shard in np.array_split(np.array(items, dtype=object), 9):
+            counters: dict[str, int] = {}
+            for it in shard:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+            shard_summaries.extend(counters.items())
+        merged = mg_merge(shard_summaries, k)
+        bound = n // (k + 1)
+        assert len(merged) <= k
+        for item, est in merged.items():
+            assert est <= exact[item], (order, item)
+        for item, c in exact.items():
+            if c > bound:
+                assert item in merged, (order, item)
+                assert c - merged[item] <= bound, (order, item)

@@ -97,8 +97,10 @@ def _load_all() -> None:
             # image aHash near-dup clusters, banded motif discovery
             "agg_winsorize", "multimodal_phash", "ts_motif",
             # (b) added r9: streaming KLL fold (lifecycle twin),
-            # banded Hamming near-miss pHash pairs, Heaps-law curve
+            # banded Hamming near-miss pHash pairs, Heaps-law curve,
+            # Misra-Gries heavy hitters
             "stream_kll_gate", "dedup_phash_band", "vocab_growth",
+            "agg_heavy_hitters",
             # (c) re-checks: dedup.py changed r8+r9
             "dedup_editdist", "dedup_near", "dedup_prefix",
             # (c) re-checks: asof.py changed r8; stream_asof rewired r9

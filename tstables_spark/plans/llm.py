@@ -1643,3 +1643,62 @@ def dedup_phash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming").between(1, 3))
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT unnest(str_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    nn AS (SELECT count(*) AS n FROM toks),
+    c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT c.tok AS token, CAST(c.c AS BIGINT) AS exact_cnt,
+           TRUE AS in_summary, TRUE AS err_ok
+    FROM c, nn WHERE c.c > nn.n // 65
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth mergeable summary: a Misra-Gries heavy-hitters sketch
+    (k=64 counters) over corpus tokens, audited against exact counts —
+    every token with true frequency above n/(k+1) must be IN the merged
+    summary (in_summary) with its counter undercounting by at most
+    n/(k+1) (err_ok); both hold deterministically by the MG guarantee
+    under any merge schedule (Agarwal et al. mergeable summaries), so
+    the driver hash-checks the exact heavy-hitter list, counts, and
+    TRUE flags. Complements agg_cms_*: MG stores the items themselves
+    (no hash collisions), bounds error by TOTAL count, and its
+    estimates never overcount.
+
+    Scale shape: one Arrow-batched mapInPandas pass with O(k) task
+    state, a bounded partitions x k summary collect (the per-executor
+    partial aggregate), a driver fold of the subtract-merge, and ONE
+    exact groupBy count pass whose output is filtered to the ~n/(k+1)
+    threshold before the tiny collect — no sort, no global window."""
+    from tstables_spark.operators.heavyhitters import mg_merge, mg_partitions
+
+    k = 64
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    summary = [
+        (r["item"], r["cnt"]) for r in mg_partitions(toks, "tok", k).collect()
+    ]
+    merged = mg_merge(summary, k)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = exact.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    bound = n // (k + 1)
+    hh = exact.where(F.col("c") > bound).collect()  # bounded: <= k+1 rows
+    out = []
+    for r in hh:
+        est = merged.get(r["tok"], 0)
+        out.append(
+            (
+                r["tok"],
+                r["c"],
+                r["tok"] in merged,
+                bool(est <= r["c"] and r["c"] - est <= bound),
+            )
+        )
+    return spark.createDataFrame(
+        out, "token string, exact_cnt long, in_summary boolean, err_ok boolean"
+    )
