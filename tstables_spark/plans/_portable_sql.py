@@ -13,6 +13,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def epoch_floor_div(expr: str, d: int) -> str:
+    """SQL for FLOOR division of an integer epoch expression by ``d``.
+
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so a bare ``unix_micros(ts) div D`` diverges from the oracle on
+    pre-1970 timestamps (negative epochs round toward zero, i.e. UP).
+    Subtracting ``pmod`` (always non-negative) first makes the numerator
+    an exact multiple of ``d``; the division is then remainder-free, so
+    trunc == floor and the bucketing is data-independent cross-engine —
+    all in 64-bit integer arithmetic (no double rounding, unlike
+    ``floor(x / d)``). Fixture epochs are all positive (2024 dates), but
+    the operator surface makes no such precondition."""
+    return f"(({expr}) - pmod({expr}, {d})) div {d}"
+
+
 def simhash_fp_sql(bits: int = 32) -> str:
     """CTE body computing portable SimHash fingerprints over `documents`
     — the DuckDB twin of operators/dedup.py::simhash_fingerprints.

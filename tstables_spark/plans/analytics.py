@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from tstables_spark.plans._exact import exact_sum, sql_sum
 from tstables_spark.plans.registry import query
+from tstables_spark.plans._portable_sql import epoch_floor_div
 from tstables_spark.plans.tables import load
 
 
@@ -622,7 +623,7 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     10k-user bucket."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 600000000").alias("bucket")
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
     ).distinct()
     return cooccurrence_degree_dist(b0, cap=256)
 
@@ -745,7 +746,7 @@ def forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+        "event_type", F.expr(epoch_floor_div("unix_micros(ts)", 3600000000)).alias("h")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("tick_sum"))
     wo = W.partitionBy("event_type").orderBy("h")
     f = hourly.select(
@@ -1015,7 +1016,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     users (no co-occurrence) are out of scope by construction."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 600000000").alias("bucket")
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
     ).distinct()
     edges = cooccurrence_edges(b0, cap=256)
     de = (
@@ -1365,7 +1366,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 60000000").alias("bucket")
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
     ).distinct()
     e = cooccurrence_edges(b0, cap=256).localCheckpoint(eager=True)
     deg = (
@@ -1655,7 +1656,7 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 60000000").alias("bucket")
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
     ).distinct()
     edges = cooccurrence_edges(b0, cap=256)
     adj0 = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(

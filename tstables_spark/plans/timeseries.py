@@ -18,6 +18,7 @@ from tstables_spark.operators.asof import asof_join
 from tstables_spark.operators.rangejoin import banded_range_join
 from tstables_spark.operators.resample import resample_m4, resample_ohlc
 from tstables_spark.plans._exact import exact_sum, exact_wsum, sql_sum, sql_wsum
+from tstables_spark.plans._portable_sql import epoch_floor_div
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.tstable import TimeSeriesTable
@@ -1644,7 +1645,7 @@ def ts_cross_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = (
         ev.groupBy(
-            F.expr("unix_micros(ts) div 600000000").alias("bucket"),
+            F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket"),
             "user_id",
         )
         .agg(exact_sum("value").alias("total"))
@@ -2046,7 +2047,7 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = d.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)).select(
         "user_id",
-        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        F.expr(epoch_floor_div("unix_micros(ts)", 3600000000)).alias("hour_bucket"),
         "value", "dt_us",
     )
     k = F.round(F.col("value") * 100).cast("long")
@@ -2426,7 +2427,7 @@ def ts_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("event_type")
         .orderBy(
-            F.expr("unix_micros(ts) div 60000000"),
+            F.expr(epoch_floor_div("unix_micros(ts)", 60000000)),
             F.md5(F.col("event_id").cast("string")),
             "event_id",
         )
@@ -2704,7 +2705,7 @@ def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_lag, chunk = 3, 4096
     ev = load(spark, sf_dir, "events")
     m = ev.select(
-        F.expr("unix_micros(ts) div 60000000").alias("minute"), "event_type"
+        F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("minute"), "event_type"
     )
     bounds = m.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
     grid = (
@@ -3173,6 +3174,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
+        # date_trunc('hour') makes unix_seconds an exact multiple of
+        # 3600 (hour boundaries align with epoch 0), so this div is
+        # remainder-free: trunc == floor even for pre-1970 timestamps,
+        # matching the oracle's `//` with no epoch_floor_div needed.
         F.expr("unix_seconds(date_trunc('hour', ts)) div 3600").alias("he"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(
@@ -3382,7 +3387,7 @@ def ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode factor at exactly 2."""
     src = load(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("e"),
+        F.expr(epoch_floor_div("unix_micros(ts)", 3600000000)).alias("e"),
         "value",
     )
     # the IS NOT NULL AND NOT isnan policy of agg_kll_gate: a NaN would
