@@ -332,7 +332,12 @@ def stage_asof_interval_layout(
     sort-merge join is Exchange-free; only the (small) batch shuffles.
 
     Requires the right side unique per (key, time) — the same
-    precondition every as-of entry point documents."""
+    precondition every as-of entry point documents. Keys must also be
+    NON-NULL (or accept NULL-never-matches): the retrieval is an
+    equi-join, so a NULL-key left row carries NULL values even when
+    NULL-key book rows exist — unlike ``asof_join``, whose union+window
+    plan partitions NULL keys together and lets them match each other.
+    Filter or coalesce NULL keys upstream if they must participate."""
     book = right.select(
         F.col(right_by).alias(_KEY),
         F.col(right_on).alias("__vfrom"),
@@ -361,9 +366,11 @@ def asof_join_interval(
     table: a plain LEFT equi-join on key with the interval containment
     conjuncts (__vfrom <= t < __vto, open-ended last interval). Each
     left row matches at most one interval, so semantics are identical
-    to ``asof_join`` — but per retrieval the book is scanned, never
-    shuffled or sorted, and the only window ever run was the one
-    lead() at staging time."""
+    to ``asof_join`` for NON-NULL keys — but per retrieval the book is
+    scanned, never shuffled or sorted, and the only window ever run was
+    the one lead() at staging time. NULL-key left rows never match
+    (equi-join semantics; see ``stage_asof_interval_layout``) and come
+    back with NULL values."""
     book = left.sparkSession.table(table_name)
     t = left[left_on]
     cond = (

@@ -47,6 +47,7 @@ from tstables_spark.plans._portable_sql import (
 )
 from tstables_spark.plans._textnorm import norm_sql as _norm_sql
 from tstables_spark.plans._textnorm import norm_text as _norm_text
+from tstables_spark.plans._staging import scratch_dir
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 
@@ -515,7 +516,7 @@ def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole parquet-roundtrip + Arrow-batch plumbing, upgraded from the
     former rows-only check."""
     packed = pack_multimodal(load(spark, sf_dir, "documents"))
-    out = tempfile.mkdtemp(prefix="mm_") + "/blobs"
+    out = scratch_dir(spark, "mm_") + "/blobs"
     packed.write.mode("overwrite").parquet(out)
     return decode_features(spark.read.parquet(out))
 
@@ -935,7 +936,7 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same portability contract as the text dedup hash family. One
     hash aggregate; linear at any corpus size."""
     packed = pack_multimodal(load(spark, sf_dir, "documents"))
-    out = tempfile.mkdtemp(prefix="mmdedup_") + "/blobs"
+    out = scratch_dir(spark, "mmdedup_") + "/blobs"
     packed.write.mode("overwrite").parquet(out)
     rb = spark.read.parquet(out)
     h = F.md5(F.lower(F.hex(F.col("blob.data"))))

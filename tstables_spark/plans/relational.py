@@ -23,6 +23,7 @@ from tstables_spark.plans._exact import (
 )
 from tstables_spark.operators.skew import salted_join
 from tstables_spark.plans._portable_sql import _qsketch_cells, _qsketch_cells_sql
+from tstables_spark.plans._staging import register_staged_table, scratch_dir
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load, register_views
 
@@ -44,7 +45,7 @@ def _staged_interchange(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir, fmt)
     if key not in _INTERCHANGE:
-        path = tempfile.mkdtemp(prefix=f"src_{fmt}_") + "/nation"
+        path = scratch_dir(spark, f"src_{fmt}_") + "/nation"
         df = load(spark, sf_dir, "nation")
         if fmt == "csv":
             df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
@@ -177,7 +178,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED:
         tag = "b" + uuid.uuid4().hex[:8]
-        base = tempfile.mkdtemp(prefix="bucketed_")
+        base = scratch_dir(spark, "bucketed_")
         for name, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
             (
                 load(spark, sf_dir, name)
@@ -187,6 +188,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
                 .mode("overwrite")
                 .saveAsTable(f"{name}_{tag}")
             )
+        for name in ("orders", "lineitem"):
+            register_staged_table(spark, f"{name}_{tag}")
         _BUCKETED[key] = tag
     return _BUCKETED[key]
 
@@ -1142,7 +1145,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_shipdate",
     )
-    out = tempfile.mkdtemp(prefix="orc_sink_") + "/lineitem"
+    out = scratch_dir(spark, "orc_sink_") + "/lineitem"
     li.write.mode("overwrite").format("orc").save(out)
     return spark.read.schema(li.schema).orc(out)
 

@@ -36,6 +36,7 @@ from tstables_spark.plans._portable_sql import (
     _qsketch_cells,
     _qsketch_cells_sql,
 )
+from tstables_spark.plans._staging import register_staged_table, scratch_dir
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.streaming.ingest import ingest_stream
@@ -50,7 +51,7 @@ def _staged_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     file-stream source — once per (app, sf, table)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _STAGED:
-        path = tempfile.mkdtemp(prefix="stream_src_") + "/" + name
+        path = scratch_dir(spark, "stream_src_") + "/" + name
         load(spark, sf_dir, name).write.mode("overwrite").parquet(path)
         _STAGED[key] = path
     return _STAGED[key]
@@ -86,7 +87,7 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lossless end-to-end (no watermark drops on the append path, no
     duplicate emission across micro-batches)."""
     src = _read_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="ingest_")
+    base = scratch_dir(spark, "ingest_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     ingest_stream(src, sink, ckpt, watermark="10 minutes").awaitTermination()
     return spark.read.parquet(sink).drop("date")
@@ -400,13 +401,13 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstables_spark.tstable import TimeSeriesTable
 
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="streamupsert_")
+    tmp = scratch_dir(spark, "streamupsert_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
 
     day = F.to_date("ts") == F.lit("2024-01-20").cast("date")
     corr = ev.where(day).withColumn("value", F.col("value") + F.lit(1000.0))
-    cdir = tempfile.mkdtemp(prefix="corr_src_") + "/corrections"
+    cdir = scratch_dir(spark, "corr_src_") + "/corrections"
     corr.repartition(3).write.parquet(cdir)
 
     src = (
@@ -419,7 +420,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.writeStream.foreachBatch(
             lambda batch, _id: ts.upsert(batch.select(*cols), keys=["event_id"])
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .option("checkpointLocation", scratch_dir(spark, "upsert_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -522,7 +523,7 @@ def _asof_interval_staged_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ASOF_INTERVAL_STAGED:
         tag = "asof_iv_" + uuid.uuid4().hex[:8]
-        base = tempfile.mkdtemp(prefix="asof_interval_")
+        base = scratch_dir(spark, "asof_interval_")
         od = (
             load(spark, sf_dir, "orders")
             .groupBy("o_custkey", "o_orderdate")
@@ -540,6 +541,7 @@ def _asof_interval_staged_table(spark: SparkSession, sf_dir: str) -> str:
             path=f"{base}/t",
             num_buckets=8,
         )
+        register_staged_table(spark, tag)
         _ASOF_INTERVAL_STAGED[key] = tag
     return _ASOF_INTERVAL_STAGED[key]
 
@@ -584,14 +586,14 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     t = _asof_interval_staged_table(spark, sf_dir)
-    sdir = tempfile.mkdtemp(prefix="asof_src_") + "/events"
+    sdir = scratch_dir(spark, "asof_src_") + "/events"
     ev.repartition(3).write.parquet(sdir)
     src = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(sdir)
     )
-    out = tempfile.mkdtemp(prefix="asof_out_") + "/enriched"
+    out = scratch_dir(spark, "asof_out_") + "/enriched"
 
     def enrich(batch: DataFrame, _id: int) -> None:
         (
@@ -609,7 +611,7 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(enrich)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="asof_ckpt_"))
+        .option("checkpointLocation", scratch_dir(spark, "asof_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -727,7 +729,7 @@ def _staged_kll_values(spark: SparkSession, sf_dir: str):
             .select("value")
             .where(F.col("value").isNotNull() & ~F.isnan("value"))
         )
-        path = tempfile.mkdtemp(prefix="kll_src_") + "/values"
+        path = scratch_dir(spark, "kll_src_") + "/values"
         ev.repartition(8).write.parquet(path)
         _KLL_STAGED[key] = path
     return _KLL_STAGED[key]
@@ -782,7 +784,7 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kll_ckpt_"))
+        .option("checkpointLocation", scratch_dir(spark, "kll_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

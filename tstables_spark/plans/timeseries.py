@@ -19,6 +19,7 @@ from tstables_spark.operators.rangejoin import banded_range_join
 from tstables_spark.operators.resample import resample_m4, resample_ohlc
 from tstables_spark.plans._exact import exact_sum, exact_wsum, sql_sum, sql_wsum
 from tstables_spark.plans._portable_sql import epoch_floor_div
+from tstables_spark.plans._staging import register_staged_table, scratch_dir
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load
 from tstables_spark.tstable import TimeSeriesTable
@@ -82,7 +83,7 @@ def ts_create_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     select on the fixture: a hash match proves the write/read round-trip
     is lossless (not just that some rows came back)."""
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tstable_")
+    tmp = scratch_dir(spark, "tstable_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
     from datetime import datetime, timezone
@@ -101,7 +102,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline in isolation). Oracle = the whole fixture: hash match
     proves the partitioned rewrite is lossless."""
     ev = load(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="sink_") + "/events"
+    out = scratch_dir(spark, "sink_") + "/events"
     (
         ev.withColumn("date", F.to_date("ts"))
         .repartition("date")
@@ -139,7 +140,7 @@ def ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstables_spark.streaming.ingest import compact_series
 
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tscompact_")
+    tmp = scratch_dir(spark, "tscompact_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     half = F.pmod(F.xxhash64("event_id"), F.lit(2))
     ts.append(ev.where(half == 0))
@@ -178,7 +179,7 @@ def ts_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime, timezone
 
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tsupsert_")
+    tmp = scratch_dir(spark, "tsupsert_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
     day = F.to_date("ts") == F.lit("2024-01-15").cast("date")
@@ -836,7 +837,7 @@ def ts_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     v1_cols = ["event_id", "ts", "user_id", "event_type", "value"]
     cut = F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
-    tmp = tempfile.mkdtemp(prefix="tsevolve_")
+    tmp = scratch_dir(spark, "tsevolve_")
     v1_schema = ev.select(*v1_cols).schema
     ts = TimeSeriesTable.create(spark, tmp, "events_series", v1_schema)
     ts.append(ev.where(~cut).select(*v1_cols))
@@ -869,7 +870,7 @@ def ts_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a lossless, complete cover of the data (no row in a wrong-day
     dir, none dropped)."""
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tsparts_")
+    tmp = scratch_dir(spark, "tsparts_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
     return (
@@ -1758,7 +1759,7 @@ def ts_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import date
 
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tstable_purge_")
+    tmp = scratch_dir(spark, "tstable_purge_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
     ts.purge_before(date(2024, 1, 15))
@@ -1782,7 +1783,7 @@ def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves v1 sees none of batch 2's rows and all of its own —
     reproducible-corpus reads for audits and training runs."""
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tstable_tt_")
+    tmp = scratch_dir(spark, "tstable_tt_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev.where(F.col("event_id") % 2 == 0))
     v1 = ts.snapshot()
@@ -2308,7 +2309,7 @@ def ts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstables_spark.tstable import TimeSeriesTable, list_series
 
     ev = load(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="catalog_")
+    root = scratch_dir(spark, "catalog_")
     for name, etype in (("clicks", "click"), ("purchases", "purchase")):
         sub = ev.where(F.col("event_type") == etype)
         t = TimeSeriesTable.create(spark, root, name, ev.schema)
@@ -2355,7 +2356,7 @@ def ts_multi_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstables_spark.tstable import TimeSeriesTable
 
     ev = load(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="align_")
+    root = scratch_dir(spark, "align_")
     for name, etype in (("clicks", "click"), ("purchases", "purchase")):
         t = TimeSeriesTable.create(spark, root, name, ev.schema)
         t.append(ev.where(F.col("event_type") == etype))
@@ -2820,7 +2821,7 @@ def _asof_staged_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ASOF_STAGED:
         tag = "asof_" + uuid.uuid4().hex[:8]
-        base = tempfile.mkdtemp(prefix="asof_presorted_")
+        base = scratch_dir(spark, "asof_presorted_")
         ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
         od = (
             load(spark, sf_dir, "orders")
@@ -2842,6 +2843,7 @@ def _asof_staged_table(spark: SparkSession, sf_dir: str) -> str:
             path=f"{base}/t",
             num_buckets=8,
         )
+        register_staged_table(spark, tag)
         _ASOF_STAGED[key] = tag
     return _ASOF_STAGED[key]
 
@@ -2988,7 +2990,7 @@ def _asof_multi_staged_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ASOF_MULTI_STAGED:
         tag = "asofm_" + uuid.uuid4().hex[:8]
-        base = tempfile.mkdtemp(prefix="asof_multi_presorted_")
+        base = scratch_dir(spark, "asof_multi_presorted_")
         ev = load(spark, sf_dir, "events")
         clicks = ev.where(F.col("event_type") == "click").select(
             "event_id", "user_id", "ts"
@@ -3023,6 +3025,7 @@ def _asof_multi_staged_table(spark: SparkSession, sf_dir: str) -> str:
             path=f"{base}/t",
             num_buckets=8,
         )
+        register_staged_table(spark, tag)
         _ASOF_MULTI_STAGED[key] = tag
     return _ASOF_MULTI_STAGED[key]
 
@@ -3091,7 +3094,7 @@ def ts_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fixture, so the hash match proves the partition-walk finds
     exactly the right instant and loses no tied rows."""
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="tstable_at_")
+    tmp = scratch_dir(spark, "tstable_at_")
     ts = TimeSeriesTable.create(spark, tmp, "events_series", ev.schema)
     ts.append(ev)
     from datetime import datetime, timezone
