@@ -1473,3 +1473,39 @@ def test_mg_guarantees_any_partitioning():
             if c > bound:
                 assert item in merged, (order, item)
                 assert c - merged[item] <= bound, (order, item)
+
+
+def test_mg_batch_fold_guarantees():
+    """The vectorized per-batch fold (value_counts -> mg_merge, the
+    mapInPandas hot path) preserves the MG invariants at every Arrow
+    batch size — exact batch counts are a zero-error MG summary, so
+    folding them through the subtract-merge is guarantee-preserving
+    under any batch schedule."""
+    import collections
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    from tstables_spark.operators.heavyhitters import mg_merge
+
+    rng = np.random.default_rng(11)
+    data = [f"t{int(x)}" for x in rng.zipf(1.3, 30000) if x < 4000]
+    exact = collections.Counter(data)
+    n = len(data)
+    k = 64
+    bound = n // (k + 1)
+    for batch in [100, 1024, 10**6]:
+        counters: dict[str, int] = {}
+        for i in range(0, len(data), batch):
+            vc = pd.Series(data[i : i + batch]).value_counts()
+            counters = mg_merge(
+                chain(counters.items(), zip(vc.index, vc.to_numpy())), k
+            )
+        assert len(counters) <= k
+        for item, est in counters.items():
+            assert est <= exact[item], (batch, item)
+        for item, c in exact.items():
+            if c > bound:
+                assert item in counters, (batch, item)
+                assert c - counters[item] <= bound, (batch, item)
