@@ -1509,3 +1509,41 @@ def test_mg_batch_fold_guarantees():
             if c > bound:
                 assert item in counters, (batch, item)
                 assert c - counters[item] <= bound, (batch, item)
+
+
+def test_nsw_staged_identity_and_plan(spark):
+    """stage_nsw_layout + nsw_topk_staged returns EXACTLY nsw_topk's
+    rows (same graph, entries, walk, tie-breaks) while paying zero
+    index-build work per retrieval; the checkpoint-off walk plan
+    broadcast-joins everywhere (no corpus shuffle) and probes the
+    staged edge/base tables as plain file scans."""
+    import re
+    import tempfile
+    import uuid
+
+    from tstables_spark.operators.similarity import (
+        nsw_topk,
+        nsw_topk_staged,
+        stage_nsw_layout,
+    )
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    tag = "nswtest_" + uuid.uuid4().hex[:8]
+    stage_nsw_layout(emb, tag, tempfile.mkdtemp(prefix="nsw_t_"))
+    try:
+        fresh = {tuple(r) for r in nsw_topk(emb, pred, k=5).collect()}
+        staged = {
+            tuple(r) for r in nsw_topk_staged(spark, tag, pred, k=5).collect()
+        }
+        assert staged == fresh and len(staged) == 50
+        walk = nsw_topk_staged(spark, tag, pred, k=5, checkpoint=False)
+        p = walk._jdf.queryExecution().executedPlan().toString()
+        assert p.count("BroadcastHashJoin") >= 5
+        assert not re.search(r"SortMergeJoin|CartesianProduct", p)
+        assert re.search(rf"{tag}_edges", p)  # off-disk index, no rebuild
+        assert "MapInPandas" not in p  # zero kNN-build work at search
+    finally:
+        for part in ("edges", "base", "entries"):
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")

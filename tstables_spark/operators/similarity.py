@@ -844,9 +844,9 @@ def nsw_topk(
     query_pred: Column,
     k: int = 5,
     graph_k: int = 12,
-    ef: int = 24,
-    rounds: int = 4,
-    entries_per_block: int = 8,
+    ef: int = 32,
+    rounds: int = 3,
+    entries_per_block: int = 16,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -869,10 +869,11 @@ def nsw_topk(
     per-query top-``ef`` beam. The final answer is the top-``k`` of
     everything visited. Defaults are tuned on the fixture corpus —
     weakly-similar neighbors, the hard case for graph navigability:
-    measured recall@5 vs exact cosine_topk = 1.00 / 1.00 / 0.86 at
-    sf0.001/0.01/0.1 visiting ~10% of the sf0.1 corpus per query
-    (SCALE.md); a real near-dup corpus navigates with far smaller
-    ef/rounds.
+    measured recall@5 vs exact cosine_topk = 1.00 / 1.00 / 0.90 at
+    sf0.001/0.01/0.1 (rounds=3 x entries_per_block=16 x ef=32 beats
+    the r9 rounds=4 x 8 x 24 default on BOTH recall and cost — one
+    fewer edge scan; sweep in SCALE.md); a real near-dup corpus
+    navigates with far smaller ef/rounds.
 
     Scale shape: the edge relation is O(n * 2 * graph_k) rows and is
     SCANNED once per round as the probe side of a broadcast hash join
@@ -880,7 +881,9 @@ def nsw_topk(
     contract as every ANN op here) is the broadcast build side, so the
     graph never shuffles; per-round state (visited ∪ frontier) is
     O(|Q| * ef * rounds). At a repeated-retrieval deployment, stage
-    the edge relation bucketed by src (the stage_asof_layout trade).
+    the index ONCE with ``stage_nsw_layout`` and search with
+    ``nsw_topk_staged`` — per retrieval the graph build (the dominant
+    cost: a corpus-wide kNN pass) disappears entirely.
     Candidate scoring is the codegen'd ``_dot`` against the broadcast
     query vectors — rows cross the plan, never |Q|x|C| pairs.
 
@@ -922,17 +925,40 @@ def nsw_topk(
     cand = base.select(
         F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
     )
+    return _nsw_walk(edges, cand, queries, entries, k, ef, rounds, dim, cp)
+
+
+def _nsw_walk(
+    edges: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    entries: DataFrame,
+    k: int,
+    ef: int,
+    rounds: int,
+    dim: int,
+    cp,
+) -> DataFrame:
+    """The shared BSP beam search of ``nsw_topk`` / ``nsw_topk_staged``:
+    ``rounds`` iterations of expand-through-edges, score, keep the
+    per-query top-``ef`` beam; final answer is the top-``k`` of
+    everything visited. ``edges`` is (src, dst); ``cand`` is
+    (nid, cv, cn2); ``queries`` is (qid, qv, qn2); ``entries`` is
+    (nid). ``cp`` pins the per-round iterative lineage (identity for
+    plan tests).
+
+    The entry scoring is NOT pinned — it is one broadcast join over the
+    candidate scan, and round 1's visited-union pin covers it, so the
+    walk runs ``rounds`` eager jobs instead of ``rounds + 1``."""
     cos = F.round(
         _dot("qv", "cv", dim) / F.sqrt(F.col("qn2") * F.col("cn2")), 4
     ).alias("cosine")
 
     def score(pairs: DataFrame) -> DataFrame:
-        """(qid, nid) -> (qid, nid, cosine), self-matches dropped.
-
-        The pair set is O(|Q| * ef * 2k) rows of two ids — broadcast
-        it so the corpus projection (the vector bytes) is scanned in
-        place every round instead of shuffling on nid rounds+1 times.
-        """
+        # (qid, nid) -> (qid, nid, cosine), self-matches dropped. The
+        # pair set is O(|Q| * ef * 2k) rows of two ids — broadcast it so
+        # the corpus projection (the vector bytes) is scanned in place
+        # every round instead of shuffling on nid rounds+1 times.
         return (
             F.broadcast(pairs).join(cand, "nid")
             .join(F.broadcast(queries), "qid")
@@ -941,7 +967,7 @@ def nsw_topk(
         )
 
     beam_w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    visited = cp(score(queries.select("qid").crossJoin(F.broadcast(entries))))
+    visited = score(queries.select("qid").crossJoin(F.broadcast(entries)))
     frontier = visited
     for _ in range(rounds):
         expanded = (
@@ -965,3 +991,98 @@ def nsw_topk(
         # join, final rank) and an iterative lineage to cut
         visited = cp(visited.unionByName(frontier))
     return _rank_topk(visited, k)
+
+
+def stage_nsw_layout(
+    emb: DataFrame,
+    table_name: str,
+    path: str,
+    graph_k: int = 12,
+    entries_per_block: int = 16,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    num_buckets: int = 8,
+) -> None:
+    """Stage the NSW index for REPEATED retrieval — the promise in
+    ``nsw_topk``'s scale note, same pay-at-write-time trade as
+    ``stage_asof_layout``. Three tables:
+
+    - ``{table_name}_edges`` (src, dst): the undirected exact-kNN edge
+      relation, bucketed + sorted by src. Building it is the dominant
+      cost of ``nsw_topk`` (a corpus-wide blocked kNN pass plus a
+      union+distinct shuffle); staged, every later search round just
+      scans it. Bucketing by src keeps the book side Exchange-free if
+      a giant frontier ever demotes the per-round join from broadcast
+      to sort-merge.
+    - ``{table_name}_base`` (id, v, n2): double vectors with squared
+      norms precomputed — the scoring scan side.
+    - ``{table_name}_entries`` (nid): the deterministic per-block entry
+      points (lowest ``entries_per_block`` ids per block).
+
+    Search with ``nsw_topk_staged``; results are identical to a fresh
+    ``nsw_topk`` with the same parameters (same graph, same entries,
+    same walk)."""
+    base = with_norm2(emb, vec_col=vec_col, dim=dim)
+    g = knn_graph(emb, k=graph_k, block_col=block_col, id_col=id_col, vec_col=vec_col)
+    edges = (
+        g.select(F.col(id_col).alias("src"), F.col("nn_id").alias("dst"))
+        .unionByName(g.select(F.col("nn_id").alias("src"), F.col(id_col).alias("dst")))
+        .distinct()
+    )
+    (
+        edges.repartition(num_buckets, F.col("src"))
+        .write.bucketBy(num_buckets, "src")
+        .sortBy("src", "dst")
+        .option("path", f"{path}/edges")
+        .mode("overwrite")
+        .saveAsTable(f"{table_name}_edges")
+    )
+    (
+        base.select(id_col, "v", "n2")
+        .write.option("path", f"{path}/base")
+        .mode("overwrite")
+        .saveAsTable(f"{table_name}_base")
+    )
+    wb = W.partitionBy(block_col).orderBy(id_col)
+    (
+        emb.select(block_col, id_col)
+        .withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= entries_per_block)
+        .select(F.col(id_col).alias("nid"))
+        .write.option("path", f"{path}/entries")
+        .mode("overwrite")
+        .saveAsTable(f"{table_name}_entries")
+    )
+
+
+def nsw_topk_staged(
+    spark,
+    table_name: str,
+    query_pred: Column,
+    k: int = 5,
+    ef: int = 32,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    dim: int = DIM,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Beam search against a ``stage_nsw_layout`` index: identical
+    results to ``nsw_topk`` (same graph, entries, walk, tie-breaks) but
+    the per-retrieval cost is ONLY the walk — no kNN-graph build, no
+    union+distinct, no norm recompute, and no edge-relation pin (the
+    staged table IS the pinned lineage; each round re-scans it off
+    disk, which is exactly the staged trade). ``query_pred`` selects
+    query rows from the staged base table."""
+    cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    edges = spark.table(f"{table_name}_edges")
+    base = spark.table(f"{table_name}_base")
+    entries = spark.table(f"{table_name}_entries")
+    queries = base.where(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    cand = base.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    return _nsw_walk(edges, cand, queries, entries, k, ef, rounds, dim, cp)

@@ -51,12 +51,51 @@ def sim_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigable-small-world / HNSW-layer-0 retrieval shape
     (operators/similarity.py::nsw_topk). Rows-only: approximate by
     design; exact twin is sim_topk, quality hash-gated by sim_recall's
-    recall@5 >= 0.8 floor (measured 1.00/1.00/0.86 at
+    recall@5 >= 0.8 floor (measured 1.00/1.00/0.90 at
     sf0.001/0.01/0.1)."""
     from tstables_spark.operators.similarity import nsw_topk
 
     emb = load(spark, sf_dir, "embeddings")
     return nsw_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+_NSW_STAGED: dict = {}
+
+
+def _nsw_staged_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the NSW index once per (app, sf) — the repeated-retrieval
+    layout ``nsw_topk``'s scale note promises (same memo pattern as
+    timeseries._asof_staged_table)."""
+    import uuid
+
+    from tstables_spark.operators.similarity import stage_nsw_layout
+    from tstables_spark.plans._staging import register_staged_table, scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NSW_STAGED:
+        tag = "nsw_" + uuid.uuid4().hex[:8]
+        base = scratch_dir(spark, "nsw_index_")
+        stage_nsw_layout(load(spark, sf_dir, "embeddings"), tag, base)
+        for part in ("edges", "base", "entries"):
+            register_staged_table(spark, f"{tag}_{part}")
+        _NSW_STAGED[key] = tag
+    return _NSW_STAGED[key]
+
+
+@query("sim_nsw_staged")
+def sim_nsw_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_nsw`` against a pre-staged index
+    (operators/similarity.py::stage_nsw_layout): the kNN-graph build —
+    the dominant cost of every fresh ``nsw_topk`` — is paid once at
+    staging and every retrieval is ONLY the bounded beam walk over the
+    bucketed edge table. Results are identical to sim_nsw by
+    construction (same graph, entries, walk, tie-breaks; asserted in
+    tests). Rows-only like its twin; quality hash-gated by sim_recall's
+    recall@5 >= 0.8 floor."""
+    from tstables_spark.operators.similarity import nsw_topk_staged
+
+    tag = _nsw_staged_index(spark, sf_dir)
+    return nsw_topk_staged(spark, tag, F.col("vec_id") < 10, k=5)
 
 
 @query(
@@ -117,7 +156,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.variant, nq.n_queries, 0.8 AS recall_floor,
            TRUE AS recall_ok
     FROM (VALUES ('sim_ivf'), ('sim_ivf_centroid'), ('sim_ivf_kmeans'),
-                 ('sim_nsw'))
+                 ('sim_nsw'), ('sim_nsw_staged'))
          AS v(variant), nq
     """,
 )
@@ -133,8 +172,8 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific (it grades this engine's approximations), but the
     quality CONTRACT — recall@5 >= 0.8 for every variant — is a
     portable boolean the oracle expects TRUE. Measured recalls are
-    0.90–1.00 for the IVF/LSH variants and 0.86–1.00 for the graph
-    variant (sim_nsw) across sf0.001/0.01/0.1, so the 0.8 floor has
+    0.90–1.00 for the IVF/LSH variants and 0.90–1.00 for the graph
+    variants (sim_nsw / sim_nsw_staged) across sf0.001/0.01/0.1, so the 0.8 floor has
     real margin; a bucketing/probing/navigation regression in any
     variant flips the boolean and fails the driver hash."""
     emb = load(spark, sf_dir, "embeddings")
@@ -145,6 +184,11 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tstables_spark.operators.similarity import nsw_topk
 
         return nsw_topk(emb, pred, k=k)
+
+    def _nsw_staged(spark, sf_dir, pred, k):
+        from tstables_spark.operators.similarity import nsw_topk_staged
+
+        return nsw_topk_staged(spark, _nsw_staged_index(spark, sf_dir), pred, k=k)
 
     # Each variant runs SEQUENTIALLY as its own distributed job and only
     # k·|Q| id pairs cross the driver (contract-small, like the query
@@ -167,6 +211,7 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: ivf_topk_kmeans(emb, pred, k=k, n_cells=16, n_probe=4, iters=2),
         ),
         ("sim_nsw", lambda: _nsw(emb, pred, k)),
+        ("sim_nsw_staged", lambda: _nsw_staged(spark, sf_dir, pred, k)),
     ]
     rows = []
     for name, make in variants:
