@@ -483,6 +483,150 @@ def ivf_topk_kmeans(
     return _ivf_probe_topk(emb, cells, cents, query_pred, k, n_probe, id_col, dim)
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    iters: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 128,
+    id_col: str = "vec_id",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ with exact re-rank — the production FAISS composition:
+    a Lloyd-refined coarse quantizer routes each query to ``n_probe``
+    cells, candidates in those cells are ranked by ASYMMETRIC DISTANCE
+    (ADC) over ``m``-block product-quantized RESIDUALS (8 one-byte
+    codes stand in for 64 doubles — the 32x memory cut of Jégou et
+    al., TPAMI'11), and only the per-query ADC top-``rerank``
+    survivors are scored exactly before the final (cosine DESC, nid)
+    rank.
+
+    Composition of already-green parts: the coarse codebook is
+    ``kmeans_fit`` (sim_ivf_kmeans's trainer), cell assignment is
+    ``_cells_from_codebook``'s zero-shuffle Arrow kernel, probing is
+    ``_ivf_probes``'s broadcast relation, and the per-block code
+    argmin mirrors embed_pq — on residuals v - centroid(cell), the
+    variance PQ actually quantizes.
+
+    Scale shape: index build is TWO narrow scans (assign; encode —
+    the codes relation is m bytes/vector, the thing that fits a
+    billion vectors in RAM). Search: the m x pq_k LUT per (query,
+    probed cell) is built driver-side from contract-small pieces
+    (|Q| x n_probe x m x pq_k doubles — KB) and broadcast; ADC is a
+    codegen'd sum of ``element_at`` lookups over the equi-joined
+    candidate codes, so rows cross the plan, never vectors; only
+    |Q| x rerank id pairs reach the exact scorer. Rows-only by
+    design; quality hash-gated by sim_recall (recall floor 0.8;
+    defaults recall-tuned on the fixture: 0.96/0.96/0.92 at
+    sf0.001/0.01/0.1 — sweep in SCALE.md)."""
+    import numpy as np
+    import pandas as pd
+
+    from tstables_spark.operators.clustering import kmeans_fit
+
+    spark = emb.sparkSession
+    w = dim // m
+    _, cvs = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col, vec_col="embedding")
+    cn2s = []
+    for cv in cvs:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cn2s.append(acc)
+    cells, cents = _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
+    C = np.asarray(cvs, dtype=np.float64)  # (n_cells, dim), cell is 1-based
+
+    # PQ codebook: per-block sub-slices of the first pq_k vectors'
+    # RESIDUALS (deterministic, contract-small; a production run would
+    # Lloyd-refine per block exactly as the coarse quantizer is)
+    seed = (
+        cells.where(F.col(id_col) < pq_k)
+        .select(id_col, "v", "cell")
+        .orderBy(id_col)
+        .collect()
+    )
+    R = np.asarray([np.asarray(r["v"], dtype=np.float64) - C[r["cell"] - 1] for r in seed])
+    book = np.asarray([R[:, b * w : (b + 1) * w] for b in range(m)])  # (m, pq_k, w)
+
+    def encode(batches):
+        # residual -> per-block nearest codebook entry (ties: lowest
+        # code id via argmin), all vectorized; emits m small ints/row
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            res = M - C[pdf["cell"].to_numpy() - 1]
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for b in range(m):
+                blk = res[:, b * w : (b + 1) * w]  # (n, w)
+                # (n, pq_k) squared distances via the expansion trick
+                d2 = (
+                    (blk * blk).sum(axis=1)[:, None]
+                    - 2.0 * blk @ book[b].T
+                    + (book[b] * book[b]).sum(axis=1)[None, :]
+                )
+                codes[:, b] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": ids,
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = cells.select(id_col, "v", "cell").mapInPandas(
+        encode, f"nid long, cell int, codes array<int>"
+    )
+
+    probes = _ivf_probes(emb, cells, cents, query_pred, n_probe, id_col, dim)
+    prows = probes.select("qid", "qv", "cell").collect()  # |Q| x n_probe
+    luts = []
+    for r in prows:
+        rq = np.asarray(r["qv"], dtype=np.float64) - C[r["cell"] - 1]
+        lut = np.empty(m * pq_k)
+        for b in range(m):
+            diff = rq[b * w : (b + 1) * w][None, :] - book[b]
+            lut[b * pq_k : (b + 1) * pq_k] = (diff * diff).sum(axis=1)
+        luts.append((int(r["qid"]), int(r["cell"]), [float(x) for x in lut]))
+    lut_df = spark.createDataFrame(luts, "qid long, cell int, lut array<double>")
+
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at("lut", F.lit(b * pq_k) + F.element_at("codes", b + 1) + 1)
+            for b in range(m)
+        ],
+    ).alias("adc")
+    survivors_w = W.partitionBy("qid").orderBy("adc", "nid")
+    survivors = (
+        coded.join(F.broadcast(lut_df), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", adc)
+        .withColumn("__r", F.row_number().over(survivors_w))
+        .where(F.col("__r") <= rerank)
+        .select("qid", "nid")
+    )
+    # exact re-rank of the |Q| x rerank survivors
+    q = cells.join(
+        F.broadcast(emb.where(query_pred).select(id_col)), id_col, "semi"
+    ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2"))
+    cand = cells.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+    )
+    cos = F.round(
+        _dot("qv", "cv", dim) / F.sqrt(F.col("qn2") * F.col("cn2")), 4
+    ).alias("cosine")
+    scored = (
+        F.broadcast(survivors).join(cand, "nid").join(F.broadcast(q), "qid").select("qid", "nid", cos)
+    )
+    return _rank_topk(scored, k)
+
+
 def _ivf_probes(
     emb: DataFrame,
     cells: DataFrame,

@@ -73,9 +73,9 @@ def _load_all() -> None:
     # decontaminate, pii_redact, quality_filter, repetition_score,
     # text_normalize, embed_normalize, embed_quantize, udtf_apply_in_pandas,
     # cdc_scd2 r6...) plus whatever r2 names miss this window's 50 cut.
-    # The 6 permanently rows-only-by-design queries are sim_ivf,
+    # The 7 permanently rows-only-by-design queries are sim_ivf,
     # sim_ivf_centroid, sim_ivf_kmeans, sim_nsw (r9), sim_nsw_staged
-    # (r10), ts_downsample_lttb — each indirectly gated by a
+    # (r10), sim_ivfpq (r10), ts_downsample_lttb — each indirectly gated by a
     # hash-checked contract query (sim_recall / ts_lttb_gate). Everything displaced from this window is
     # hash-green in a prior round with an unchanged implementation and
     # covered by repo-local parity tests.

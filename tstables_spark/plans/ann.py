@@ -98,6 +98,23 @@ def sim_nsw_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nsw_topk_staged(spark, tag, F.col("vec_id") < 10, k=5)
 
 
+@query("sim_ivfpq")
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-PQ with exact re-rank — the production
+    FAISS shape (operators/similarity.py::ivfpq_topk): Lloyd coarse
+    quantizer (sim_ivf_kmeans's trainer) routes queries to 6 of 16
+    cells, candidates rank by asymmetric distance over 8-block
+    product-quantized residuals (embed_pq's per-block argmin, on the
+    residual variance), and only the ADC top-128 survivors per query
+    are scored exactly. Rows-only: approximate by design; exact twin
+    is sim_topk, quality hash-gated by sim_recall's recall@5 >= 0.8
+    floor (measured 0.96/0.96/0.92 at sf0.001/0.01/0.1)."""
+    from tstables_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, F.col("vec_id") < 10, k=5)
+
+
 @query(
     "cluster_kmeans",
     oracle="SELECT vec_id, TRUE AS nearest_ok, TRUE AS nondegenerate_ok FROM embeddings",
@@ -156,7 +173,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.variant, nq.n_queries, 0.8 AS recall_floor,
            TRUE AS recall_ok
     FROM (VALUES ('sim_ivf'), ('sim_ivf_centroid'), ('sim_ivf_kmeans'),
-                 ('sim_nsw'), ('sim_nsw_staged'))
+                 ('sim_nsw'), ('sim_nsw_staged'), ('sim_ivfpq'))
          AS v(variant), nq
     """,
 )
@@ -185,6 +202,11 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return nsw_topk(emb, pred, k=k)
 
+    def _ivfpq(emb, pred, k):
+        from tstables_spark.operators.similarity import ivfpq_topk
+
+        return ivfpq_topk(emb, pred, k=k)
+
     def _nsw_staged(spark, sf_dir, pred, k):
         from tstables_spark.operators.similarity import nsw_topk_staged
 
@@ -212,6 +234,7 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("sim_nsw", lambda: _nsw(emb, pred, k)),
         ("sim_nsw_staged", lambda: _nsw_staged(spark, sf_dir, pred, k)),
+        ("sim_ivfpq", lambda: _ivfpq(emb, pred, k)),
     ]
     rows = []
     for name, make in variants:
