@@ -198,6 +198,35 @@ def containment_pairs(
     )
 
 
+def substring_dup_pairs(
+    docs: DataFrame,
+    w: int = 30,
+    max_df: int = 32,
+) -> DataFrame:
+    """EXACT SUBSTRING-level dedup at ``w``-token granularity — the
+    verbatim-window family of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", the 50-token-overlap rule):
+    every pair of documents sharing at least one verbatim run of ``w``
+    consecutive tokens, with the count of shared windows. Catches the
+    copy-paste / boilerplate-injection duplicates that document-level
+    Jaccard (jaccard_pairs) dilutes away and exact_dedup cannot see.
+
+    Spark-first shape: a w-token sliding window IS a w-gram shingle, so
+    this is the SAME inverted-index core as jaccard_pairs
+    (``_pair_overlap``): per-doc-distinct windows fingerprint to 60-bit
+    portable hashes at the scan (shuffles carry 8-byte longs, never
+    text), posting lists generate only the strict upper triangle, and
+    ``max_df`` caps the pair expansion — a window shared by more than
+    ``max_df`` docs is boilerplate whose cluster the exact-dedup pass
+    owns (the dedup_phash_band cap argument); with the cap the
+    expansion is Sum df^2 <= max_df * Sum df, linear in corpus windows.
+    ``w`` defaults to 30 (not Lee's 50) because the fixture's documents
+    average ~54 tokens; production corpora pass w=50."""
+    return _pair_overlap(docs, w, max_df).select(
+        "doc_a", "doc_b", F.col("shared").alias("shared_windows")
+    )
+
+
 def _pair_overlap(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
     """Shared inverted-index core of jaccard_pairs/containment_pairs:
     (doc_a, doc_b, shared, na, nb) for every pair sharing >= 1
