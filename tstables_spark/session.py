@@ -69,6 +69,15 @@ def get_spark(
         # reads plan with zero Sort (operators/asof.py).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
+        # Local-mode heap sizing: in local[N] the driver heap IS the
+        # executor heap, so size it ~ N x the per-task working set.
+        # Spark's bare 1g default OOMs at N=32 on broadcast-heavy
+        # queries (measured: assoc_rules' pinned basket relation at a
+        # 10x fixture — ~30 MB/task x 32 slots; SCALE.md). 8g covers
+        # the full registry at local[32]; override with
+        # SPARK_GRAFT_DRIVER_MEM. On a cluster this conf must be set
+        # at submit time (driver JVM already running) — pass it via
+        # spark-submit --driver-memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
