@@ -30,36 +30,55 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-9 verification window (first 50 = the harness's correctness
+    # ROUND-10 verification window (first 50 = the harness's correctness
     # window). Priority per the STANDING ROTATION POLICY (see below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) never-driver-checked queries: multimodal_audio_energy
-    #     (registered after the r8 window filled; the only query with
-    #     zero driver evidence) plus any r9 additions, inserted right
-    #     after it as they land;
-    # (c) re-check slots for every query whose implementing operator
-    #     module changed in r8 AFTER its last green row, or whose
-    #     module is being changed THIS round:
-    #     - operators/dedup.py changed r8 (spread_small_scan streaming
-    #       guard) and changes r9 (editdist second blocking key):
-    #       dedup_editdist (r5), dedup_near (r7), dedup_prefix (r7 —
-    #       also a packing.py/distributed_cumsum consumer, changed r8);
-    #     - operators/asof.py grew the directional presorted family in
-    #       r8 after the one-shot family's greens, and stream_asof is
-    #       rewired through the staged layout in r9: join_asof (r7),
-    #       join_asof_tolerance/forward/nearest/multi (r5),
-    #       stream_asof (r6);
-    #     - operators/similarity.py was heavily refactored in r8 (dim
-    #       threading, banded pair generation, probe masks) after:
-    #       sim_topk (r2), sim_knn_graph (r7), sim_range_search (r6),
-    #       sim_matryoshka (r6), dedup_embed (r2),
-    #       dedup_embed_clusters (r4);
-    #     - streaming/stateful.py changed r8 (tws twin) + r9
-    #       (conditional registration): stream_stateful (r7);
-    #     - operators/multimodal.py changed r8 (audio kernel) + r9
-    #       (numpy vectorization): multimodal_schema/frames/dedup (r6);
-    # (d) oldest-evidence backfill: the r2 relational/pipeline/llm tail
-    #     (unchanged modules, green since r2).
+    # (b) never-driver-checked r10 additions: dedup_substring,
+    #     sim_nsw_staged + sim_ivfpq (rows-only by design) and
+    #     sim_recall, whose hash-checked output gained the nsw_staged +
+    #     ivfpq recall rows (so its r9 green is stale by construction);
+    # (c) re-check slots — behavioral change after the query's last
+    #     green row (checked commit-by-commit, not just module mtime):
+    #     - operators/similarity.py nsw_topk walk re-tuned r10
+    #       (30e64cd): sim_nsw (r9);
+    #     - operators/heavyhitters.py mg_partitions vectorized r10
+    #       (765a75f): agg_heavy_hitters (r9);
+    #     - 935401e (r9, post-window): _qsketch_cells domain contract →
+    #       agg_qsketch, agg_qsketch_quantiles, stream_qsketch (r8
+    #       greens predate it); OLS degenerate-group guard →
+    #       agg_linear_regression (r8); RANGE-frame seasonal trend →
+    #       ts_seasonal_decompose (r8) — the latter two are the r9
+    #       ADVICE medium item, honored here;
+    #     - 55486de (r10) epoch_floor_div at ten bucketing sites:
+    #       graph_degree_dist (r6), forecast_naive_eval (r7),
+    #       graph_pagerank (r7), graph_triangles (r8), graph_jaccard
+    #       (r8), ts_cross_rank (r6), ts_twap (r6),
+    #       ts_watermark_lateness (r7), ts_xcorr_lags (r7),
+    #       ts_motif (r9);
+    #     - d2fbce8 (r10) staging-root consolidation rewrote the
+    #       scratch-dir/saveAsTable path inside these query bodies:
+    #       ts_create_append, sink_parquet_partitioned, ts_compact,
+    #       ts_upsert, ts_schema_evolve, ts_partitions,
+    #       ts_retention_purge, ts_time_travel, ts_catalog,
+    #       ts_multi_series_align, ts_read_at, the staged as-of tables
+    #       (join_asof_presorted / _forward / _nearest / _multi),
+    #       multimodal_schema, multimodal_dedup, sink_orc_roundtrip,
+    #       join_bucketed, stream_ingest, stream_upsert, stream_asof,
+    #       stream_kll_gate;
+    #     - module-sentinel slots for purely-ADDITIVE r10 changes
+    #       (no existing line touched; r9 greens postdate the last
+    #       behavioral edit): sim_topk, sim_knn_graph,
+    #       dedup_embed_clusters for similarity.py (+stage_nsw_layout /
+    #       +ivfpq blocks), dedup_editdist for dedup.py
+    #       (+dedup_substring helper). Displaced by the 50 cut, same
+    #       rationale, r9-green: sim_range_search, sim_matryoshka,
+    #       dedup_embed, dedup_near, dedup_prefix, join_asof family
+    #       one-shot variants (asof.py r10 change was docstring-only),
+    #       multimodal_frames (no staging in its body),
+    #       stream_stateful, multimodal_audio_energy.
+    # (d) oldest-evidence backfill: zero slots this round — (c) demand
+    #     filled the window. Oldest remaining evidence after this
+    #     window: the r4 cohort listed in the rotation note below.
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
@@ -83,47 +102,39 @@ def _load_all() -> None:
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) never driver-checked: registered after the r8 window
-            # filled; r9 additions insert directly below this line
-            "multimodal_audio_energy",
-            # (b) added r9: graph-based ANN + its gate (sim_recall's
-            # output gained the sim_nsw row, so its r8 green is stale)
-            "sim_nsw", "sim_recall",
-            # (b) added r9: per-brand skyline (bounded-domain plan),
-            # per-doc trigram novelty (fingerprinted-gram shuffles),
-            # deterministic KLL quantile-sketch rank gate
-            "pareto_frontier", "token_ngram_novelty", "agg_kll_gate",
-            # (b) added r9: sort-free exact per-group winsorization,
-            # image aHash near-dup clusters, banded motif discovery
-            "agg_winsorize", "multimodal_phash", "ts_motif",
-            # (b) added r9: streaming KLL fold (lifecycle twin),
-            # banded Hamming near-miss pHash pairs, Heaps-law curve,
-            # Misra-Gries heavy hitters
-            "stream_kll_gate", "dedup_phash_band", "vocab_growth",
-            "agg_heavy_hitters",
-            # (c) re-checks: dedup.py changed r8+r9
-            "dedup_editdist", "dedup_near", "dedup_prefix",
-            # (c) re-checks: asof.py changed r8; stream_asof rewired r9
-            "join_asof", "join_asof_tolerance", "join_asof_forward",
-            "join_asof_nearest", "join_asof_multi", "stream_asof",
-            # (c) re-checks: similarity.py refactored r8
-            "sim_topk", "sim_knn_graph", "sim_range_search",
-            "sim_matryoshka", "dedup_embed", "dedup_embed_clusters",
-            # (c) re-checks: stateful.py changed r8+r9
-            "stream_stateful",
-            # (c) re-checks: multimodal.py changed r8+r9
-            "multimodal_schema", "multimodal_frames", "multimodal_dedup",
-            # (d) oldest-evidence backfill: the r2 relational tail —
-            # green since r2, modules unchanged since
-            "join_multi", "join_left", "join_full", "join_semi",
-            "join_anti", "agg_pricing_summary", "agg_distinct",
-            "agg_pivot", "agg_percentiles", "agg_rollup", "agg_cube",
-            "agg_grouping_sets", "sort_limit", "topk_per_group",
-            "set_union", "set_intersect", "set_except", "sample_hash",
-            "split_train_test", "vocab_topk", "doc_top_terms",
-            "embed_centroid", "dedup_exact", "text_stats",
-            "token_count", "lang_id", "quality_score",
-            "doc_fingerprint",
+            # (b) r10 additions, never driver-checked: exact substring
+            # dedup, staged NSW read, IVF-PQ — plus the sim_recall gate
+            # whose output gained the two new recall rows
+            "dedup_substring", "sim_nsw_staged", "sim_ivfpq",
+            "sim_recall",
+            # (c) behavioral r10 changes after r9 greens: NSW walk
+            # re-tune; Misra-Gries partition-pass vectorization
+            "sim_nsw", "agg_heavy_hitters",
+            # (c) 935401e post-r9-window: qsketch domain contract, OLS
+            # degenerate guard, RANGE-frame seasonal trend (the r9
+            # ADVICE medium item)
+            "agg_qsketch", "agg_qsketch_quantiles", "stream_qsketch",
+            "agg_linear_regression", "ts_seasonal_decompose",
+            # (c) 55486de epoch_floor_div sites
+            "graph_degree_dist", "forecast_naive_eval",
+            "graph_pagerank", "graph_triangles", "graph_jaccard",
+            "ts_cross_rank", "ts_twap", "ts_watermark_lateness",
+            "ts_xcorr_lags", "ts_motif",
+            # (c) d2fbce8 staging-root consolidation sites
+            "ts_create_append", "sink_parquet_partitioned",
+            "ts_compact", "ts_upsert", "ts_schema_evolve",
+            "ts_partitions", "ts_retention_purge", "ts_time_travel",
+            "ts_catalog", "ts_multi_series_align", "ts_read_at",
+            "join_asof_presorted", "join_asof_forward_presorted",
+            "join_asof_nearest_presorted", "join_asof_multi_presorted",
+            "multimodal_schema", "multimodal_dedup",
+            "sink_orc_roundtrip", "join_bucketed",
+            "stream_ingest", "stream_upsert", "stream_asof",
+            "stream_kll_gate",
+            # (c) module-sentinel slots for purely-additive r10 module
+            # growth (similarity.py, dedup.py)
+            "sim_topk", "sim_knn_graph", "dedup_embed_clusters",
+            "dedup_editdist",
         ]
     )
 
