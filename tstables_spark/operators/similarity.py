@@ -510,19 +510,25 @@ def ivfpq_topk(
     ``_cells_from_codebook``'s zero-shuffle Arrow kernel, probing is
     ``_ivf_probes``'s broadcast relation, and the per-block code
     argmin mirrors embed_pq — on residuals v - centroid(cell), the
-    variance PQ actually quantizes.
+    variance PQ actually quantizes. The PQ codebook seeds from the
+    actual lowest-pq_k ids (no id-space precondition) and gets one
+    distributed Lloyd refinement per block, the same training step the
+    coarse quantizer runs.
 
-    Scale shape: index build is TWO narrow scans (assign; encode —
-    the codes relation is m bytes/vector, the thing that fits a
-    billion vectors in RAM). Search: the m x pq_k LUT per (query,
+    Scale shape: index build is THREE narrow scans (assign; one
+    per-block Lloyd refinement of the PQ codebook via map-side partial
+    sums — at most m*pq_k rows per partition cross the driver, KB;
+    encode — the codes relation is m bytes/vector, the thing that fits
+    a billion vectors in RAM). Search: the m x pq_k LUT per (query,
     probed cell) is built driver-side from contract-small pieces
     (|Q| x n_probe x m x pq_k doubles — KB) and broadcast; ADC is a
     codegen'd sum of ``element_at`` lookups over the equi-joined
     candidate codes, so rows cross the plan, never vectors; only
     |Q| x rerank id pairs reach the exact scorer. Rows-only by
     design; quality hash-gated by sim_recall (recall floor 0.8;
-    defaults recall-tuned on the fixture: 0.96/0.96/0.92 at
-    sf0.001/0.01/0.1 — sweep in SCALE.md)."""
+    defaults recall-tuned on the fixture: 0.96/0.96/0.98 at
+    sf0.001/0.01/0.1 after the r11 per-block Lloyd refinement, up from
+    0.96/0.96/0.92 with the unrefined seed — sweep in SCALE.md)."""
     import numpy as np
     import pandas as pd
 
@@ -540,17 +546,63 @@ def ivfpq_topk(
     cells, cents = _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
     C = np.asarray(cvs, dtype=np.float64)  # (n_cells, dim), cell is 1-based
 
-    # PQ codebook: per-block sub-slices of the first pq_k vectors'
-    # RESIDUALS (deterministic, contract-small; a production run would
-    # Lloyd-refine per block exactly as the coarse quantizer is)
-    seed = (
-        cells.where(F.col(id_col) < pq_k)
-        .select(id_col, "v", "cell")
-        .orderBy(id_col)
-        .collect()
-    )
+    # PQ codebook seed: per-block sub-slices of the lowest-pq_k ids'
+    # RESIDUALS. A TakeOrdered over the id column — no assumption about
+    # the id space (the r10 form required ids 0..pq_k-1 to exist);
+    # deterministic and contract-small (pq_k rows cross the driver).
+    seed = cells.select(id_col, "v", "cell").orderBy(id_col).limit(pq_k).collect()
     R = np.asarray([np.asarray(r["v"], dtype=np.float64) - C[r["cell"] - 1] for r in seed])
     book = np.asarray([R[:, b * w : (b + 1) * w] for b in range(m)])  # (m, pq_k, w)
+
+    # One distributed Lloyd refinement per block — the per-block k-means
+    # update the coarse quantizer already gets (and the docstring
+    # promises): assign every residual block to its nearest seed entry,
+    # then replace each entry with the mean of its members. Map-side
+    # partial sums keep it one narrow scan: each partition emits at most
+    # m*pq_k (block, code, sum, count) rows (KB), combined driver-side.
+    # Empty codes keep their seed entry (the standard Lloyd fallback).
+    def _pq_partials(batches):
+        sums = np.zeros((m, pq_k, w))
+        cnts = np.zeros((m, pq_k), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            res = M - C[pdf["cell"].to_numpy() - 1]
+            for b in range(m):
+                blk = res[:, b * w : (b + 1) * w]
+                d2 = (
+                    (blk * blk).sum(axis=1)[:, None]
+                    - 2.0 * blk @ book[b].T
+                    + (book[b] * book[b]).sum(axis=1)[None, :]
+                )
+                code = np.argmin(d2, axis=1)
+                np.add.at(sums[b], code, blk)
+                cnts[b] += np.bincount(code, minlength=pq_k)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "b": np.repeat(np.arange(m), pq_k),
+                    "code": np.tile(np.arange(pq_k), m),
+                    "s": [list(map(float, sums[b, c])) for b in range(m) for c in range(pq_k)],
+                    "n": cnts.reshape(-1),
+                }
+            )
+
+    partials = (
+        cells.select("v", "cell")
+        .mapInPandas(_pq_partials, "b int, code int, s array<double>, n long")
+        .collect()
+    )
+    tot = np.zeros((m, pq_k, w))
+    tot_n = np.zeros((m, pq_k), dtype=np.int64)
+    for r in partials:
+        tot[r["b"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+        tot_n[r["b"], r["code"]] += r["n"]
+    nz = tot_n > 0
+    book = np.where(nz[:, :, None], tot / np.maximum(tot_n, 1)[:, :, None], book)
 
     def encode(batches):
         # residual -> per-block nearest codebook entry (ties: lowest
@@ -580,7 +632,7 @@ def ivfpq_topk(
             )
 
     coded = cells.select(id_col, "v", "cell").mapInPandas(
-        encode, f"nid long, cell int, codes array<int>"
+        encode, "nid long, cell int, codes array<int>"
     )
 
     probes = _ivf_probes(emb, cells, cents, query_pred, n_probe, id_col, dim)
@@ -1210,7 +1262,7 @@ def nsw_topk_staged(
     rounds: int = 3,
     id_col: str = "vec_id",
     dim: int = DIM,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Beam search against a ``stage_nsw_layout`` index: identical
     results to ``nsw_topk`` (same graph, entries, walk, tie-breaks) but
@@ -1218,7 +1270,17 @@ def nsw_topk_staged(
     union+distinct, no norm recompute, and no edge-relation pin (the
     staged table IS the pinned lineage; each round re-scans it off
     disk, which is exactly the staged trade). ``query_pred`` selects
-    query rows from the staged base table."""
+    query rows from the staged base table.
+
+    ``checkpoint`` defaults to OFF here — the opposite of ``nsw_topk``
+    — because every leaf of the walk's lineage is a staged bucketed
+    table: recomputing a visited subtree is a cheap off-disk scan, while
+    each eager pin is a full extra Spark job. Measured at sf0.1
+    (best-of-3, end-to-end construct+collect): 4.87 s unpinned vs
+    7.61 s pinned, identical rows (SCALE.md r11). The fresh ``nsw_topk``
+    keeps pinning because its lineage root is the expensive
+    applyInPandas kNN build. Pass ``checkpoint=True`` for walks with
+    many rounds where plan growth would outpace the re-scan cost."""
     cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
     edges = spark.table(f"{table_name}_edges")
     base = spark.table(f"{table_name}_base")

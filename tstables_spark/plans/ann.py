@@ -105,10 +105,11 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer (sim_ivf_kmeans's trainer) routes queries to 6 of 16
     cells, candidates rank by asymmetric distance over 8-block
     product-quantized residuals (embed_pq's per-block argmin, on the
-    residual variance), and only the ADC top-128 survivors per query
-    are scored exactly. Rows-only: approximate by design; exact twin
-    is sim_topk, quality hash-gated by sim_recall's recall@5 >= 0.8
-    floor (measured 0.96/0.96/0.92 at sf0.001/0.01/0.1)."""
+    residual variance, seeded from the lowest-pq_k ids and Lloyd-refined
+    per block), and only the ADC top-128 survivors per query are scored
+    exactly. Rows-only: approximate by design; exact twin is sim_topk,
+    quality hash-gated by sim_recall's recall@5 >= 0.8 floor (measured
+    0.96/0.96/0.98 at sf0.001/0.01/0.1)."""
     from tstables_spark.operators.similarity import ivfpq_topk
 
     emb = load(spark, sf_dir, "embeddings")
