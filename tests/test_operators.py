@@ -1588,3 +1588,86 @@ def test_ivfpq_recall_candidates_determinism(spark):
         assert sorted(ranks) == [1, 2, 3, 4, 5], (qid, ranks)
     again = {(r.qid, r.nid, r.rank, r.cosine) for r in ivfpq_topk(emb, pred, k=5).collect()}
     assert again == {(r.qid, r.nid, r.rank, r.cosine) for r in got}
+
+
+def _substring_bruteforce(docs, w, max_df):
+    """Single-node window-overlap twin of substring_dup_pairs: per-doc
+    DISTINCT w-token windows (same tokenizer: lowercase, split on a
+    single space), windows with df > max_df dropped, pairs counted on
+    distinct shared windows."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    wins = {}
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        wins[doc_id] = {
+            " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+        }
+    df_count = defaultdict(int)
+    for s in wins.values():
+        for win in s:
+            df_count[win] += 1
+    keep = {win for win, c in df_count.items() if c <= max_df}
+    pairs = defaultdict(int)
+    for a, b in combinations(sorted(wins), 2):
+        shared = len((wins[a] & wins[b]) & keep)
+        if shared:
+            pairs[(a, b)] = shared
+    return dict(pairs)
+
+
+@pytest.mark.parametrize("w,max_df", [(30, 32), (50, 32), (30, 4)])
+def test_substring_dup_pairs_matches_bruteforce(spark, w, max_df):
+    """substring_dup_pairs == the brute-force window-overlap rule on a
+    planted corpus, at the fixture default (w=30), the Lee et al.
+    production granularity (w=50), and with a cap tight enough that the
+    boilerplate block is actually suppressed (max_df=4 < the 8-doc
+    boilerplate cluster). The corpus plants: a 71-token verbatim run
+    (many overlapping windows), a 35-token run (visible at w=30 only),
+    a pair sharing two DISJOINT 55-token runs, an 8-doc shared
+    boilerplate tail, docs shorter than w, and unique fillers."""
+    from tstables_spark.operators.dedup import substring_dup_pairs
+
+    t = [f"tok{i:03d}" for i in range(200)]
+
+    def words(prefix, n):
+        return [f"{prefix}{j:03d}" for j in range(n)]
+
+    docs = []
+    # 71-token verbatim run embedded in different surroundings
+    docs.append((0, " ".join(words("pre_a", 15) + t[20:91] + words("post_a", 12))))
+    docs.append((1, " ".join(words("pre_b", 9) + t[20:91] + words("post_b", 20))))
+    # 35-token run: >= one window at w=30, none at w=50
+    docs.append((2, " ".join(words("c_fill", 25) + t[100:135] + words("c_tail", 10))))
+    docs.append((3, " ".join(t[100:135] + words("d_tail", 30))))
+    # two disjoint 55-token runs shared by the same pair
+    docs.append((4, " ".join(t[0:55] + words("mid_e", 20) + t[140:195])))
+    docs.append((5, " ".join(t[0:55] + words("mid_f", 31) + t[140:195])))
+    # 8-doc boilerplate cluster: a common 60-token tail
+    boiler = words("boiler", 60)
+    for i in range(8):
+        docs.append((10 + i, " ".join(words(f"own{i}_", 40) + boiler)))
+    # short docs (< w tokens) and unique fillers
+    docs.append((30, " ".join(words("short_a", 8))))
+    docs.append((31, " ".join(words("short_b", 25))))
+    for j in range(20):
+        docs.append((40 + j, " ".join(words(f"uniq{j}_", 70))))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = {
+        (r.doc_a, r.doc_b): r.shared_windows
+        for r in substring_dup_pairs(sdf, w=w, max_df=max_df).collect()
+    }
+    want = _substring_bruteforce(docs, w, max_df)
+    assert got == want
+    # scenario sanity: the planted structure is actually exercised
+    assert want[(0, 1)] == 71 - w + 1  # the long run's window count
+    assert ((2, 3) in want) == (w == 30)  # 35-token run visible at w=30 only
+    assert want[(4, 5)] == 2 * (55 - w + 1)  # two disjoint runs add up
+    if max_df == 4:  # cap drops the 8-doc boilerplate entirely
+        assert not any(a >= 10 and b <= 17 for (a, b) in want if a >= 10)
+        assert all(not (10 <= a <= 17 and 10 <= b <= 17) for (a, b) in want)
+    else:  # cap admits it: all 28 boilerplate pairs present
+        n_boiler = sum(1 for (a, b) in want if 10 <= a <= 17 and 10 <= b <= 17)
+        assert n_boiler == 28
