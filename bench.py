@@ -68,13 +68,13 @@ HEADLINE = [
     "agg_kll_gate",
 ]
 
-# A single timing of a heavy query rides this box's ±1.5x load-noise
-# band (SCALE.md "bench noise") — a real 2x regression in a 0.3 s query
-# is invisible next to a 22 s query's jitter. Queries whose first timed
-# run is at or above this threshold get two more runs and report the
-# MINIMUM (the standard floor-of-noise estimator; the warm pass already
-# amortized staging, so the min is the steady-state plan cost).
-BEST_OF_3_THRESHOLD_SEC = 2.0
+# A single timing rides this box's ±1.5x load-noise band (SCALE.md
+# "bench noise"): r10 showed a UNIFORM ~1.38x median swing across 37
+# untouched plans when the bench ran on a loaded box, flagging three
+# sub-second queries as provisionally weak. Every query therefore runs
+# best-of-N (the standard floor-of-noise estimator; the warm pass
+# already amortized staging, so the min is the steady-state plan cost).
+BENCH_REPS = 3
 
 
 def main() -> None:
@@ -94,20 +94,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps: dict[str, int] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t = time.perf_counter() - t0
-        n_runs = 1
-        if t >= BEST_OF_3_THRESHOLD_SEC:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                t = min(t, time.perf_counter() - t0)
-                n_runs += 1
+        t = float("inf")
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = min(t, time.perf_counter() - t0)
         timings[name] = round(t, 3)
-        reps[name] = n_runs
+        reps[name] = BENCH_REPS
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Machine-load context: r3->r4 showed a uniform ~1.4x swing on a
