@@ -361,3 +361,78 @@ def test_containment_pairs_match_bruteforce(docs, threshold):
     assert set(got) == set(brute)
     for k in got:
         assert abs(got[k] - brute[k]) < 1e-12
+
+
+# -- round-11: as-of family property ----------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=15
+    ),
+    tol=st.sampled_from([None, 0, 3, 10]),
+)
+def test_asof_join_matches_bruteforce_all_directions(lefts, rights, tol):
+    """asof_join == the per-row brute force for backward/forward/nearest
+    x tolerance, on adversarial small tables: key collisions, exact
+    left==right timestamp ties (inclusive in BOTH directions), duplicate
+    left rows, keys with no right rows, empty right side. The right
+    side is deduped to unique (key, time) — the documented precondition
+    of every as-of entry point."""
+    from tstables_spark import get_spark
+    from tstables_spark.operators.asof import asof_join
+
+    spark = get_spark("tstables_spark_tests")
+    rmap = {}  # unique per (key, time), deterministic value
+    for k, s in rights:
+        rmap[(k, s)] = k * 1000 + s
+    lrows = [
+        (i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)
+    ]
+    rrows = [
+        (k, BASE + timedelta(seconds=s), v) for (k, s), v in sorted(rmap.items())
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, key int, lts timestamp")
+    rdf = spark.createDataFrame(
+        rrows or [(0, BASE, 0)], "key int, rts timestamp, val long"
+    )
+    if not rrows:
+        rdf = rdf.where(F.lit(False))
+
+    def brute(direction):
+        out = {}
+        for lid, k, s in ((i, k, s) for i, (k, s) in enumerate(lefts)):
+            back = [
+                (rs, v) for (rk, rs), v in rmap.items()
+                if rk == k and rs <= s and (tol is None or s - rs <= tol)
+            ]
+            fwd = [
+                (rs, v) for (rk, rs), v in rmap.items()
+                if rk == k and rs >= s and (tol is None or rs - s <= tol)
+            ]
+            b = max(back) if back else None  # latest at-or-before
+            f = min(fwd) if fwd else None  # earliest at-or-after
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:  # nearest: closer wins, exact tie -> backward
+                if b and f:
+                    pick = b if (s - b[0]) <= (f[0] - s) else f
+                else:
+                    pick = b or f
+            out[lid] = pick[1] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.val
+            for r in asof_join(
+                ldf, rdf, "lts", "rts", "key", "key", ["val"],
+                tolerance_seconds=tol, direction=direction,
+            ).collect()
+        }
+        want = brute(direction)
+        assert got == want, (direction, tol, got, want)
