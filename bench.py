@@ -66,6 +66,12 @@ HEADLINE = [
     "token_ngram_novelty",
     "agg_winsorize",
     "agg_kll_gate",
+    # r10/r11 additions: exact substring dedup, IVF-PQ (Lloyd-refined
+    # codebook), staged-NSW warm retrieval (index staged in the warm
+    # pass, timed pass = the walk — the steady-state by design)
+    "dedup_substring",
+    "sim_ivfpq",
+    "sim_nsw_staged",
 ]
 
 # A single timing rides this box's ±1.5x load-noise band (SCALE.md

@@ -294,10 +294,20 @@ def minhash_lsh_pairs(
     # fingerprint-set Jaccard, bit-reproducible anywhere with md5().
     # At 100 TB this is the standard persist-the-tokenization trade:
     # one materialization of Σ tokens rows vs three corpus re-scans.
+    # The pin is SERIALIZED MEMORY_AND_DISK, not the deserialized
+    # default: this relation is O(Σ tokens) — the one data-sized
+    # materialization in the plan — and deserialized JVM rows cost
+    # ~4x the serialized bytes. Measured at 100x docs (500k, 26M
+    # fingerprint rows) on the 8g single-JVM harness: the deserialized
+    # default GC-thrashes to death, the serialized pin completes
+    # (SCALE.md r11); on a cluster the same sizing rule decides
+    # whether an executor's slice fits its storage fraction.
+    from pyspark import StorageLevel
+
     sh = (
         shingles(docs, n, with_size=True)
         .select("doc_id", "n_sh", portable_hash60("shingle").alias("h"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     # k hash functions from ONE portable base hash + k affine maps (see
     # portable_hash60): k codegen'd integer ops on the checkpointed
@@ -318,9 +328,20 @@ def minhash_lsh_pairs(
             for i, (a, b) in ((i, affine_coeffs(i)) for i in range(num_hashes))
         ],
     )
+    # The signature relation is pinned too (serialized — one row of k
+    # longs per doc, #docs-sized): the band-bucket SELF-join consumes it
+    # on BOTH sides, and without the pin each side re-runs the entire
+    # signature pipeline — the k-way min HashAggregate (whose
+    # BytesToBytesMap pages are the plan's largest allocations) plus the
+    # band explode, TWICE, concurrently. Measured at 100x docs (500k) on
+    # the 8g/32-thread harness: the unpinned twin GC-thrashes to death
+    # in exactly that duplicated aggregate; pinned, the sweep completes
+    # (SCALE.md r11). The accurate post-pin stats also let the planner
+    # judge the self-join and verify joins from real sizes instead of
+    # guessing under the duplicated-subtree estimate.
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # Band key = the band's minhash tuple rendered as a string — an
     # engine-neutral join key (the previous xxhash64-of-band-columns key
     # was Spark-private). Slightly wider shuffle rows (one short string

@@ -83,7 +83,14 @@ def _load_all() -> None:
     # repetition_score, text_normalize, embed_normalize, embed_quantize,
     # udtf_apply_in_pandas, dedup_clusters, join_range,
     # join_range_banded, sql_tpch_q3, sql_tpch_q5, stream_session) —
-    # the r12 backfill queue head. The 7 permanently
+    # the r12 backfill queue head. LATE-r11 ADDITION: the two
+    # corpus-sized eager pins switched to SERIALIZED MEMORY_AND_DISK
+    # (minhash fingerprint pin, operators/dedup.py; assoc_rules basket
+    # pin, analytics.py — the 100x-docs OOM fix, SCALE.md r11).
+    # Output-neutral, but per this policy both consumers get re-check
+    # slots — dedup_minhash (r7) and assoc_rules (r8) displace
+    # ts_densify and ts_interpolate to the r12 queue head.
+    # The 7 permanently
     # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
     # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
     # ts_downsample_lttb — each indirectly gated by a hash-checked
@@ -116,11 +123,13 @@ def _load_all() -> None:
             "quality_score", "sample_hash", "scan_parquet",
             "set_except", "split_train_test", "text_stats",
             "token_count", "vocab_topk",
+            # (b-late) serialized-pin re-checks (see policy note): the
+            # two queries whose eager pins changed storage level
+            "dedup_minhash", "assoc_rules",
             # (d) r4 cohort, to the 50 cut
             "win_lag_lead", "win_rolling", "win_range_frame",
             "win_rank", "win_zscore", "win_running_total",
-            "ts_resample_ohlc", "ts_fill_forward", "ts_densify",
-            "ts_interpolate",
+            "ts_resample_ohlc", "ts_fill_forward",
         ]
     )
 

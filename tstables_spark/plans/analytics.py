@@ -1550,8 +1550,16 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation feeds four consumers (n, item counts, both join legs), so
     it is pinned with an eager checkpoint — the multi-leg reuse
     discipline of graph_triangles."""
+    from pyspark import StorageLevel
+
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
+    # Serialized pin (not the deserialized default): the basket
+    # relation is the plan's one fact-sized materialization — the r9
+    # 10x-OOM driver-heap knob (README) exists because of it.
+    # Serialized rows cost ~4x less heap and spill gracefully, the
+    # same sizing fix measured on minhash's fingerprint pin
+    # (operators/dedup.py, SCALE.md r11).
     b = (
         li.join(
             F.broadcast(pt.select("p_partkey", "p_brand")),
@@ -1559,7 +1567,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     n = b.agg(F.countDistinct("ok").alias("n_baskets"))
     ic = b.groupBy("item").agg(F.count("*").alias("c"))
