@@ -505,9 +505,14 @@ def editdist_pairs(
     degrading into an invisible 10-hour stage. ``None`` disables.
     """
     if max_candidate_pairs is not None:
+        # Pinned: the estimate self-joins this tiny (lang, band)
+        # histogram, and unpinned each side re-scans the corpus for
+        # the occupancy aggregate (the minhash self-join lesson,
+        # SCALE.md r11 — here the pin is rows-of-counts, KB).
         occ = (
             docs.groupBy("lang", F.expr(f"n_chars div {band_width}").alias("band"))
             .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
         a, b = occ.alias("a"), occ.alias("b")
         # occupancy products in DOUBLE: a single hot block of ~3e9 docs
@@ -655,7 +660,18 @@ def simhash_pairs(
     assert bits % n_bands == 0, "bits must divide into max_hamming+1 bands"
     w = bits // n_bands
     mask = (1 << w) - 1
-    fp = simhash_fingerprints(docs, bits)
+    # Pinned for the same reason minhash pins its signature relation
+    # (see minhash_lsh_pairs): the banding SELF-join consumes this on
+    # both sides, and unpinned each side re-runs the whole fingerprint
+    # pipeline — the corpus token explode plus the `bits`-column
+    # conditional-sum aggregate, the exact wide-aggregate shape that
+    # GC-thrashed minhash at 100x docs. One row of (doc_id, long) per
+    # doc, serialized (the corpus-sized-pin discipline, SCALE.md r11).
+    from pyspark import StorageLevel
+
+    fp = simhash_fingerprints(docs, bits).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -722,12 +738,18 @@ def prefix_dup_flags(
     giant-literal regime that breaks codegen. Output rows only for
     flagged docs: O(dups).
     """
+    from pyspark import StorageLevel
+
+    # Serialized pin: this materialization carries FULL document texts
+    # (corpus-sized — the one relation here that cannot shrink), so it
+    # follows the serialized corpus-sized-pin discipline (SCALE.md r11)
+    # rather than the deserialized default.
     d = (
         docs.select(id_col, text_col)
         .repartitionByRange(F.col(text_col), F.col(id_col))
         .sortWithinPartitions(text_col, id_col)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     w = W.partitionBy("__pid").orderBy(text_col, id_col)
     led = d.withColumn("__nxt", F.lead(text_col).over(w))

@@ -89,7 +89,13 @@ def _load_all() -> None:
     # pin, analytics.py — the 100x-docs OOM fix, SCALE.md r11).
     # Output-neutral, but per this policy both consumers get re-check
     # slots — dedup_minhash (r7) and assoc_rules (r8) displace
-    # ts_densify and ts_interpolate to the r12 queue head.
+    # ts_densify and ts_interpolate to the r12 queue head. The same
+    # audit then fixed simhash_pairs' identical unpinned self-join and
+    # aligned prefix_dup_flags' corpus-sized pin and editdist's
+    # occupancy-guard scan with the serialized-pin discipline, so
+    # dedup_simhash_pairs (r5), dedup_prefix (r9) and dedup_editdist
+    # (r10) also get slots, displacing win_running_total,
+    # ts_resample_ohlc and ts_fill_forward to the r12 queue head.
     # The 7 permanently
     # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
     # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
@@ -123,13 +129,13 @@ def _load_all() -> None:
             "quality_score", "sample_hash", "scan_parquet",
             "set_except", "split_train_test", "text_stats",
             "token_count", "vocab_topk",
-            # (b-late) serialized-pin re-checks (see policy note): the
-            # two queries whose eager pins changed storage level
-            "dedup_minhash", "assoc_rules",
+            # (b-late) pin-discipline re-checks (see policy note):
+            # queries whose plans gained or changed eager pins
+            "dedup_minhash", "assoc_rules", "dedup_simhash_pairs",
+            "dedup_prefix", "dedup_editdist",
             # (d) r4 cohort, to the 50 cut
             "win_lag_lead", "win_rolling", "win_range_frame",
-            "win_rank", "win_zscore", "win_running_total",
-            "ts_resample_ohlc", "ts_fill_forward",
+            "win_rank", "win_zscore",
         ]
     )
 
