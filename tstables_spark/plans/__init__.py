@@ -96,6 +96,22 @@ def _load_all() -> None:
     # dedup_simhash_pairs (r5), dedup_prefix (r9) and dedup_editdist
     # (r10) also get slots, displacing win_running_total,
     # ts_resample_ohlc and ts_fill_forward to the r12 queue head.
+    # The 100x-events sweep then found the same unpinned-self-join bug
+    # in cooccurrence_edges (the shared graph-edge derivation) and
+    # OOM-measured graph_pagerank's doubled edge pin, so the pin moved
+    # to the half edge list, serialized — graph_degree_dist,
+    # graph_pagerank, graph_triangles and graph_jaccard (all r10
+    # green, all consumers of the changed derivation) take four more
+    # slots, displacing win_lag_lead, win_rolling, win_range_frame
+    # and win_rank to the r12 queue head. The r12 backfill queue is
+    # therefore: scan-era r4 tail (ts_densify, ts_interpolate,
+    # win_running_total, ts_resample_ohlc, ts_fill_forward,
+    # win_lag_lead, win_rolling, win_range_frame, win_rank, ts_vwap,
+    # ts_outlier_iqr, agg_histogram, zorder_layout, dedup_near_maxdf,
+    # decontaminate, pii_redact, quality_filter, repetition_score,
+    # text_normalize, embed_normalize, embed_quantize,
+    # udtf_apply_in_pandas, dedup_clusters, join_range,
+    # join_range_banded, sql_tpch_q3, sql_tpch_q5, stream_session).
     # The 7 permanently
     # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
     # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
@@ -133,9 +149,10 @@ def _load_all() -> None:
             # queries whose plans gained or changed eager pins
             "dedup_minhash", "assoc_rules", "dedup_simhash_pairs",
             "dedup_prefix", "dedup_editdist",
+            "graph_degree_dist", "graph_pagerank", "graph_triangles",
+            "graph_jaccard",
             # (d) r4 cohort, to the 50 cut
-            "win_lag_lead", "win_rolling", "win_range_frame",
-            "win_rank", "win_zscore",
+            "win_zscore",
         ]
     )
 

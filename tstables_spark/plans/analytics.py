@@ -16,6 +16,7 @@ row-scale data to the driver, and every aggregate is partial-agg
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -637,10 +638,16 @@ def cooccurrence_edges(b0: DataFrame, cap: int = 256) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("bucket").orderBy("user_id")
+    # Pinned (serialized — membership-sized, scales with the corpus):
+    # the pair self-join consumes this on both sides, and unpinned each
+    # side re-runs the upstream DISTINCT plus this per-bucket window —
+    # the duplicated-derivation bug class found in minhash (SCALE.md
+    # r11); measured OOM at 100x events without the pin.
     b = (
         b0.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= cap)
         .drop("rn")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -1019,10 +1026,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
     ).distinct()
     edges = cooccurrence_edges(b0, cap=256)
-    de = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint(eager=True)
+    # Serialized pin of the HALF edge list (u < v), not the doubled
+    # directed relation: the pin is the plan's one edge-sized
+    # materialization and the 100x-events sweep OOM'd the 8g harness
+    # pinning 2|E| (SCALE.md r11 — that graph is ~600M edges, 60x the
+    # corpus rows). Both directions derive lazily from the pin (two
+    # cheap scans per consumer), halving pinned bytes; serialized rows
+    # cost ~4x less heap than the deserialized default and spill.
+    eh = edges.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    de = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     deg = de.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -1368,7 +1383,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
     ).distinct()
-    e = cooccurrence_edges(b0, cap=256).localCheckpoint(eager=True)
+    # Edge-sized pins are serialized (the graph_pagerank 100x lesson,
+    # SCALE.md r11): this relation scales with the corpus.
+    e = cooccurrence_edges(b0, cap=256).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1388,7 +1407,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     a, b = oe.alias("a"), oe.alias("b")
     wed = a.join(
@@ -1550,8 +1569,6 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation feeds four consumers (n, item counts, both join legs), so
     it is pinned with an eager checkpoint — the multi-leg reuse
     discipline of graph_triangles."""
-    from pyspark import StorageLevel
-
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
     # Serialized pin (not the deserialized default): the basket
@@ -1675,7 +1692,9 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj0.withColumn("rn", F.row_number().over(wrn))
         .where(F.col("rn") <= 32)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        # node-count-sized (32-capped adjacency): serialized per the
+        # edge-pin discipline (SCALE.md r11)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     cdeg = adj.groupBy("x").agg(F.count("*").alias("d"))
     a1, a2 = adj.alias("a1"), adj.alias("a2")
