@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""100x replica sweeps for the events, text/dedup and graph families
+(r11; companion to sweep_100x_ann.py — results in SCALE.md r11).
+
+Replication follows the realistic growth axis:
+- events: replica i shifts ts by +i days and remaps user_id to a
+  disjoint range — per-user-per-day density constant, 100x longer
+  history x 100x users (10M rows, ~9.9M distinct (user, 10-min bucket)
+  memberships).
+- documents: replica i tags EVERY token (regexp_replace " " ->
+  " r{i}x"), so replicas share no shingles — this measures SIZE
+  scaling. Do NOT use an append-one-tag replica for dedup sweeps: the
+  replicas then share ~50/52 shingles and every doc gains 99 TRUE
+  near-duplicates, which measures duplicate-cluster mass (quadratic in
+  cluster depth, by design), not throughput. See SCALE.md r11.
+
+Usage: python scripts/sweep_100x_families.py [events|docs|graph]
+Graph queries at 100x need headroom beyond the 8g default
+(SPARK_GRAFT_DRIVER_MEM=24g for graph_pagerank; graph_triangles'
+uncapped wedge shuffle additionally needs ~100 GB of spill disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+EVENT_QUERIES = [
+    "ts_resample_ohlc", "win_rolling", "join_asof", "ts_sessionize",
+    "ts_robust_zscore", "agg_histogram",
+]
+DOC_QUERIES = ["dedup_near", "dedup_minhash", "doc_bm25", "token_pmi",
+               "lang_id", "token_count", "dedup_substring"]
+GRAPH_QUERIES = ["graph_degree_dist", "graph_jaccard", "graph_pagerank",
+                 "graph_triangles"]
+
+
+def build_events_fixture(spark, load, base: str, reps: int = 100) -> None:
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    ev = load(spark, SRC, "events")
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
+            (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(reps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(f"{base}/events.parquet")
+    _copy_rest(base, skip="events")
+
+
+def build_docs_fixture(spark, load, base: str, reps: int = 100) -> None:
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    docs = load(spark, SRC, "documents")
+    rest = [c for c in docs.columns if c not in ("doc_id", "text")]
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.regexp_replace("text", " ", f" r{i:03d}x").alias("text"),
+            *rest,
+        )
+        for i in range(reps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    _copy_rest(base, skip="documents")
+
+
+def _copy_rest(base: str, skip: str) -> None:
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        if t != skip and os.path.exists(f"{SRC}/{t}.parquet"):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{base}/{t}.parquet")
+
+
+def main() -> None:
+    from tstables_spark import get_spark
+    import tstables_spark.plans  # noqa: F401
+    from tstables_spark.plans.registry import QUERIES
+    from tstables_spark.plans.tables import load
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "events"
+    spark = get_spark(f"sweep_100x_{which}")
+    if which == "events" or which == "graph":
+        base = "/tmp/events100x_fixture"
+        if not os.path.exists(f"{base}/events.parquet"):
+            build_events_fixture(spark, load, base)
+        names = EVENT_QUERIES if which == "events" else GRAPH_QUERIES
+    else:
+        base = "/tmp/docs100x_fixture"
+        if not os.path.exists(f"{base}/documents.parquet"):
+            build_docs_fixture(spark, load, base)
+        names = DOC_QUERIES
+    for name in names:
+        q = QUERIES[name]
+        res = {}
+        for tag, d in (("1x", SRC), ("100x", base)):
+            def run():
+                t0 = time.perf_counter()
+                q(spark, d).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+            run()
+            res[tag] = round(min(run() for _ in range(2)), 2)
+        print(json.dumps({name: res}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
