@@ -436,3 +436,31 @@ def test_asof_join_matches_bruteforce_all_directions(lefts, rights, tol):
         }
         want = brute(direction)
         assert got == want, (direction, tol, got, want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=2, max_size=10
+    ),
+    w=st.sampled_from([2, 3, 5]),
+    max_df=st.sampled_from([2, 32]),
+)
+def test_substring_dup_pairs_random_texts(docs, w, max_df):
+    """substring_dup_pairs == brute force on arbitrary random texts —
+    the adversarial tail the planted-corpus test can't enumerate:
+    repeated tokens, empty strings, consecutive spaces (empty tokens),
+    docs shorter than w, heavy cross-doc window collisions from the
+    tiny alphabet (exercising the df cap on organic data)."""
+    from tstables_spark.operators.dedup import substring_dup_pairs
+    from tstables_spark import get_spark
+    from tests.test_operators import _substring_bruteforce
+
+    spark = get_spark("tstables_spark_tests")
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.shared_windows
+        for r in substring_dup_pairs(df, w=w, max_df=max_df).collect()
+    }
+    assert got == _substring_bruteforce(rows, w, max_df)
