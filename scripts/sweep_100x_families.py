@@ -88,8 +88,14 @@ def build_docs_fixture(spark, load, base: str, reps: int = 100) -> None:
 def _copy_rest(base: str, skip: str) -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        if t != skip and os.path.exists(f"{SRC}/{t}.parquet"):
-            shutil.copy(f"{SRC}/{t}.parquet", f"{base}/{t}.parquet")
+        src = f"{SRC}/{t}.parquet"
+        if t != skip and os.path.exists(src):
+            # Fixtures are single files today; a Spark-written fixture
+            # would be a directory (ADVICE r11) — handle both.
+            if os.path.isdir(src):
+                shutil.copytree(src, f"{base}/{t}.parquet", dirs_exist_ok=True)
+            else:
+                shutil.copy(src, f"{base}/{t}.parquet")
 
 
 def main() -> None:

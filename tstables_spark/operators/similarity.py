@@ -528,7 +528,17 @@ def ivfpq_topk(
     design; quality hash-gated by sim_recall (recall floor 0.8;
     defaults recall-tuned on the fixture: 0.96/0.96/0.98 at
     sf0.001/0.01/0.1 after the r11 per-block Lloyd refinement, up from
-    0.96/0.96/0.92 with the unrefined seed — sweep in SCALE.md)."""
+    0.96/0.96/0.92 with the unrefined seed — sweep in SCALE.md).
+
+    Determinism note (ADVICE r11): the refined PQ codebook sums float
+    partials per-partition (np.add.at) and then accumulates them
+    driver-side, so the codebook — like kmeans_fit's centroids — is
+    bit-reproducible only for a FIXED partition layout; re-partitioning
+    the corpus may drift the last float bit and flip a near-tied code
+    assignment. That is why this family is rows-only-by-design and its
+    QUALITY (recall), not its bits, is the hash-gated contract
+    (sim_recall); the repo's md5/portable-hash bit discipline applies
+    to the exact operators, not to float-trained codebooks."""
     import numpy as np
     import pandas as pd
 
@@ -551,6 +561,14 @@ def ivfpq_topk(
     # the id space (the r10 form required ids 0..pq_k-1 to exist);
     # deterministic and contract-small (pq_k rows cross the driver).
     seed = cells.select(id_col, "v", "cell").orderBy(id_col).limit(pq_k).collect()
+    # Tiny-corpus clamp (ADVICE r11): with fewer than pq_k vectors the
+    # seed book would be (m, n<pq_k, w) while the refinement partials
+    # are sized (m, pq_k, ...) — an opaque numpy broadcast error. The
+    # effective codebook size is the seed size; every downstream shape
+    # (partials, LUT, ADC offsets) derives from it.
+    pq_k = min(pq_k, len(seed))
+    if pq_k == 0:
+        raise ValueError("ivfpq_topk: empty corpus (no vectors to index)")
     R = np.asarray([np.asarray(r["v"], dtype=np.float64) - C[r["cell"] - 1] for r in seed])
     book = np.asarray([R[:, b * w : (b + 1) * w] for b in range(m)])  # (m, pq_k, w)
 

@@ -1010,58 +1010,71 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final report divides (one exact IEEE op, pr12 < 2⁵³) and
     rounds at 6dp.
 
-    Scale shape: the edge derivation is graph_degree_dist's (DISTINCT
-    memberships -> capped self-join -> DISTINCT edges), materialized
-    ONCE with an eager localCheckpoint — the persist-the-frontier
-    trade every iterative graph algorithm makes (components.py's
-    min-label iteration, same discipline), which also cuts the lineage
-    so the 3-iteration plan doesn't nest the self-join 3x. Each
-    iteration is then one (src-keyed) join of the O(nodes) rank
-    relation against the edge list plus one dst-keyed partial-agg sum
-    — the standard message-passing round. Every node in the edge set
-    has degree >= 1, so no dangling-mass term is needed; isolated
-    users (no co-occurrence) are out of scope by construction."""
+    Scale shape (r12 rework — the 8g-box fix): the edge derivation is
+    graph_degree_dist's (DISTINCT memberships -> capped self-join ->
+    DISTINCT edges), materialized ONCE with an eager serialized
+    localCheckpoint of the HALF edge list (u < v; the r11 100x sweep
+    OOM'd pinning 2|E|); both directions derive lazily from the pin.
+    The r11 form still paid one edge-sized SHUFFLE per iteration (the
+    src-keyed sort-merge join of 2|E| message rows against the rank
+    relation) plus a per-iteration 2|E| re-scan to rebuild deg — the
+    per-iteration state SCALE.md measured OOMing the 8g box at 100x
+    (~1.2B directed rows). Now the O(nodes) relations are the only
+    shuffled/pinned state: deg is computed once and pinned (O(nodes)),
+    ranks are eagerly checkpointed each round (O(nodes), also the
+    lineage cut), and the per-iteration join BROADCASTS the rank
+    relation against the streamed edge scan — zero Exchange on the
+    edge side, ever. The dst-keyed sum is map-side combined (partial
+    aggregation), so at most O(distinct dst per task) rows cross the
+    wire per round. Nodes are users — orders of magnitude below edges
+    on any co-occurrence graph (sf0.1: ~40k nodes vs ~10M 1-min
+    edges); the broadcast is MBs where the old shuffle was tens of GB.
+    At a node count too large to broadcast (>~50M users), drop the
+    hint and this degrades to the r11 shuffle join — the documented
+    knob, not a cliff. Every node in the edge set has degree >= 1, so
+    no dangling-mass term is needed; isolated users (no co-occurrence)
+    are out of scope by construction. The n_nodes collect is a 1-row
+    contract-bounded aggregate (the repo's collect discipline)."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
     ).distinct()
     edges = cooccurrence_edges(b0, cap=256)
-    # Serialized pin of the HALF edge list (u < v), not the doubled
-    # directed relation: the pin is the plan's one edge-sized
-    # materialization and the 100x-events sweep OOM'd the 8g harness
-    # pinning 2|E| (SCALE.md r11 — that graph is ~600M edges, 60x the
-    # corpus rows). Both directions derive lazily from the pin (two
-    # cheap scans per consumer), halving pinned bytes; serialized rows
-    # cost ~4x less heap than the deserialized default and spill.
     eh = edges.localCheckpoint(
         eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     de = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    deg = de.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "degree", "n", F.expr("1000000000000L div n").alias("pr12")
+    # deg is O(nodes): pin once instead of re-deriving it from a 2|E|
+    # scan+shuffle inside every iteration's join leg.
+    deg = (
+        de.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]  # 1-row
+    ranks = deg.select(
+        "node", "degree", F.expr(f"1000000000000L div {n}L").alias("pr12")
     )
     for _ in range(3):
-        contrib = de.join(ranks, de["src"] == ranks["node"]).select(
+        # O(nodes) eager pin: cuts the iteration lineage AND feeds the
+        # broadcast below from materialized rows.
+        rk = ranks.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        contrib = de.join(F.broadcast(rk), de["src"] == rk["node"]).select(
             "dst", F.expr("pr12 * 1000000L div degree").alias("c18")
         )
         s = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c18").alias("s18")
         )
-        ranks = (
-            deg.join(s, "node")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                "degree",
-                "n",
-                F.expr(
-                    "150000000000L div n + 85L * (s18 div 1000000L) div 100L"
-                ).alias("pr12"),
-            )
+        ranks = deg.join(s, "node").select(
+            "node",
+            "degree",
+            F.expr(
+                f"150000000000L div {n}L + 85L * (s18 div 1000000L) div 100L"
+            ).alias("pr12"),
         )
     return ranks.select(
         F.col("node").alias("user_id"),
