@@ -405,3 +405,23 @@ def test_r9_new_queries_plan_shapes(spark, sf_dir):
     # distributed_cumsum + broadcast-bounds shape guarantees by
     # construction (no SMJ on the clip pass).
     assert re.search(r"partial_", p)
+
+
+def test_r12_pagerank_and_doulion(spark, sf_dir):
+    """Round-12 scale contracts: (a) the DOULION triangle estimator's
+    tolerance gate holds at fixture scale and is non-vacuous; (b) the
+    reworked pagerank iteration broadcasts the O(nodes) rank relation
+    into the edge scan — the edge side must never hash-Exchange (the
+    r11 100x OOM was exactly that per-iteration edge shuffle)."""
+    row = QUERIES["graph_triangles_gate"](spark, sf_dir).collect()[0]
+    assert row["n_triangles"] > 0  # non-vacuous at sf0.01
+    assert row["within_tol"], row
+    approx = QUERIES["graph_triangles_approx"](spark, sf_dir).collect()[0]
+    assert approx["est_triangles"] == row["est_triangles"]
+
+    p = _plan(spark, sf_dir, "graph_pagerank")
+    # final-iteration plan (earlier rounds are checkpoint-truncated):
+    # the rank relation joins the edge scan as a broadcast build side,
+    # and no src-keyed Exchange of the edge relation exists anywhere.
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"Exchange hashpartitioning\(src", p)

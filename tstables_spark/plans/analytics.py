@@ -1318,6 +1318,197 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_census(e: DataFrame):
+    """Degree-ordered oriented triangle census over a PINNED half-edge
+    list ``e(u, v)`` (u < v). Returns ``(tri, deg)``: ``tri`` is a
+    1-row DataFrame with the exact triangle count ``t``; ``deg`` the
+    (node, degree) relation. Every edge is oriented from its lower
+    (degree, id) endpoint, so each triangle is counted exactly once and
+    the wedge expansion is O(m^1.5) by the arboricity bound (see
+    graph_triangles). Shared by the exact census and the DOULION
+    estimator, which runs it on a sampled edge subset."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("degu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("degv"))
+    fwd = (F.col("degu") < F.col("degv")) | (
+        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = oe.alias("a"), oe.alias("b")
+    wed = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (
+            (F.col("a.ddeg") < F.col("b.ddeg"))
+            | ((F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst")))
+        ),
+    ).select(F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
+    c = oe.alias("c")
+    tri = wed.join(
+        c, (F.col("c.src") == F.col("y")) & (F.col("c.dst") == F.col("z"))
+    ).agg(F.count(F.lit(1)).alias("t"))
+    return tri, deg
+
+
+# DOULION edge-sampling knobs, shared by the estimator and its gate.
+# Membership hangs off md5 of the edge key (the sample_hash discipline),
+# so the sample — and therefore the ESTIMATE — is a pure function of the
+# graph, reproducible across runs, partitionings, and engines; est =
+# t_sampled / p^3 is computed in exact integer arithmetic (*64 div 27).
+_DOULION_CUT = "c0"  # keep edges with md5 prefix < 'c0': p = 192/256 = 3/4
+_DOULION_NUM, _DOULION_DEN = 256 ** 3, 192 ** 3  # 1/p^3 = 64/27
+
+
+def _doulion_sample(e: DataFrame) -> DataFrame:
+    key = F.concat(
+        F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
+    )
+    return e.where(F.substring(F.md5(key), 1, 2) < _DOULION_CUT)
+
+
+_DOULION_EDGES_SQL = """
+    b0 AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS bucket
+      FROM events),
+    b AS (
+      SELECT user_id, bucket FROM (
+        SELECT user_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY user_id) AS rn
+        FROM b0) WHERE rn <= 256),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.user_id < b2.user_id),
+    se AS (
+      SELECT u, v FROM edges
+      WHERE substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)),
+                   1, 2) < 'c0'),
+    ts_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM se e1 JOIN se e2 ON e1.v = e2.u
+                 JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v)
+"""
+
+
+@query(
+    "graph_triangles_approx",
+    oracle=f"""
+    WITH {_DOULION_EDGES_SQL},
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM se)
+    SELECT ts_.t AS n_triangles_sampled, ns.n AS n_edges_sampled,
+           CAST(ts_.t * {_DOULION_NUM} // {_DOULION_DEN} AS BIGINT)
+             AS est_triangles
+    FROM ts_, ns
+    """,
+)
+def graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimator (Tsourakakis et al., KDD'09) over the
+    capped 1-minute co-occurrence graph — the 100 TB answer to the
+    exact census, whose wedge shuffle exceeds single-box disk at 100x
+    (SCALE.md r11): sparsify edges with probability p, census the
+    sampled graph, scale by 1/p^3. The sampling coin is an md5 bucket
+    of the (u, v) edge key — deterministic, so DuckDB replicates the
+    IDENTICAL sample and estimate and this is a full hash-checked
+    query, not a rows-only one; accuracy is additionally gated by
+    graph_triangles_gate's tolerance boolean.
+
+    Scale shape: the sampled census costs p^2 of the exact wedge
+    volume and p^3 of the closure-join volume (each wedge needs both
+    its edges sampled; each triangle all three). p is THE knob: here
+    p = 3/4 (the fixture's triangle mass is small — DOULION's relative
+    error concentrates as 1/sqrt(t * p^3), so small graphs need high
+    p); a 100-TB census runs p = 1/10 for a ~1000x cost cut with
+    billions of triangles keeping the error sub-percent. The estimate
+    t_s * 64 div 27 is exact integer arithmetic — no float enters
+    either engine."""
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.select(
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
+    ).distinct()
+    se = _doulion_sample(cooccurrence_edges(b0, cap=256)).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    tri, _ = _oriented_census(se)
+    ns = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    return tri.crossJoin(F.broadcast(ns)).select(
+        F.col("t").alias("n_triangles_sampled"),
+        "n_edges_sampled",
+        F.expr(f"t * {_DOULION_NUM}L div {_DOULION_DEN}L").alias("est_triangles"),
+    )
+
+
+@query(
+    "graph_triangles_gate",
+    oracle=f"""
+    WITH {_DOULION_EDGES_SQL},
+    te AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+                    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    est AS (SELECT CAST(ts_.t * {_DOULION_NUM} // {_DOULION_DEN} AS BIGINT)
+              AS e FROM ts_)
+    SELECT te.t AS n_triangles, est.e AS est_triangles,
+           round(abs(est.e - te.t) / GREATEST(te.t, 1), 6) AS rel_err,
+           abs(est.e - te.t) <= 0.15 * GREATEST(te.t, 1) AS within_tol
+    FROM te, est
+    """,
+)
+def graph_triangles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance gate for graph_triangles_approx — the sim_recall /
+    agg_approx_* pattern: run the exact oriented census AND the DOULION
+    estimate on the same pinned edge list and emit the relative error
+    plus a checked ``within_tol`` (<= 15%) boolean. Hash-checked in
+    both engines (the estimate is deterministic, the error one exact
+    IEEE division of BIGINTs, the tolerance test pure integer
+    comparison — 0.15 * t is exact for t < 2^50). Observed: rel_err
+    0.0696 at sf0.01 (574 exact triangles), 0.0059-scale at sf0.1
+    (613k) — the 1/sqrt(t p^3) concentration in action. Runs at
+    fixture scale where the exact census is cheap; at 100x only the
+    estimator runs (the point of having it)."""
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.select(
+        "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
+    ).distinct()
+    e = cooccurrence_edges(b0, cap=256).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    # the sampled subset filters the SAME pin — no second edge derivation
+    se = _doulion_sample(e).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    tri_e, _ = _oriented_census(e)
+    tri_s, _ = _oriented_census(se)
+    est = F.expr(f"ts * {_DOULION_NUM}L div {_DOULION_DEN}L")
+    return (
+        tri_e.crossJoin(F.broadcast(tri_s.select(F.col("t").alias("ts"))))
+        .select(
+            F.col("t").alias("n_triangles"),
+            est.alias("est_triangles"),
+            F.round(
+                F.abs(est - F.col("t")) / F.greatest(F.col("t"), F.lit(1)), 6
+            ).alias("rel_err"),
+            (
+                F.abs(est - F.col("t"))
+                <= F.lit(0.15) * F.greatest(F.col("t"), F.lit(1))
+            ).alias("within_tol"),
+        )
+    )
+
+
 @query(
     "graph_triangles",
     oracle="""
@@ -1401,40 +1592,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = cooccurrence_edges(b0, cap=256).localCheckpoint(
         eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("degu"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("degv"))
-    fwd = (F.col("degu") < F.col("degv")) | (
-        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
-    )
-    oe = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
-        )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
-    a, b = oe.alias("a"), oe.alias("b")
-    wed = a.join(
-        b,
-        (F.col("a.src") == F.col("b.src"))
-        & (
-            (F.col("a.ddeg") < F.col("b.ddeg"))
-            | ((F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst")))
-        ),
-    ).select(F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
-    c = oe.alias("c")
-    tri = wed.join(
-        c, (F.col("c.src") == F.col("y")) & (F.col("c.dst") == F.col("z"))
-    ).agg(F.count(F.lit(1)).alias("t"))
+    tri, deg = _oriented_census(e)
     w = deg.agg(
         F.sum(F.expr("degree * (degree - 1) div 2")).alias("wedges"),
         F.count(F.lit(1)).alias("n_nodes"),
