@@ -14,7 +14,10 @@ Replication follows the realistic growth axis:
   near-duplicates, which measures duplicate-cluster mass (quadratic in
   cluster depth, by design), not throughput. See SCALE.md r11.
 
-Usage: python scripts/sweep_100x_families.py [events|docs|graph]
+Usage: python scripts/sweep_100x_families.py [events|docs|graph] [q1,q2,...]
+The optional second argument overrides the family's query list (comma
+separated) — e.g. `graph graph_pagerank,graph_triangles_approx` for the
+r12 8g-box re-measurement.
 Graph queries at 100x need headroom beyond the 8g default
 (SPARK_GRAFT_DRIVER_MEM=24g for graph_pagerank; graph_triangles'
 uncapped wedge shuffle additionally needs ~100 GB of spill disk).
@@ -116,6 +119,8 @@ def main() -> None:
         if not os.path.exists(f"{base}/documents.parquet"):
             build_docs_fixture(spark, load, base)
         names = DOC_QUERIES
+    if len(sys.argv) > 2:
+        names = sys.argv[2].split(",")
     for name in names:
         q = QUERIES[name]
         res = {}

@@ -1359,6 +1359,58 @@ def test_audio_frame_energy_edges(spark):
     assert got[(4, 0)] == (32, 0)
 
 
+def test_audio_frame_energy_real_wav(spark):
+    """The real-decoder gate is OPEN in-container for WAV (r12): a
+    16-bit PCM WAV built with the stdlib wave module round-trips
+    through the multimodal struct and audio_frame_energy(use_real=True)
+    end-to-end in Spark, and the per-frame energies equal the
+    numpy-computed expectation on the decoded samples. Also pins
+    _decode_real's audio/wav feature string (decode_features no longer
+    raises for WAV)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from tstables_spark.operators.multimodal import (
+        audio_frame_energy,
+        decode_features,
+    )
+
+    # deterministic 16-bit mono PCM: a 100-sample integer ramp
+    samples = np.arange(-50, 50, dtype=np.int16) * 331
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+
+    packed = spark.createDataFrame(
+        [(7, (wav_bytes, "audio/wav", {}))],
+        "doc_id long, blob struct<data: binary, mime: string, meta: map<string,string>>",
+    )
+    got = {
+        r["frame_idx"]: (r["n_bytes"], r["energy"])
+        for r in audio_frame_energy(
+            packed, frame_bytes=32, max_frames=16, use_real=True
+        ).collect()
+    }
+    s64 = samples.astype(np.int64)
+    want = {
+        fi: (
+            min(32, 100 - fi * 32),
+            int((s64[fi * 32 : (fi + 1) * 32] ** 2).sum()),
+        )
+        for fi in range(4)  # 100 samples -> 3 full frames + 4-sample tail
+    }
+    assert got == want
+
+    feats = decode_features(packed, use_real=True).collect()
+    assert feats[0]["feat"] == "pcm:8000:1:16:100"
+
+
 def test_kll_deterministic_and_weight_preserving():
     """The pure-Python MRL kernel: compaction preserves total weight
     exactly, is deterministic, and the eps-approximate rank contract

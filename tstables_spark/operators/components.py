@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(
@@ -49,8 +50,11 @@ def connected_components(
     # undirected: propagate both ways. Materialize ONCE — the edge list
     # is re-joined every round, and without the checkpoint each round
     # would recompute the (possibly expensive) upstream pair generation.
+    # SERIALIZED pin (r12, the r11 minhash/pagerank discipline): this
+    # relation scales with the pair count — serialized rows cost ~4x
+    # less heap than the deserialized default and spill cleanly.
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -103,8 +107,11 @@ def connected_components(
         new_labels = cand.groupBy("node").agg(F.min("component").alias("component"))
         # cut lineage each round BEFORE probing: iterative joins
         # otherwise stack plans exponentially, and the probe then reads
-        # the materialized result instead of recomputing the round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # the materialized result instead of recomputing the round.
+        # O(nodes) rows — serialized for pin-discipline consistency.
+        new_labels = new_labels.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         s = _label_sum(new_labels)
         labels = new_labels
         if s == prev_sum:

@@ -44,10 +44,39 @@ def pack_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(data: bytes, mime: str) -> str:  # pragma: no cover - no codecs in container
+def _decode_wav(data: bytes):
+    """stdlib WAV/PCM decode (no pip dependency): returns (params,
+    samples) where samples is an int64 numpy array of interleaved PCM
+    sample values (8-bit PCM is unsigned per the WAV spec — recentered
+    to signed around 0; 16/32-bit are little-endian signed)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        params = w.getparams()
+        raw = w.readframes(params.nframes)
+    if params.sampwidth == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif params.sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif params.sampwidth == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM sample width {params.sampwidth}")
+    return params, samples
+
+
+def _decode_real(data: bytes, mime: str) -> str:
+    """Real-decoder dispatch. audio/wav is decoded IN-CONTAINER via the
+    stdlib ``wave`` module (r12 — the gate is genuinely open for one
+    real format); image/video formats still need PIL/av, absent here."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        p, samples = _decode_wav(data)
+        return f"pcm:{p.framerate}:{p.nchannels}:{p.sampwidth * 8}:{p.nframes}"
     raise NotImplementedError(
-        "real decoders (PIL/librosa/av) are not installed in this environment; "
-        "plug them in here — the mapInPandas plumbing is decoder-agnostic"
+        "real decoders for non-WAV media (PIL/librosa/av) are not installed "
+        "in this environment; plug them in here — the mapInPandas plumbing "
+        "is decoder-agnostic"
     )
 
 
@@ -131,7 +160,10 @@ ENERGY_SCHEMA = "doc_id long, frame_idx long, n_bytes long, energy long"
 
 
 def audio_frame_energy(
-    packed: DataFrame, frame_bytes: int = 32, max_frames: int = 16
+    packed: DataFrame,
+    frame_bytes: int = 32,
+    max_frames: int = 16,
+    use_real: bool = False,
 ) -> DataFrame:
     """Audio frame-energy extraction (the librosa/PCM shape): window
     the payload into fixed-size frames and emit one scalar per frame —
@@ -151,12 +183,41 @@ def audio_frame_energy(
     stage. Squares are <= 255^2 and a frame sum is <= frame_bytes *
     65025, so int64 arithmetic is exact — output is bit-identical to
     the scalar form (pinned by tests/test_operators.py's edge-case
-    frame-boundary test)."""
+    frame-boundary test).
+
+    ``use_real=True`` (r12) opens the real-decoder gate for WAV
+    payloads via the stdlib ``wave`` module — no pip dependency: the
+    payload is parsed as a RIFF/WAV container, PCM samples are decoded
+    (8/16/32-bit), and ``frame_bytes`` is reinterpreted as SAMPLES per
+    frame. The windowed aggregate downstream of the decode is byte-
+    for-byte the same kernel (widen to int64 -> pad -> reshape -> row
+    square-sums; int16^2 * frame <= 2^35, exact), which is the point:
+    only the decode step differs between stand-in and real."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, lens, engs = [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if use_real:
+                    _, samples = _decode_wav(bytes(blob["data"]))
+                    n_frames = min(
+                        (len(samples) + frame_bytes - 1) // frame_bytes, max_frames
+                    )
+                    if n_frames == 0:
+                        continue
+                    used = min(len(samples), n_frames * frame_bytes)
+                    sq = samples[:used].copy()
+                    sq *= sq
+                    pad = -used % frame_bytes
+                    if pad:
+                        sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+                    energies = sq.reshape(n_frames, frame_bytes).sum(axis=1)
+                    ids.extend([doc_id] * n_frames)
+                    idxs.extend(range(n_frames))
+                    lens.extend([frame_bytes] * (n_frames - 1))
+                    lens.append(used - (n_frames - 1) * frame_bytes)
+                    engs.extend(energies.tolist())
+                    continue
                 data = bytes(blob["data"])
                 # empty payloads emit no frames (matching the oracle's
                 # empty generate_series)
