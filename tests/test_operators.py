@@ -1052,6 +1052,53 @@ def test_asof_presorted_matches_union_window(spark, tmp_path):
     )
 
 
+def test_asof_append_layout_matches_full_restage(spark, tmp_path):
+    """append_asof_layout on a staged table == staging over the full
+    inputs: the presorted read returns exactly asof_join over the
+    unioned frames, and the zero-Exchange / zero-Sort plan survives the
+    append (the rewrite goes through the same single-file-per-bucket
+    writer). Exercises a two-sided append then a right-only one."""
+    import re
+    from tstables_spark.operators.asof import (
+        append_asof_layout, asof_join, asof_join_presorted, stage_asof_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 17, i * 31 % 1000) for i in range(2000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(i % 17, i * 97 % 1000, i) for i in range(300)],
+        "k long, t long, val long",
+    ).groupBy("k", F.timestamp_seconds("t").alias("rts")).agg(F.max("val").alias("val"))
+    name, path = "asof_append_test", str(tmp_path / "t")
+    stage_asof_layout(
+        left.where("event_id < 1200"), right.where("val < 200"),
+        "ts", "rts", "k", "k", ["val"], name, path, num_buckets=4,
+    )
+    append_asof_layout(
+        spark, name, path,
+        left=left.where("event_id >= 1200"), right=right.where("val >= 250"),
+        left_on="ts", right_on="rts", left_by="k", right_by="k",
+        right_values=["val"], num_buckets=4,
+    )
+    append_asof_layout(
+        spark, name, path,
+        right=right.where("val >= 200 and val < 250"),
+        right_on="rts", right_by="k", right_values=["val"], num_buckets=4,
+    )
+    want = {
+        tuple(r)
+        for r in asof_join(left, right, "ts", "rts", "k", "k", ["val"]).collect()
+    }
+    pre = asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"])
+    assert {tuple(r) for r in pre.collect()} == want
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert not re.search(r"\(\d+\) Sort ", plan), plan
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_bpe_train_matches_reference(spark):
     """Pin the BPE trainer's greedy semantics against an independent
     plain-Python reference: left-to-right NON-OVERLAPPING merge
@@ -1599,6 +1646,75 @@ def test_nsw_staged_identity_and_plan(spark):
     finally:
         for part in ("edges", "base", "entries"):
             spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")
+
+
+def test_nsw_append_equals_fresh_restage(spark):
+    """append_nsw_layout == a fresh stage_nsw_layout over old ∪ new:
+    identical edge/base/entries row sets (block-locality exactness),
+    identical staged-walk results, UNAFFECTED block partitions' files
+    physically untouched (the no-full-rebuild claim), and the edges
+    table's bucket claim still sound after the insertInto append (an
+    exchange-free bucketed groupBy agrees with a forced-shuffle
+    recount). Covers both merge-into-existing-block (labels 3, 7) and
+    create-new-block (label 99) appends."""
+    import os
+    import tempfile
+    import uuid
+
+    from tstables_spark.operators.similarity import (
+        append_nsw_layout,
+        nsw_topk,
+        nsw_topk_staged,
+        stage_nsw_layout,
+    )
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").withColumn(
+        "label", F.when(F.col("vec_id") >= 480, F.lit(99)).otherwise(F.col("label"))
+    )
+    cond = F.col("label").isin(3, 7, 99) & (F.col("vec_id") >= 250)
+    old, new = emb.where(~cond), emb.where(cond)
+    assert 0 < new.count() < 120
+    tag_a = "nswapp_" + uuid.uuid4().hex[:8]
+    tag_b = "nswfrs_" + uuid.uuid4().hex[:8]
+    dir_a = tempfile.mkdtemp(prefix="nsw_app_")
+
+    def rows_of(tag, part):
+        return {
+            tuple(tuple(c) if isinstance(c, list) else c for c in r)
+            for r in spark.table(f"{tag}_{part}").collect()
+        }
+
+    try:
+        stage_nsw_layout(old, tag_a, dir_a)
+        untouched = sorted(os.listdir(f"{dir_a}/edges/blk=0"))
+        append_nsw_layout(spark, new, tag_a)
+        stage_nsw_layout(emb, tag_b, tempfile.mkdtemp(prefix="nsw_frs_"))
+        for part in ("edges", "base", "entries"):
+            assert rows_of(tag_a, part) == rows_of(tag_b, part), part
+        assert sorted(os.listdir(f"{dir_a}/edges/blk=0")) == untouched
+        pred = F.col("vec_id") < 10
+        appended = {tuple(r) for r in nsw_topk_staged(spark, tag_a, pred, k=5).collect()}
+        assert appended == {
+            tuple(r) for r in nsw_topk_staged(spark, tag_b, pred, k=5).collect()
+        }
+        assert appended == {tuple(r) for r in nsw_topk(emb, pred, k=5).collect()}
+        edges = spark.table(f"{tag_a}_edges")
+        bucketed = edges.groupBy("src").count()
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # the claim the append must not break
+        forced = dict(
+            (r["src"], r["cnt"])
+            for r in edges.repartition(13)
+            .groupBy("src")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        assert {r["src"]: r["count"] for r in bucketed.collect()} == forced
+    finally:
+        for tag in (tag_a, tag_b):
+            for part in ("edges", "base", "entries"):
+                spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")
 
 
 def test_ivfpq_recall_candidates_determinism(spark):

@@ -21,9 +21,11 @@ duplicates upstream (see plans/timeseries.py::join_asof).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _SIDE = "__asof_side"
 _TIME = "__asof_time"
@@ -186,15 +188,91 @@ def stage_asof_layout(
         F.struct(*right_values, rts).alias(_CARRY),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
+    _write_asof_table(l.unionByName(r), table_name, path, num_buckets)
+
+
+def _write_asof_table(
+    union: DataFrame, table_name: str, path: str, num_buckets: int
+) -> None:
+    """The shared physical writer of ``stage_asof_layout`` /
+    ``append_asof_layout``: bucket by key with ONE file per bucket,
+    sorted (key, time, side) — the layout every presorted read's
+    Exchange/Sort elision depends on."""
     (
-        l.unionByName(r)
-        .repartition(num_buckets, F.col(_KEY))
+        union.repartition(num_buckets, F.col(_KEY))
         .write.bucketBy(num_buckets, _KEY)
         .sortBy(_KEY, _TIME, _SIDE)
         .option("path", path)
         .mode("overwrite")
         .saveAsTable(table_name)
     )
+
+
+def append_asof_layout(
+    spark,
+    table_name: str,
+    path: str,
+    left: DataFrame | None = None,
+    right: DataFrame | None = None,
+    *,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    left_by: str | None = None,
+    right_by: str | None = None,
+    right_values: Sequence[str] = (),
+    num_buckets: int = 8,
+) -> None:
+    """Append new left and/or right rows to a ``stage_asof_layout``
+    table — the real-series-append path for a build-once layout. New
+    rows are encoded exactly as staging encodes them (types taken from
+    the STAGED schema, so the carry struct and null padding cannot
+    drift), merged with the existing staged rows, and rewritten through
+    the shared bucketed writer — every presorted read afterwards keeps
+    its zero-Exchange / zero-Sort plan, asserted in tests.
+
+    Honest cost: the rewrite re-shuffles and re-sorts O(|staged|+|new|)
+    rows — unlike ``append_nsw_layout`` there is no expensive compute
+    to skip (staging IS just the shuffle+sort), so what this saves is
+    re-running the upstream plans that produced the original left/right
+    (the staged table is self-contained; callers need only the delta).
+    The existing rows are pinned (serialized MEMORY_AND_DISK) before
+    the overwrite both to permit writing the path being read and to
+    read them once. At 100 TB, bound the rewrite by staging one table
+    per coarse time epoch (appends land in the newest epoch's table)
+    and unioning the per-epoch presorted reads; pass the same
+    ``right_values`` order the table was staged with."""
+    staged = spark.table(table_name)
+    left_cols = [c for c in staged.columns if c not in (_KEY, _TIME, _SIDE, _CARRY)]
+    carry_t = staged.schema[_CARRY].dataType
+    parts = [staged]
+    if left is not None:
+        parts.append(
+            left.select(
+                F.col(left_by).alias(_KEY),
+                F.col(left_on).alias(_TIME),
+                F.lit(1).alias(_SIDE),
+                F.lit(None).cast(carry_t).alias(_CARRY),
+                *[F.col(c) for c in left_cols],
+            )
+        )
+    if right is not None:
+        rts = F.col(right_on).alias("__rts")
+        parts.append(
+            right.select(
+                F.col(right_by).alias(_KEY),
+                F.col(right_on).alias(_TIME),
+                F.lit(0).alias(_SIDE),
+                F.struct(*right_values, rts).alias(_CARRY),
+                *[
+                    F.lit(None).cast(staged.schema[c].dataType).alias(c)
+                    for c in left_cols
+                ],
+            )
+        )
+    merged = reduce(DataFrame.unionByName, parts).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    _write_asof_table(merged, table_name, path, num_buckets)
 
 
 def asof_join_presorted(

@@ -20,6 +20,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 DIM = 64  # embeddings fixture dimension; callers pass dim= to override
 
@@ -1207,6 +1208,37 @@ def _nsw_walk(
     return _rank_topk(visited, k)
 
 
+def _nsw_block_edges(
+    emb: DataFrame, graph_k: int, block_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(src, dst, blk): the undirected distinct exact-kNN edge relation
+    with each edge's (intra-block by construction) block key — the unit
+    of NSW index incrementality. Shared by ``stage_nsw_layout`` (full
+    corpus) and ``append_nsw_layout`` (affected blocks only)."""
+    g = knn_graph(emb, k=graph_k, block_col=block_col, id_col=id_col, vec_col=vec_col)
+    ids = emb.select(F.col(id_col).alias("src"), F.col(block_col).alias("blk"))
+    return (
+        g.select(F.col(id_col).alias("src"), F.col("nn_id").alias("dst"))
+        .unionByName(g.select(F.col("nn_id").alias("src"), F.col(id_col).alias("dst")))
+        .distinct()
+        .join(ids, "src")
+    )
+
+
+def _nsw_block_entries(
+    blk_ids: DataFrame, entries_per_block: int, id_col: str
+) -> DataFrame:
+    """(nid, blk): deterministic per-block entry points — the lowest
+    ``entries_per_block`` ids of every block in ``blk_ids`` (blk,
+    id_col)."""
+    wb = W.partitionBy("blk").orderBy(id_col)
+    return (
+        blk_ids.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= entries_per_block)
+        .select(F.col(id_col).alias("nid"), "blk")
+    )
+
+
 def stage_nsw_layout(
     emb: DataFrame,
     table_name: str,
@@ -1221,54 +1253,126 @@ def stage_nsw_layout(
 ) -> None:
     """Stage the NSW index for REPEATED retrieval — the promise in
     ``nsw_topk``'s scale note, same pay-at-write-time trade as
-    ``stage_asof_layout``. Three tables:
+    ``stage_asof_layout``. Three tables, each PARTITIONED BY the block
+    key ``blk`` because the block is the index's unit of incrementality
+    (the kNN graph is block-local, so appending vectors can only change
+    the blocks they land in — see ``append_nsw_layout``):
 
-    - ``{table_name}_edges`` (src, dst): the undirected exact-kNN edge
-      relation, bucketed + sorted by src. Building it is the dominant
-      cost of ``nsw_topk`` (a corpus-wide blocked kNN pass plus a
+    - ``{table_name}_edges`` (src, dst, blk): the undirected exact-kNN
+      edge relation, partitioned by blk, bucketed + sorted by src
+      within each partition. Building it is the dominant cost of every
+      fresh ``nsw_topk`` (a corpus-wide blocked kNN pass plus a
       union+distinct shuffle); staged, every later search round just
       scans it. Bucketing by src keeps the book side Exchange-free if
       a giant frontier ever demotes the per-round join from broadcast
       to sort-merge.
-    - ``{table_name}_base`` (id, v, n2): double vectors with squared
-      norms precomputed — the scoring scan side.
-    - ``{table_name}_entries`` (nid): the deterministic per-block entry
-      points (lowest ``entries_per_block`` ids per block).
+    - ``{table_name}_base`` (id, v, n2, blk): double vectors with
+      squared norms precomputed — the scoring scan side. blk makes the
+      append path's affected-block re-read a partition-pruned scan.
+    - ``{table_name}_entries`` (nid, blk): the deterministic per-block
+      entry points (lowest ``entries_per_block`` ids per block).
 
     Search with ``nsw_topk_staged``; results are identical to a fresh
     ``nsw_topk`` with the same parameters (same graph, same entries,
-    same walk)."""
+    same walk). Grow with ``append_nsw_layout``; appended layouts are
+    asserted identical to a fresh re-stage in tests."""
     base = with_norm2(emb, vec_col=vec_col, dim=dim)
-    g = knn_graph(emb, k=graph_k, block_col=block_col, id_col=id_col, vec_col=vec_col)
-    edges = (
-        g.select(F.col(id_col).alias("src"), F.col("nn_id").alias("dst"))
-        .unionByName(g.select(F.col("nn_id").alias("src"), F.col(id_col).alias("dst")))
-        .distinct()
-    )
+    edges = _nsw_block_edges(emb, graph_k, block_col, id_col, vec_col)
     (
-        edges.repartition(num_buckets, F.col("src"))
-        .write.bucketBy(num_buckets, "src")
+        edges.select("src", "dst", "blk")
+        .repartition(num_buckets, F.col("src"))
+        .write.partitionBy("blk")
+        .bucketBy(num_buckets, "src")
         .sortBy("src", "dst")
         .option("path", f"{path}/edges")
         .mode("overwrite")
         .saveAsTable(f"{table_name}_edges")
     )
     (
-        base.select(id_col, "v", "n2")
-        .write.option("path", f"{path}/base")
+        base.select(id_col, "v", "n2", F.col(block_col).alias("blk"))
+        .write.partitionBy("blk")
+        .option("path", f"{path}/base")
         .mode("overwrite")
         .saveAsTable(f"{table_name}_base")
     )
-    wb = W.partitionBy(block_col).orderBy(id_col)
+    blk_ids = emb.select(F.col(block_col).alias("blk"), F.col(id_col))
     (
-        emb.select(block_col, id_col)
-        .withColumn("__r", F.row_number().over(wb))
-        .where(F.col("__r") <= entries_per_block)
-        .select(F.col(id_col).alias("nid"))
-        .write.option("path", f"{path}/entries")
+        _nsw_block_entries(blk_ids, entries_per_block, id_col)
+        .select("nid", "blk")
+        .write.partitionBy("blk")
+        .option("path", f"{path}/entries")
         .mode("overwrite")
         .saveAsTable(f"{table_name}_entries")
     )
+
+
+def append_nsw_layout(
+    spark,
+    new_emb: DataFrame,
+    table_name: str,
+    graph_k: int = 12,
+    entries_per_block: int = 16,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> None:
+    """Append ``new_emb`` to a ``stage_nsw_layout`` index WITHOUT a
+    full rebuild — the real-series-append path a build-once index is
+    missing at 100 TB. Exactness argument: ``knn_graph`` is block-local
+    (every edge is intra-block, every entry point per-block), so blocks
+    that receive no new vectors are bit-identical between "fresh
+    re-stage over old ∪ new" and "leave staged files untouched"; only
+    the AFFECTED blocks (those ``new_emb`` lands in) need their kNN +
+    entries recomputed, over old-block rows re-read from the staged
+    base (a partition-pruned scan) plus the new rows. The recomputed
+    block edges/entries replace exactly their block's files via
+    dynamic partition overwrite; new base rows append. Work is
+    Σ_affected n_b²·d instead of Σ_all — independent of corpus size
+    when appends touch few blocks.
+
+    Appended edge partitions keep the catalog bucket spec (Spark
+    bucket-hashes ``insertInto`` writes) but may hold >1 file per
+    bucket; that voids only the legacy single-file outputOrdering
+    claim, which the NSW walk never relies on (its per-round joins
+    broadcast the frontier — see ``_nsw_walk``).
+
+    Pass the SAME graph_k/entries_per_block/dim the index was staged
+    with: they are physical parameters of the layout, and a mismatched
+    append would mix neighborhood sizes across blocks. Results after
+    append are asserted identical to a fresh re-stage in
+    tests/test_operators.py."""
+    new_base = with_norm2(new_emb, vec_col=vec_col, dim=dim).select(
+        F.col(id_col), F.col("v"), F.col("n2"), F.col(block_col).alias("blk")
+    )
+    affected = [r["blk"] for r in new_base.select("blk").distinct().collect()]
+    old_rows = (
+        spark.table(f"{table_name}_base")
+        .where(F.col("blk").isin(affected))
+        .select(id_col, "v", "blk")
+    )
+    # old ∪ new rows of the affected blocks: consumed by the kNN kernel,
+    # the edge blk join and the entries window — pin once, serialized
+    # (the r11 pin discipline), so the applyInPandas build runs once.
+    rows = old_rows.unionByName(new_base.select(id_col, "v", "blk")).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    edges = _nsw_block_edges(rows, graph_k, "blk", id_col, "v")
+    entries = _nsw_block_entries(rows.select("blk", id_col), entries_per_block, id_col)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto is POSITIONAL and partition columns sit last in the
+        # table schema — select in table order.
+        edges.select("src", "dst", "blk").write.insertInto(
+            f"{table_name}_edges", overwrite=True
+        )
+        entries.select("nid", "blk").write.insertInto(
+            f"{table_name}_entries", overwrite=True
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    new_base.select(id_col, "v", "n2", "blk").write.insertInto(f"{table_name}_base")
 
 
 def nsw_topk_staged(
