@@ -72,6 +72,10 @@ HEADLINE = [
     "dedup_substring",
     "sim_ivfpq",
     "sim_nsw_staged",
+    # r12 addition: the DOULION sampled census (the 100 TB triangle
+    # path; its exact-vs-estimate gate stays out of the headline — it
+    # runs the exact census graph_triangles already covers)
+    "graph_triangles_approx",
 ]
 
 # A single timing rides this box's ±1.5x load-noise band (SCALE.md

@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Streaming soak at ~100x trigger count (r12): every stateful stream
+maintainer claims constant state and flat per-batch latency regardless
+of stream length — this drives each one through ~100 real micro-batches
+(maxFilesPerTrigger=1 over a 100-file source) and records the per-batch
+latency and state-size CURVES, not just the end state. Flat = pass.
+
+The registered driver queries stay on their small trigger counts (the
+correctness gate needs minutes, not soaks); this script is the scale
+evidence for SCALE.md. Sources:
+
+- documents (sf0.1, ~5k docs) split into 100 unordered files — feeds
+  the order-insensitive monoid maintainers stream_cms / stream_bloom.
+- events (sf0.1, ~100k rows) split into 100 unordered files — feeds
+  stream_qsketch / stream_ohlc / stream_kll_gate.
+- events split into 100 CONTIGUOUS event-time slices with increasing
+  file mtimes — feeds stream_pattern, whose CEP contract requires
+  batches in event-time order (the file source replays by mod time).
+
+Per-batch metrics come from StreamingQueryProgress (stateOperators'
+numRowsTotal / memory) for the state-store maintainers, and from
+inside the foreachBatch fold for the driver-merged KLL sketch.
+
+Usage: python scripts/soak_streams.py [q1,q2,...]
+Prints one JSON line per query; full per-batch curves land in
+/tmp/soak_streams/<query>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_FILES = int(os.environ.get("SOAK_TRIGGERS", "100"))
+OUT_DIR = "/tmp/soak_streams"
+SRC_ROOT = "/tmp/soak_streams_src"
+
+
+def _split_unordered(df, base: str) -> None:
+    shutil.rmtree(base, ignore_errors=True)
+    df.repartition(N_FILES).write.parquet(base)
+
+
+def _split_time_ordered(df, base: str, order_cols) -> None:
+    """N_FILES contiguous event-time slices, one file each, mtimes
+    increasing with slice index so FileStreamSource (which orders new
+    files by modification time) replays them in event-time order —
+    the in-order-source contract stream_pattern documents."""
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    sliced = df.withColumn(
+        "__s", F.ntile(N_FILES).over(W.orderBy(*order_cols))
+    ).localCheckpoint(eager=True)
+    tmp = base + "__tmp"
+    for i in range(1, N_FILES + 1):
+        shutil.rmtree(tmp, ignore_errors=True)
+        sliced.where(F.col("__s") == i).drop("__s").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{base}/{i:04d}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+
+
+def _drive(spark, agg, mode: str):
+    """Run to the noop sink with availableNow and return the per-batch
+    progress records (oldest first)."""
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", f"{SRC_ROOT}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    rows = []
+    for p in progs:
+        if p.get("numInputRows", 0) == 0 and not p.get("stateOperators"):
+            continue  # trailing no-data commit batch
+        so = p.get("stateOperators") or []
+        rows.append(
+            {
+                "batch": p["batchId"],
+                "ms": p["durationMs"].get("triggerExecution"),
+                "rows_in": p["numInputRows"],
+                "state_rows": so[0]["numRowsTotal"] if so else None,
+                "state_bytes": so[0].get("memoryUsedBytes") if so else None,
+            }
+        )
+    return rows
+
+
+def _summarize(name: str, rows) -> dict:
+    def avg(xs):
+        xs = [x for x in xs if x is not None]
+        return round(sum(xs) / len(xs), 1) if xs else None
+
+    ms = [r["ms"] for r in rows]
+    st = [r["state_rows"] for r in rows]
+    out = {
+        "query": name,
+        "batches": len(rows),
+        "ms_first10": avg(ms[:10]),
+        "ms_last10": avg(ms[-10:]),
+        "ms_max": max(m for m in ms if m is not None),
+        "state_rows_first10": avg(st[:10]),
+        "state_rows_last10": avg(st[-10:]),
+        "state_rows_max": max((s for s in st if s is not None), default=None),
+        "state_bytes_last": next(
+            (r["state_bytes"] for r in reversed(rows) if r["state_bytes"]), None
+        ),
+    }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(f"{OUT_DIR}/{name}.json", "w") as f:
+        json.dump(rows, f)
+    return out
+
+
+def soak_cms(spark, docs_src):
+    from tstables_spark.plans._portable_sql import _cms_cells
+
+    tok = _stream(spark, docs_src).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return _drive(spark, _cms_cells(tok), "complete")
+
+
+def soak_bloom(spark, docs_src):
+    from tstables_spark.operators.dedup import shingles
+    from tstables_spark.plans.llm import _bloom_words
+
+    grams = shingles(_stream(spark, docs_src), n=5)
+    return _drive(spark, _bloom_words(grams, "shingle"), "complete")
+
+
+def soak_qsketch(spark, ev_src):
+    from tstables_spark.plans._portable_sql import _qsketch_cells
+
+    cents = _stream(spark, ev_src).selectExpr(
+        "CAST(FLOOR(value * 100) AS BIGINT) AS v"
+    )
+    return _drive(spark, _qsketch_cells(cents), "complete")
+
+
+def soak_ohlc(spark, ev_src):
+    from tstables_spark._exact import exact_sum
+
+    src = _stream(spark, ev_src)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+    return _drive(spark, agg, "complete")
+
+
+def soak_pattern(spark, ev_ordered_src):
+    from tstables_spark.streaming.stateful import v_pattern_stream
+
+    return _drive(spark, v_pattern_stream(_stream(spark, ev_ordered_src)), "append")
+
+
+def soak_kll(spark, ev_src):
+    """foreachBatch driver-merged KLL: state lives on the driver, so the
+    curve is recorded inside the fold (len(state) samples per batch)."""
+    from tstables_spark.operators.kll import merge_pairs, sketch_partitions
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(ev_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_src)
+    )
+    vals = src.select("value").where(F.col("value").isNotNull() & ~F.isnan("value"))
+    state: list[tuple[float, int]] = []
+    rows: list[dict] = []
+
+    def fold(batch, bid: int) -> None:
+        t0 = time.perf_counter()
+        pairs = [
+            (r["value"], r["weight"])
+            for r in sketch_partitions(batch, "value", 512).collect()
+        ]
+        state[:] = merge_pairs(state + pairs, 512)
+        rows.append(
+            {
+                "batch": bid,
+                "ms": round((time.perf_counter() - t0) * 1000, 1),
+                "rows_in": None,
+                "state_rows": len(state),
+                "state_bytes": len(state) * 16,
+            }
+        )
+
+    q = (
+        vals.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{SRC_ROOT}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def main() -> None:
+    from tstables_spark import get_spark
+    from tstables_spark.plans.tables import load
+
+    spark = get_spark("soak_streams")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(N_FILES + 20))
+    shutil.rmtree(SRC_ROOT, ignore_errors=True)
+    os.makedirs(SRC_ROOT)
+    docs_src = f"{SRC_ROOT}/docs"
+    ev_src = f"{SRC_ROOT}/events"
+    ev_ordered = f"{SRC_ROOT}/events_ordered"
+
+    soaks = {
+        "stream_cms": (soak_cms, docs_src),
+        "stream_bloom": (soak_bloom, docs_src),
+        "stream_qsketch": (soak_qsketch, ev_src),
+        "stream_ohlc": (soak_ohlc, ev_src),
+        "stream_kll_gate": (soak_kll, ev_src),
+        "stream_pattern": (soak_pattern, ev_ordered),
+    }
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(soaks)
+    needed = {soaks[n][1] for n in names}
+    if docs_src in needed:
+        _split_unordered(load(spark, SF, "documents"), docs_src)
+    if ev_src in needed:
+        _split_unordered(load(spark, SF, "events"), ev_src)
+    if ev_ordered in needed:
+        _split_time_ordered(
+            load(spark, SF, "events"), ev_ordered, [F.col("ts"), F.col("event_id")]
+        )
+    for name in names:
+        fn, src = soaks[name]
+        print(json.dumps(_summarize(name, fn(spark, src))), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,17 @@ def main() -> None:
             def run():
                 t0 = time.perf_counter()
                 q(spark, d).write.format("noop").mode("overwrite").save()
-                return time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                # Shuffle files and checkpoint RDDs are only reaped by
+                # ContextCleaner AFTER a JVM GC (default periodic GC:
+                # 30 min) — back-to-back 100x runs otherwise stack tens
+                # of GB of dead spill and exhaust the box's disk
+                # (measured r12). Harness hygiene, outside the timing.
+                # The cleaner drains ASYNC after the GC — give it a
+                # beat so the next run starts against a drained pool.
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(5)
+                return dt
             run()
             res[tag] = round(min(run() for _ in range(2)), 2)
         print(json.dumps({name: res}), flush=True)

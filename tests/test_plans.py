@@ -425,3 +425,27 @@ def test_r12_pagerank_and_doulion(spark, sf_dir):
     # and no src-keyed Exchange of the edge relation exists anywhere.
     assert "BroadcastHashJoin" in p
     assert not re.search(r"Exchange hashpartitioning\(src", p)
+
+
+def test_r12_big_graph_paths_identical(spark, sf_dir, monkeypatch):
+    """The big-graph physical strategies (dense and wide axes both
+    forced by dropping the two knobs to 1) must compute EXACTLY the
+    small-path answers: pagerank's streamed bucketed-edges +
+    shuffled-rank iteration, and the DOULION estimator's streamed
+    scratch-table pins. Also pins the big plan shape — iterations
+    shuffle-hash with zero edge-side Exchange (ranks exchange INTO
+    the bucket layout), no broadcast of the rank relation anywhere."""
+    import tstables_spark.plans.analytics as A
+
+    pr_small = {tuple(r) for r in A.graph_pagerank(spark, sf_dir).collect()}
+    tri_small = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
+    monkeypatch.setattr(A, "_PR_BROADCAST_NODES_MAX", 1)
+    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    pr_big_df = A.graph_pagerank(spark, sf_dir)
+    p = pr_big_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p
+    assert not re.search(r"Exchange hashpartitioning\(src", p)
+    assert {tuple(r) for r in pr_big_df.collect()} == pr_small
+    assert {
+        tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()
+    } == tri_small

@@ -990,6 +990,50 @@ def _pagerank_oracle(iters: int = 3) -> str:
     )
 
 
+# Above this node count the per-iteration rank broadcast (an
+# un-evictable JVM-heap hashed relation per generation) outgrows a
+# default 8g executor; iterations switch to the bucketed-edges +
+# shuffled-rank join. 2M nodes ~ 200 MB hashed — comfortable at 8g,
+# an order of magnitude under the first measured OOM (10M nodes).
+_PR_BROADCAST_NODES_MAX = 2_000_000
+
+# Above this estimated half-edge count an edge relation is STREAMED
+# into a scratch table instead of localCheckpoint-pinned: checkpoint
+# materialization holds one serialized block per task in heap
+# simultaneously (32 tasks x ~19M edges x 16B ≈ 10 GB at the measured
+# 100x fixture — the r12 8g OOM), while 50M half-edges cap blocks at
+# ~25 MB/task. Estimated WITHOUT materializing anything: the capped
+# per-bucket pair mass Σ min(occ,cap)·(min(occ,cap)-1)/2 is an upper
+# bound on edges and is one cheap aggregate over the membership
+# relation.
+_EDGE_PIN_PAIRS_MAX = 50_000_000
+
+# Big-graph bucketed edge tables, staged once per (applicationId,
+# sf_dir) — see graph_pagerank's scale note.
+_PR_EDGES_STAGED: dict = {}
+
+
+def _graph_scale_stats(b0: DataFrame, cap: int) -> tuple[int, int]:
+    """(distinct users, capped pair-mass upper bound) of the
+    co-occurrence graph over memberships ``b0`` — the two 1-row
+    statistics the graph queries pick physical strategies with (node
+    count → broadcast vs shuffled ranks; pair mass → pinned vs
+    streamed edge relations). Two aggregate-only jobs, nothing
+    edge-sized exists before either decision."""
+    n = b0.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    pairs = (
+        b0.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.expr(f"least(c, {cap}L) * (least(c, {cap}L) - 1L) div 2L")
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    return n, int(pairs or 0)
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 iterations) over the capped user
@@ -1022,48 +1066,142 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1.2B directed rows). Now the O(nodes) relations are the only
     shuffled/pinned state: deg is computed once and pinned (O(nodes)),
     ranks are eagerly checkpointed each round (O(nodes), also the
-    lineage cut), and the per-iteration join BROADCASTS the rank
-    relation against the streamed edge scan — zero Exchange on the
-    edge side, ever. The dst-keyed sum is map-side combined (partial
-    aggregation), so at most O(distinct dst per task) rows cross the
-    wire per round. Nodes are users — orders of magnitude below edges
-    on any co-occurrence graph (sf0.1: ~40k nodes vs ~10M 1-min
-    edges); the broadcast is MBs where the old shuffle was tens of GB.
-    At a node count too large to broadcast (>~50M users), drop the
-    hint and this degrades to the r11 shuffle join — the documented
-    knob, not a cliff. Every node in the edge set has degree >= 1, so
-    no dangling-mass term is needed; isolated users (no co-occurrence)
-    are out of scope by construction. The n_nodes collect is a 1-row
-    contract-bounded aggregate (the repo's collect discipline)."""
+    lineage cut), and the physical strategy is picked on TWO cheap
+    collected statistics (the AQE spirit; every path computes
+    identical integer ranks) because a graph can blow up on two
+    INDEPENDENT axes — nodes (wide) and edges (dense); the measured
+    100x fixture is dense: 150k nodes x 541M capped pair mass:
+
+    - EDGE layout, picked on the capped pair-mass bound (one
+      O(buckets) aggregate): under _EDGE_PIN_PAIRS_MAX the half-edge
+      list pins via serialized localCheckpoint (the fast fixture
+      path); above it the pin itself is the OOM — checkpoint
+      materialization holds one serialized per-task block in heap
+      simultaneously (~10 GB at 100x; the r11 GCLocker signature,
+      re-measured r12 three ways) — so the DIRECTED edge list is
+      instead staged ONCE per (app, sf) as a bucketed-by-src scratch
+      table, STREAMED from the derivation into files (a constant-
+      memory local sort + write per task; the join_bucketed
+      discipline). deg then comes off the bucketed scan with zero
+      exchange, and nothing edge-sized ever shuffles, pins, or sits
+      on the heap again.
+    - RANK join, picked on the node count: broadcast under
+      _PR_BROADCAST_NODES_MAX (MBs where the r11 shuffle was tens of
+      GB; the fixture and bench path at every scale measured), else a
+      SHUFFLE-HASH join that exchanges ONLY the O(nodes) rank
+      relation into the bucket layout (per-task build map = one rank
+      bucket), with the O(nodes) deg/rank pins dropped to DISK_ONLY —
+      at wide-graph scale four memory-first O(nodes) pins per run
+      accumulate in heap storage faster than the async ContextCleaner
+      reaps dead generations.
+
+    The dst-keyed sum is map-side combined (partial aggregation,
+    spill-safe) in both paths. Every node in the edge set has degree
+    >= 1, so no dangling-mass term is needed; isolated users (no
+    co-occurrence) are out of scope by construction. The n_nodes
+    collect is a 1-row contract-bounded aggregate (the repo's collect
+    discipline)."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
     ).distinct()
+    # Strategy knobs BEFORE any edge-sized materialization (cheap
+    # 1-row aggregates; flipping to the big path slightly early is
+    # harmless, flipping late is an OOM): node count picks the rank
+    # join (broadcast vs shuffled), pair mass picks the edge layout
+    # (checkpoint pin vs streamed bucketed table) — INDEPENDENT
+    # constraints: the measured 100x fixture is 150k nodes x 541M
+    # capped pair mass (dense, not wide), so it broadcasts ranks AND
+    # streams edges.
+    n_est, pair_est = _graph_scale_stats(b0, cap=256)
+    big_nodes = n_est > _PR_BROADCAST_NODES_MAX
+    big_edges = pair_est > _EDGE_PIN_PAIRS_MAX
     edges = cooccurrence_edges(b0, cap=256)
-    eh = edges.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
-    de = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    # deg is O(nodes): pin once instead of re-deriving it from a 2|E|
-    # scan+shuffle inside every iteration's join leg.
-    deg = (
-        de.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    if big_edges:
+        # Stage the directed edge list bucketed by src — STREAMED from
+        # the derivation into files, never pinned: a corpus-sized
+        # localCheckpoint builds per-task serialized blocks (64 MB G1
+        # humongous chunks) whose concurrent unroll is exactly the 8g
+        # GCLocker death SCALE.md r11/r12 measured; a bucketed write is
+        # a constant-memory local sort + stream per task. Every
+        # iteration's join then exchanges only the O(nodes) rank side
+        # into this layout — see the scale note. Staged ONCE per
+        # (app, sf) like _nsw_staged_index: the relation is a pure
+        # function of the input, repeated invocations re-walk the
+        # staged files (the steady state the staging exists for), and
+        # re-writing GBs per run exhausted the sweep box's disk.
+        key = (spark.sparkContext.applicationId, sf_dir)
+        tag = _PR_EDGES_STAGED.get(key)
+        if tag is None:
+            import uuid
+
+            from tstables_spark.plans._staging import (
+                register_staged_table,
+                scratch_dir,
+            )
+
+            nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            tag = "pr_edges_" + uuid.uuid4().hex[:8]
+            (
+                edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                .unionAll(
+                    edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+                )
+                .write.bucketBy(nb, "src")
+                .option("path", scratch_dir(spark, "pr_edges_") + "/de")
+                .mode("overwrite")
+                .saveAsTable(tag)
+            )
+            register_staged_table(spark, tag)
+            _PR_EDGES_STAGED[key] = tag
+        de = spark.table(tag)
+        # deg off the bucketed scan: partial+final agg with ZERO
+        # exchange (the scan already satisfies the clustering).
+        deg = (
+            de.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(
+                eager=True,
+                storageLevel=StorageLevel.DISK_ONLY
+                if big_nodes
+                else StorageLevel.MEMORY_AND_DISK,
+            )
+        )
+    else:
+        eh = edges.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        de = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        # deg is O(nodes): pin once instead of re-deriving it from a
+        # 2|E| scan+shuffle inside every iteration's join leg.
+        deg = (
+            de.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
     n = deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]  # 1-row
     ranks = deg.select(
         "node", "degree", F.expr(f"1000000000000L div {n}L").alias("pr12")
     )
     for _ in range(3):
         # O(nodes) eager pin: cuts the iteration lineage AND feeds the
-        # broadcast below from materialized rows.
+        # rank side of the join below from materialized rows. At
+        # big-node scale the pins go DISK_ONLY: each O(nodes) pin is
+        # ~hundreds of MB serialized and the iteration makes four per
+        # run — memory-first pins accumulate in heap storage faster
+        # than the async ContextCleaner reaps dead generations
+        # (measured OOM shape, SCALE.md r12); a disk-only pin bounds
+        # heap residency at zero for a ~100 ms re-read per consumer.
         rk = ranks.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            eager=True,
+            storageLevel=StorageLevel.DISK_ONLY
+            if big_nodes
+            else StorageLevel.MEMORY_AND_DISK,
         )
-        contrib = de.join(F.broadcast(rk), de["src"] == rk["node"]).select(
+        rkj = rk.hint("shuffle_hash") if big_nodes else F.broadcast(rk)
+        contrib = de.join(rkj, de["src"] == rkj["node"]).select(
             "dst", F.expr("pr12 * 1000000L div degree").alias("c18")
         )
         s = contrib.groupBy(F.col("dst").alias("node")).agg(
@@ -1318,7 +1456,35 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oriented_census(e: DataFrame):
+def _edge_pin(e: DataFrame, big: bool, prefix: str) -> DataFrame:
+    """Materialize a multiply-consumed edge relation. Broadcast-scale
+    graphs pin with a serialized localCheckpoint (fast, memory-first);
+    big graphs (the graph_pagerank node-count knob) STREAM into a
+    scratch parquet table instead: materializing a corpus-sized
+    checkpoint builds 32 concurrent per-task serialized blocks out of
+    64 MB G1-humongous chunks — the 8g GCLocker OOM SCALE.md r12
+    measured — while a file write streams at constant memory and the
+    consumers re-scan files."""
+    if not big:
+        return e.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    import uuid
+
+    from tstables_spark.plans._staging import register_staged_table, scratch_dir
+
+    spark = e.sparkSession
+    tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    (
+        e.write.option("path", scratch_dir(spark, prefix + "_") + "/e")
+        .mode("overwrite")
+        .saveAsTable(tag)
+    )
+    register_staged_table(spark, tag)
+    return spark.table(tag)
+
+
+def _oriented_census(e: DataFrame, big: bool = False):
     """Degree-ordered oriented triangle census over a PINNED half-edge
     list ``e(u, v)`` (u < v). Returns ``(tri, deg)``: ``tri`` is a
     1-row DataFrame with the exact triangle count ``t``; ``deg`` the
@@ -1326,7 +1492,9 @@ def _oriented_census(e: DataFrame):
     (degree, id) endpoint, so each triangle is counted exactly once and
     the wedge expansion is O(m^1.5) by the arboricity bound (see
     graph_triangles). Shared by the exact census and the DOULION
-    estimator, which runs it on a sampled edge subset."""
+    estimator, which runs it on a sampled edge subset. ``big`` routes
+    the internal oriented-edge pin through ``_edge_pin``'s streamed
+    scratch table instead of a checkpoint."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1346,8 +1514,8 @@ def _oriented_census(e: DataFrame):
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
         )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    oe = _edge_pin(oe, big, "census_oe")
     a, b = oe.alias("a"), oe.alias("b")
     wed = a.join(
         b,
@@ -1373,11 +1541,11 @@ _DOULION_CUT = "c0"  # keep edges with md5 prefix < 'c0': p = 192/256 = 3/4
 _DOULION_NUM, _DOULION_DEN = 256 ** 3, 192 ** 3  # 1/p^3 = 64/27
 
 
-def _doulion_sample(e: DataFrame) -> DataFrame:
+def _doulion_sample(e: DataFrame, cut: str = _DOULION_CUT) -> DataFrame:
     key = F.concat(
         F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
     )
-    return e.where(F.substring(F.md5(key), 1, 2) < _DOULION_CUT)
+    return e.where(F.substring(F.md5(key), 1, 2) < cut)
 
 
 _DOULION_EDGES_SQL = """
@@ -1415,7 +1583,9 @@ _DOULION_EDGES_SQL = """
     FROM ts_, ns
     """,
 )
-def graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangles_approx(
+    spark: SparkSession, sf_dir: str, cut: str = _DOULION_CUT
+) -> DataFrame:
     """DOULION triangle estimator (Tsourakakis et al., KDD'09) over the
     capped 1-minute co-occurrence graph — the 100 TB answer to the
     exact census, whose wedge shuffle exceeds single-box disk at 100x
@@ -1432,22 +1602,35 @@ def graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = 3/4 (the fixture's triangle mass is small — DOULION's relative
     error concentrates as 1/sqrt(t * p^3), so small graphs need high
     p); a 100-TB census runs p = 1/10 for a ~1000x cost cut with
-    billions of triangles keeping the error sub-percent. The estimate
-    t_s * 64 div 27 is exact integer arithmetic — no float enters
-    either engine."""
+    billions of triangles keeping the error sub-percent. ``cut``
+    EXPOSES the knob (md5-prefix hex cut; keeps int(cut,16)/256 of
+    edges): the registered query pins 'c0' so the DuckDB twin is
+    byte-identical, while the 100x sweep runs '40' (p=1/4) — the
+    p=3/4 sampled wedge spill measurably exceeds the box's 80 GB disk
+    (SCALE.md r12), and two independent low-p runs cross-check each
+    other's estimates there. The estimate t_s * 256^3 div keep^3 is
+    exact integer arithmetic — no float enters either engine."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
     ).distinct()
-    se = _doulion_sample(cooccurrence_edges(b0, cap=256)).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    # Same edge-density knob as graph_pagerank (the capped pair-mass
+    # bound, one cheap aggregate): above it, both the sampled-edge pin
+    # and the census's internal oriented-edge pin become streamed
+    # scratch tables — no edge-sized checkpoint blocks on the heap
+    # (see _edge_pin).
+    _, pair_est = _graph_scale_stats(b0, cap=256)
+    big = pair_est > _EDGE_PIN_PAIRS_MAX
+    keep = int(cut, 16)  # md5-prefix cut 'xx' keeps keep/256 of edges
+    se = _edge_pin(
+        _doulion_sample(cooccurrence_edges(b0, cap=256), cut), big, "doulion_se"
     )
-    tri, _ = _oriented_census(se)
+    tri, _ = _oriented_census(se, big=big)
     ns = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
     return tri.crossJoin(F.broadcast(ns)).select(
         F.col("t").alias("n_triangles_sampled"),
         "n_edges_sampled",
-        F.expr(f"t * {_DOULION_NUM}L div {_DOULION_DEN}L").alias("est_triangles"),
+        F.expr(f"t * {256 ** 3}L div {keep ** 3}L").alias("est_triangles"),
     )
 
 

@@ -81,7 +81,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query name {name!r}")
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             # The driver calls with its own un-configured session; UTC is
             # load-bearing for every timestamp comparison and the DuckDB
             # oracle twin (which runs with TimeZone='UTC').
@@ -99,7 +99,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # skippability (see session.py).
             spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
             ensure_shipped(spark)
-            return fn(spark, sf_dir)
+            # Extra kwargs pass through to plans that expose physical
+            # knobs (e.g. graph_triangles_approx's sampling cut); the
+            # driver always calls with the bare (spark, sf_dir) pair.
+            return fn(spark, sf_dir, **kwargs)
 
         QUERIES[name] = wrapped
         if oracle is not None:

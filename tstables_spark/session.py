@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start every AQE shuffle at 8x the partition floor and let
+        # coalescing right-size DOWN: with a flat 32, a uniformly-huge
+        # shuffle (the 100x wedge census: hundreds of millions of rows)
+        # hands each of 32 concurrent tasks 1/32nd of the relation as
+        # join/sort state — ~250 MB/task of an 8g heap, the r12
+        # measured OOM — and AQE's skew splitting never fires because
+        # nothing is SKEWED, just big. 8x initial cuts per-task state
+        # 8x on big shuffles while small queries coalesce back to the
+        # floor (the canonical production setting; plan shapes and
+        # results are unchanged).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str((shuffle_partitions or cpus) * 8),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Fixture parquet stores ts as timestamp[us] with no timezone;
@@ -79,6 +93,25 @@ def get_spark(
         # at submit time (driver JVM already running) — pass it via
         # spark-submit --driver-memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # G1 + Tungsten's default 64 MB memory pages = every execution
+        # page is a G1 "humongous" allocation (region size at an 8g
+        # heap is 4 MB; anything over half a region allocates
+        # humongous). Under 32 concurrent tasks those storms trip the
+        # JDK GCLocker starvation bug — tiny allocations fail with
+        # "Retried waiting for GCLocker too often" while GBs are free —
+        # which killed three r11/r12 100x sweeps (SCALE.md). 8 MB
+        # default pages + 32 MB regions make the common Tungsten page
+        # a REGULAR G1 allocation (8 < 32/2; growing hash maps can
+        # still request larger chunks, but the storm is gone —
+        # measured: the 100x graph family completes after this where
+        # it GCLocker-died before, and the sf0.1 bench is unchanged).
+        # A real cluster sets the region size at submit time the same
+        # way.
+        .config("spark.buffer.pageSize", "8m")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m",
+        )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
