@@ -50,6 +50,7 @@ def best_of_3(fn) -> float:
 def main() -> None:
     from tstables_spark import get_spark
     from tstables_spark.operators.similarity import (
+        append_nsw_layout,
         cosine_topk,
         ivfpq_topk,
         nsw_topk_staged,
@@ -94,6 +95,19 @@ def main() -> None:
             "nsw_stage_s": round(t_stage, 2),
             "nsw_staged_walk_s": round(best_of_3(run_walk), 2),
         }
+        # Append-path claim (r12): cost depends on AFFECTED BLOCKS, not
+        # corpus size — 100 new vectors into 3 existing blocks should
+        # time ~flat across 1x/10x/100x, and the walk must keep working
+        # against the grown index.
+        new = emb.where(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+            (F.col("label") % 3).alias("label"),
+        )
+        t0 = time.perf_counter()
+        append_nsw_layout(spark, new, tag)
+        results[reps]["nsw_append_100v_s"] = round(time.perf_counter() - t0, 2)
+        results[reps]["nsw_walk_after_append_s"] = round(run_walk(), 2)
         print(json.dumps({reps: results[reps]}), flush=True)
         for part in ("edges", "base", "entries"):
             spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")

@@ -1651,8 +1651,8 @@ def test_nsw_staged_identity_and_plan(spark):
 def test_nsw_append_equals_fresh_restage(spark):
     """append_nsw_layout == a fresh stage_nsw_layout over old ∪ new:
     identical edge/base/entries row sets (block-locality exactness),
-    identical staged-walk results, UNAFFECTED block partitions' files
-    physically untouched (the no-full-rebuild claim), and the edges
+    identical staged-walk results, UNAFFECTED coarse partitions' files
+    physically untouched (the bounded-append-I/O claim), and the edges
     table's bucket claim still sound after the insertInto append (an
     exchange-free bucketed groupBy agrees with a forced-shuffle
     recount). Covers both merge-into-existing-block (labels 3, 7) and
@@ -1662,6 +1662,7 @@ def test_nsw_append_equals_fresh_restage(spark):
     import uuid
 
     from tstables_spark.operators.similarity import (
+        _nsw_pblk,
         append_nsw_layout,
         nsw_topk,
         nsw_topk_staged,
@@ -1685,14 +1686,28 @@ def test_nsw_append_equals_fresh_restage(spark):
             for r in spark.table(f"{tag}_{part}").collect()
         }
 
+    # a coarse partition the append must not rewrite: the pblk of an
+    # unaffected label that shares no pblk with the affected set
+    pblk_of = {
+        r["l"]: r["p"]
+        for r in spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(x) for x in (0, 1, 2, 4, 3, 7, 99)])).alias("l")
+        )
+        .select("l", _nsw_pblk(F.col("l").cast("int")).alias("p"))
+        .collect()
+    }
+    hot = {pblk_of[x] for x in (3, 7, 99)}
+    cold_pblk = next(pblk_of[x] for x in (0, 1, 2, 4) if pblk_of[x] not in hot)
+
     try:
         stage_nsw_layout(old, tag_a, dir_a)
-        untouched = sorted(os.listdir(f"{dir_a}/edges/blk=0"))
+        untouched = sorted(os.listdir(f"{dir_a}/edges/pblk={cold_pblk}"))
         append_nsw_layout(spark, new, tag_a)
         stage_nsw_layout(emb, tag_b, tempfile.mkdtemp(prefix="nsw_frs_"))
         for part in ("edges", "base", "entries"):
             assert rows_of(tag_a, part) == rows_of(tag_b, part), part
-        assert sorted(os.listdir(f"{dir_a}/edges/blk=0")) == untouched
+        assert sorted(os.listdir(f"{dir_a}/edges/pblk={cold_pblk}")) == untouched
         pred = F.col("vec_id") < 10
         appended = {tuple(r) for r in nsw_topk_staged(spark, tag_a, pred, k=5).collect()}
         assert appended == {

@@ -1208,6 +1208,21 @@ def _nsw_walk(
     return _rank_topk(visited, k)
 
 
+# Staged NSW tables are partitioned by a COARSE hash of the block key,
+# NOT the block itself: per-block directories fragment the index into
+# O(blocks x buckets) tiny files, and the per-round edge scan pays the
+# listing every round (measured: the staged walk at 10x blocks went
+# 5.7 -> 21 s under blk-partitioning; SCALE.md r12). 64 coarse
+# partitions bound the file count at any scale while dynamic partition
+# overwrite still replaces only the affected fraction on append.
+_NSW_PBLKS = 64
+
+
+def _nsw_pblk(blk: Column) -> Column:
+    """Coarse partition key of a block value (any orderable type)."""
+    return F.pmod(F.hash(blk), F.lit(_NSW_PBLKS))
+
+
 def _nsw_block_edges(
     emb: DataFrame, graph_k: int, block_col: str, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -1253,24 +1268,27 @@ def stage_nsw_layout(
 ) -> None:
     """Stage the NSW index for REPEATED retrieval — the promise in
     ``nsw_topk``'s scale note, same pay-at-write-time trade as
-    ``stage_asof_layout``. Three tables, each PARTITIONED BY the block
-    key ``blk`` because the block is the index's unit of incrementality
-    (the kNN graph is block-local, so appending vectors can only change
-    the blocks they land in — see ``append_nsw_layout``):
+    ``stage_asof_layout``. Three tables, each carrying the block key
+    ``blk`` as a data column (the block is the index's unit of
+    incrementality: the kNN graph is block-local, so appending vectors
+    can only change the blocks they land in — see
+    ``append_nsw_layout``) and PARTITIONED BY the coarse ``pblk`` =
+    hash(blk) % 64 (see _NSW_PBLKS: bounded file count for the
+    per-round walk scans, partition-pruned appends):
 
-    - ``{table_name}_edges`` (src, dst, blk): the undirected exact-kNN
-      edge relation, partitioned by blk, bucketed + sorted by src
-      within each partition. Building it is the dominant cost of every
-      fresh ``nsw_topk`` (a corpus-wide blocked kNN pass plus a
+    - ``{table_name}_edges`` (src, dst, blk, pblk): the undirected
+      exact-kNN edge relation, bucketed + sorted by src within each
+      partition. Building it is the dominant cost of every fresh
+      ``nsw_topk`` (a corpus-wide blocked kNN pass plus a
       union+distinct shuffle); staged, every later search round just
       scans it. Bucketing by src keeps the book side Exchange-free if
       a giant frontier ever demotes the per-round join from broadcast
       to sort-merge.
-    - ``{table_name}_base`` (id, v, n2, blk): double vectors with
-      squared norms precomputed — the scoring scan side. blk makes the
-      append path's affected-block re-read a partition-pruned scan.
-    - ``{table_name}_entries`` (nid, blk): the deterministic per-block
-      entry points (lowest ``entries_per_block`` ids per block).
+    - ``{table_name}_base`` (id, v, n2, blk, pblk): double vectors with
+      squared norms precomputed — the scoring scan side.
+    - ``{table_name}_entries`` (nid, blk, pblk): the deterministic
+      per-block entry points (lowest ``entries_per_block`` ids per
+      block).
 
     Search with ``nsw_topk_staged``; results are identical to a fresh
     ``nsw_topk`` with the same parameters (same graph, same entries,
@@ -1279,9 +1297,9 @@ def stage_nsw_layout(
     base = with_norm2(emb, vec_col=vec_col, dim=dim)
     edges = _nsw_block_edges(emb, graph_k, block_col, id_col, vec_col)
     (
-        edges.select("src", "dst", "blk")
+        edges.select("src", "dst", "blk", _nsw_pblk(F.col("blk")).alias("pblk"))
         .repartition(num_buckets, F.col("src"))
-        .write.partitionBy("blk")
+        .write.partitionBy("pblk")
         .bucketBy(num_buckets, "src")
         .sortBy("src", "dst")
         .option("path", f"{path}/edges")
@@ -1289,8 +1307,14 @@ def stage_nsw_layout(
         .saveAsTable(f"{table_name}_edges")
     )
     (
-        base.select(id_col, "v", "n2", F.col(block_col).alias("blk"))
-        .write.partitionBy("blk")
+        base.select(
+            id_col,
+            "v",
+            "n2",
+            F.col(block_col).alias("blk"),
+            _nsw_pblk(F.col(block_col)).alias("pblk"),
+        )
+        .write.partitionBy("pblk")
         .option("path", f"{path}/base")
         .mode("overwrite")
         .saveAsTable(f"{table_name}_base")
@@ -1298,8 +1322,8 @@ def stage_nsw_layout(
     blk_ids = emb.select(F.col(block_col).alias("blk"), F.col(id_col))
     (
         _nsw_block_entries(blk_ids, entries_per_block, id_col)
-        .select("nid", "blk")
-        .write.partitionBy("blk")
+        .select("nid", "blk", _nsw_pblk(F.col("blk")).alias("pblk"))
+        .write.partitionBy("pblk")
         .option("path", f"{path}/entries")
         .mode("overwrite")
         .saveAsTable(f"{table_name}_entries")
@@ -1322,14 +1346,20 @@ def append_nsw_layout(
     missing at 100 TB. Exactness argument: ``knn_graph`` is block-local
     (every edge is intra-block, every entry point per-block), so blocks
     that receive no new vectors are bit-identical between "fresh
-    re-stage over old ∪ new" and "leave staged files untouched"; only
+    re-stage over old ∪ new" and "leave staged rows untouched"; only
     the AFFECTED blocks (those ``new_emb`` lands in) need their kNN +
     entries recomputed, over old-block rows re-read from the staged
-    base (a partition-pruned scan) plus the new rows. The recomputed
-    block edges/entries replace exactly their block's files via
-    dynamic partition overwrite; new base rows append. Work is
-    Σ_affected n_b²·d instead of Σ_all — independent of corpus size
+    base (a pblk-pruned scan) plus the new rows — kNN work is
+    Σ_affected n_b²·d instead of Σ_all, independent of corpus size
     when appends touch few blocks.
+
+    Physically: the affected COARSE partitions (pblk = hash(blk) % 64)
+    are rewritten via dynamic partition overwrite with [preserved rows
+    of their other blocks (pinned first — the read side of a partition
+    being overwritten must not be lazy) ∪ the recomputed affected
+    blocks]; untouched pblk partitions' files are never rewritten, so
+    append I/O is bounded by the affected fraction of the index, and
+    new base rows simply append.
 
     Appended edge partitions keep the catalog bucket spec (Spark
     bucket-hashes ``insertInto`` writes) but may hold >1 file per
@@ -1343,36 +1373,66 @@ def append_nsw_layout(
     append are asserted identical to a fresh re-stage in
     tests/test_operators.py."""
     new_base = with_norm2(new_emb, vec_col=vec_col, dim=dim).select(
-        F.col(id_col), F.col("v"), F.col("n2"), F.col(block_col).alias("blk")
+        F.col(id_col),
+        F.col("v"),
+        F.col("n2"),
+        F.col(block_col).alias("blk"),
+        _nsw_pblk(F.col(block_col)).alias("pblk"),
     )
     affected = [r["blk"] for r in new_base.select("blk").distinct().collect()]
+    apblks = sorted({r["pblk"] for r in new_base.select("pblk").distinct().collect()})
+    in_ap = F.col("pblk").isin(apblks)
+    hit = F.col("blk").isin(affected)
     old_rows = (
         spark.table(f"{table_name}_base")
-        .where(F.col("blk").isin(affected))
+        .where(in_ap & hit)
         .select(id_col, "v", "blk")
     )
     # old ∪ new rows of the affected blocks: consumed by the kNN kernel,
     # the edge blk join and the entries window — pin once, serialized
     # (the r11 pin discipline), so the applyInPandas build runs once.
-    rows = old_rows.unionByName(new_base.select(id_col, "v", "blk")).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    rows = old_rows.unionByName(
+        new_base.select(id_col, "v", "blk")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    pblk = _nsw_pblk(F.col("blk")).alias("pblk")
+    edges = _nsw_block_edges(rows, graph_k, "blk", id_col, "v").select(
+        "src", "dst", "blk", pblk
     )
-    edges = _nsw_block_edges(rows, graph_k, "blk", id_col, "v")
-    entries = _nsw_block_entries(rows.select("blk", id_col), entries_per_block, id_col)
+    entries = _nsw_block_entries(
+        rows.select("blk", id_col), entries_per_block, id_col
+    ).select("nid", "blk", pblk)
+    # Preserved rows of the affected pblk partitions (other blocks that
+    # hash-share them): pinned eagerly — they are read from the very
+    # partitions the overwrite below replaces. Bounded by the affected
+    # fraction (|apblks| / 64) of the index.
+    keep_edges = (
+        spark.table(f"{table_name}_edges")
+        .where(in_ap & ~hit)
+        .select("src", "dst", "blk", "pblk")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    keep_entries = (
+        spark.table(f"{table_name}_entries")
+        .where(in_ap & ~hit)
+        .select("nid", "blk", "pblk")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # insertInto is POSITIONAL and partition columns sit last in the
         # table schema — select in table order.
-        edges.select("src", "dst", "blk").write.insertInto(
+        edges.unionByName(keep_edges).write.insertInto(
             f"{table_name}_edges", overwrite=True
         )
-        entries.select("nid", "blk").write.insertInto(
+        entries.unionByName(keep_entries).write.insertInto(
             f"{table_name}_entries", overwrite=True
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    new_base.select(id_col, "v", "n2", "blk").write.insertInto(f"{table_name}_base")
+    new_base.select(id_col, "v", "n2", "blk", "pblk").write.insertInto(
+        f"{table_name}_base"
+    )
 
 
 def nsw_topk_staged(
