@@ -1854,3 +1854,45 @@ def test_substring_dup_pairs_matches_bruteforce(spark, w, max_df):
     else:  # cap admits it: all 28 boilerplate pairs present
         n_boiler = sum(1 for (a, b) in want if 10 <= a <= 17 and 10 <= b <= 17)
         assert n_boiler == 28
+
+
+def test_nsw_append_rerun_idempotent(spark):
+    """Crash-recovery contract of append_nsw_layout (ADVICE r12): the
+    three partition overwrites are each an idempotent function of
+    pinned pre-write reads, with new ids anti-joined out of the old
+    rows — so re-running the SAME append from any partial-failure
+    state converges all three tables. The strongest aliasing case is
+    re-running after FULL success (base already holds the new ids);
+    the row sets must be unchanged and still equal a fresh re-stage."""
+    import tempfile
+    import uuid
+
+    from tstables_spark.operators.similarity import (
+        append_nsw_layout,
+        stage_nsw_layout,
+    )
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    cond = F.col("label").isin(2, 5) & (F.col("vec_id") >= 300)
+    old, new = emb.where(~cond), emb.where(cond)
+    tag = "nswrr_" + uuid.uuid4().hex[:8]
+
+    def rows_of(part):
+        return {
+            tuple(tuple(c) if isinstance(c, list) else c for c in r)
+            for r in spark.table(f"{tag}_{part}").collect()
+        }
+
+    try:
+        stage_nsw_layout(old, tag, tempfile.mkdtemp(prefix="nsw_rr_"))
+        append_nsw_layout(spark, new, tag)
+        once = {p: rows_of(p) for p in ("edges", "base", "entries")}
+        append_nsw_layout(spark, new, tag)  # recovery re-run
+        assert {p: rows_of(p) for p in ("edges", "base", "entries")} == once
+        # base must hold each id exactly once (replacement, never dup)
+        base = spark.table(f"{tag}_base")
+        assert base.count() == base.select("vec_id").distinct().count()
+    finally:
+        for part in ("edges", "base", "entries"):
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")

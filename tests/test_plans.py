@@ -449,3 +449,31 @@ def test_r12_big_graph_paths_identical(spark, sf_dir, monkeypatch):
     assert {
         tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()
     } == tri_small
+
+
+def test_r13_doulion_cut_validation_and_pin_cache(spark, sf_dir, monkeypatch):
+    """Round-13 ADVICE fixes: (a) a malformed DOULION cut fails loudly
+    instead of silently mis-sampling — only 2-char lowercase hex is a
+    sound lexicographic md5-prefix cut; (b) the big-path streamed
+    scratch pins are staged ONCE per (app, sf_dir, cut) and reused on
+    repeat invocations (the _PR_EDGES_STAGED discipline) — repeated
+    bench runs at 100x must not re-write edge-sized tables per run."""
+    import pytest as _pytest
+
+    import tstables_spark.plans.analytics as A
+
+    for bad in ("C0", "4", "c", "0x", "zz", "00", "c0 "):
+        with _pytest.raises(ValueError):
+            A.graph_triangles_approx(spark, sf_dir, cut=bad)
+
+    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    first = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
+    staged_after_first = {
+        k: v for k, v in A._EDGE_PIN_STAGED.items() if k[2] == (sf_dir, "c0")
+    }
+    assert len(staged_after_first) == 2  # doulion_se + census_oe
+    second = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
+    assert second == first
+    assert {
+        k: v for k, v in A._EDGE_PIN_STAGED.items() if k[2] == (sf_dir, "c0")
+    } == staged_after_first  # reused, not re-staged

@@ -1354,12 +1354,23 @@ def append_nsw_layout(
     when appends touch few blocks.
 
     Physically: the affected COARSE partitions (pblk = hash(blk) % 64)
-    are rewritten via dynamic partition overwrite with [preserved rows
-    of their other blocks (pinned first — the read side of a partition
-    being overwritten must not be lazy) ∪ the recomputed affected
-    blocks]; untouched pblk partitions' files are never rewritten, so
-    append I/O is bounded by the affected fraction of the index, and
-    new base rows simply append.
+    of ALL THREE tables are rewritten via dynamic partition overwrite
+    with [preserved rows of their other blocks (pinned first — the read
+    side of a partition being overwritten must not be lazy) ∪ the
+    recomputed affected blocks]; untouched pblk partitions' files are
+    never rewritten, so append I/O is bounded by the affected fraction
+    of the index.
+
+    Crash recovery (ADVICE r12): the three writes are not one atomic
+    commit, but each is an IDEMPOTENT overwrite derived purely from
+    eagerly-pinned pre-write reads — old base rows are taken with the
+    new ids ANTI-JOINED OUT, so they are the genuinely-old rows even if
+    a previous partially-failed append already landed the base
+    partitions. A failure between writes therefore leaves tables
+    mutually inconsistent only until the SAME append is re-run: re-run
+    converges all three tables to the exact post-append state (asserted
+    in tests). Ids colliding with existing base rows are treated as
+    replacements for the same reason.
 
     Appended edge partitions keep the catalog bucket spec (Spark
     bucket-hashes ``insertInto`` writes) but may hold >1 file per
@@ -1383,15 +1394,24 @@ def append_nsw_layout(
     apblks = sorted({r["pblk"] for r in new_base.select("pblk").distinct().collect()})
     in_ap = F.col("pblk").isin(apblks)
     hit = F.col("blk").isin(affected)
-    old_rows = (
+    # Genuinely-old rows of the affected blocks: the new ids are
+    # anti-joined out so a re-run after a partial failure (base
+    # partitions already overwritten) reads the same old set — the
+    # idempotence hinge of the crash-recovery contract above. Pinned
+    # eagerly WITH (v, n2): it feeds both the kNN input and the base
+    # partition rewrite, and the latter reads the very partitions it
+    # overwrites.
+    old_full = (
         spark.table(f"{table_name}_base")
         .where(in_ap & hit)
-        .select(id_col, "v", "blk")
+        .join(F.broadcast(new_base.select(id_col).distinct()), id_col, "left_anti")
+        .select(id_col, "v", "n2", "blk", "pblk")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     # old ∪ new rows of the affected blocks: consumed by the kNN kernel,
     # the edge blk join and the entries window — pin once, serialized
     # (the r11 pin discipline), so the applyInPandas build runs once.
-    rows = old_rows.unionByName(
+    rows = old_full.select(id_col, "v", "blk").unionByName(
         new_base.select(id_col, "v", "blk")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     pblk = _nsw_pblk(F.col("blk")).alias("pblk")
@@ -1417,22 +1437,31 @@ def append_nsw_layout(
         .select("nid", "blk", "pblk")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    keep_base = (
+        spark.table(f"{table_name}_base")
+        .where(in_ap & ~hit)
+        .select(id_col, "v", "n2", "blk", "pblk")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # insertInto is POSITIONAL and partition columns sit last in the
-        # table schema — select in table order.
+        # table schema — select in table order. All three writes are
+        # idempotent overwrites of the affected partitions (see the
+        # crash-recovery note above); every read they depend on is
+        # pinned eagerly before the first write.
         edges.unionByName(keep_edges).write.insertInto(
             f"{table_name}_edges", overwrite=True
         )
         entries.unionByName(keep_entries).write.insertInto(
             f"{table_name}_entries", overwrite=True
         )
+        keep_base.unionByName(old_full).unionByName(
+            new_base.select(id_col, "v", "n2", "blk", "pblk")
+        ).write.insertInto(f"{table_name}_base", overwrite=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    new_base.select(id_col, "v", "n2", "blk", "pblk").write.insertInto(
-        f"{table_name}_base"
-    )
 
 
 def nsw_topk_staged(

