@@ -162,10 +162,17 @@ def soak_qsketch(spark, ev_src):
     return _drive(spark, _qsketch_cells(cents), "complete")
 
 
-def soak_ohlc(spark, ev_src):
+def soak_ohlc(spark, ev_ordered_src):
+    """APPEND mode over the time-ordered slices (r13, matching the
+    registered query's bounded production shape): the watermark chases
+    the per-batch max event time, closed bars are emitted once and
+    their state dropped, so the state curve must SATURATE at
+    #(1-min windows inside the 10-min watermark horizon + in-flight
+    batch span) instead of growing with stream length (the r12
+    complete-mode curve: 5k -> 38k rows over 100 batches)."""
     from tstables_spark._exact import exact_sum
 
-    src = _stream(spark, ev_src)
+    src = _stream(spark, ev_ordered_src)
     key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
         src.withWatermark("ts", "10 minutes")
@@ -179,7 +186,7 @@ def soak_ohlc(spark, ev_src):
             exact_sum("value").alias("sum_value"),
         )
     )
-    return _drive(spark, agg, "complete")
+    return _drive(spark, agg, "append")
 
 
 def soak_pattern(spark, ev_ordered_src):
@@ -245,7 +252,7 @@ def main() -> None:
         "stream_cms": (soak_cms, docs_src),
         "stream_bloom": (soak_bloom, docs_src),
         "stream_qsketch": (soak_qsketch, ev_src),
-        "stream_ohlc": (soak_ohlc, ev_src),
+        "stream_ohlc": (soak_ohlc, ev_ordered),
         "stream_kll_gate": (soak_kll, ev_src),
         "stream_pattern": (soak_pattern, ev_ordered),
     }

@@ -1896,3 +1896,92 @@ def test_nsw_append_rerun_idempotent(spark):
     finally:
         for part in ("edges", "base", "entries"):
             spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")
+
+
+def test_image_ahash_real_bmp_ppm(spark):
+    """The image half of the real-decoder gate is OPEN in-container
+    (r13, the r12 WAV move replayed for images): deterministic 24-bpp
+    BMPs (bottom-up, 4-byte row padding exercised by a width whose
+    3-byte rows are unaligned) and binary P6/P5 netpbm payloads decode
+    through stdlib byte parsing end-to-end in Spark, the aHash over the
+    decoded integer-luma matrix equals an independently-computed
+    expectation, and the SAME logical image carried as BMP and as PPM
+    yields the SAME hash (decode normalizes across container formats).
+    Also pins _decode_real's img feature string."""
+    import numpy as np
+
+    from tstables_spark.operators.multimodal import (
+        decode_features,
+        image_ahash,
+    )
+
+    w, h = 10, 6  # stride 30 -> padded to 32
+    rng = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    rgb = (rng * 7 + 13) % 251  # deterministic non-trivial pixels
+
+    def bmp_of(rgb_arr):
+        hh, ww, _ = rgb_arr.shape
+        stride = (ww * 3 + 3) & ~3
+        raster = np.zeros((hh, stride), dtype=np.uint8)
+        bgr = rgb_arr[:, :, ::-1]  # BMP stores BGR
+        raster[:, : ww * 3] = bgr.reshape(hh, ww * 3)
+        raster = raster[::-1]  # bottom-up storage
+        px = raster.tobytes()
+        header = (
+            b"BM"
+            + (54 + len(px)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + ww.to_bytes(4, "little", signed=True)
+            + hh.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(px).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return header + px
+
+    def ppm_of(rgb_arr):
+        hh, ww, _ = rgb_arr.shape
+        return f"P6\n# test\n{ww} {hh}\n255\n".encode() + rgb_arr.tobytes()
+
+    gray = (
+        299 * rgb[:, :, 0].astype(np.int64)
+        + 587 * rgb[:, :, 1].astype(np.int64)
+        + 114 * rgb[:, :, 2].astype(np.int64)
+    ) // 1000
+    pgm = f"P5\n{w} {h}\n255\n".encode() + gray.astype(np.uint8).tobytes()
+
+    packed = spark.createDataFrame(
+        [
+            (1, (bmp_of(rgb), "image/bmp", {})),
+            (2, (ppm_of(rgb), "image/x-portable-pixmap", {})),
+            (3, (pgm, "image/x-portable-graymap", {})),
+        ],
+        "doc_id long, blob struct<data: binary, mime: string, meta: map<string,string>>",
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in image_ahash(packed, side=4, use_real=True).collect()
+    }
+    # independent expectation: integer-grid cells, cross-multiplied means
+    ts, tp = int(gray.sum()), w * h
+    want = "".join(
+        "1"
+        if int(gray[i * h // 4 : (i + 1) * h // 4, j * w // 4 : (j + 1) * w // 4].sum())
+        * tp
+        > ts
+        * gray[i * h // 4 : (i + 1) * h // 4, j * w // 4 : (j + 1) * w // 4].size
+        else "0"
+        for i in range(4)
+        for j in range(4)
+    )
+    assert got[1] == want
+    assert got[2] == got[1]  # BMP == PPM of the same image
+    assert got[3] == got[1]  # PGM of the precomputed luma too
+
+    feats = {r["doc_id"]: r["feat"] for r in decode_features(packed, use_real=True).collect()}
+    assert feats[1] == f"img:{w}:{h}:{ts}"
+    assert feats[1] == feats[2] == feats[3]

@@ -466,14 +466,39 @@ def test_r13_doulion_cut_validation_and_pin_cache(spark, sf_dir, monkeypatch):
         with _pytest.raises(ValueError):
             A.graph_triangles_approx(spark, sf_dir, cut=bad)
 
+    from tstables_spark.plans._staging import _STREAM_PINNED
+
     monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
     first = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
     staged_after_first = {
-        k: v for k, v in A._EDGE_PIN_STAGED.items() if k[2] == (sf_dir, "c0")
+        k: v for k, v in _STREAM_PINNED.items() if k[2] == (sf_dir, "c0")
     }
     assert len(staged_after_first) == 2  # doulion_se + census_oe
     second = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
     assert second == first
     assert {
-        k: v for k, v in A._EDGE_PIN_STAGED.items() if k[2] == (sf_dir, "c0")
+        k: v for k, v in _STREAM_PINNED.items() if k[2] == (sf_dir, "c0")
     } == staged_after_first  # reused, not re-staged
+
+
+def test_r13_minhash_big_path_identical(spark, sf_dir, monkeypatch):
+    """The minhash big-corpus strategy (streamed scratch-table pins for
+    the fingerprint and signature relations, forced by dropping the
+    row-bound knob to 1) must compute EXACTLY the checkpoint-pinned
+    answer, and repeat invocations must reuse the staged tables instead
+    of re-writing corpus-sized files per run (the 100x bench
+    repetition guarantee)."""
+    import tstables_spark.operators.dedup as D
+    from tstables_spark.plans._staging import _STREAM_PINNED
+
+    small = {tuple(r) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()}
+    monkeypatch.setattr(D, "_MINHASH_PIN_ROWS_MAX", 1)
+    big1 = {tuple(r) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()}
+    assert big1 == small
+    staged = {k: v for k, v in _STREAM_PINNED.items() if k[1].startswith("mh_")}
+    assert len(staged) == 2  # mh_sh + mh_sig
+    big2 = {tuple(r) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()}
+    assert big2 == small
+    assert {
+        k: v for k, v in _STREAM_PINNED.items() if k[1].startswith("mh_")
+    } == staged  # reused, not re-staged

@@ -266,17 +266,59 @@ def _pair_overlap(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
     )
 
 
+# Above this estimated shingle-row count the two multiply-consumed
+# minhash relations (fingerprints, signatures) are STREAMED into scratch
+# parquet tables instead of localCheckpoint-pinned: the checkpoint holds
+# one serialized per-task block in heap simultaneously, and the 100x docs
+# fixture (500k docs, ~26M fingerprint rows) rides that against the 8g
+# heap envelope — every conf that completes at all clusters at 63-76 s on
+# GC luck (SCALE.md r12 bisection). Streamed writes are constant-memory;
+# consumers re-scan files. The bound is estimated WITHOUT shingling
+# anything: Σ max(words - n + 1, 0) over docs is an upper bound on
+# distinct shingle rows and is one cheap codegen'd scan aggregate.
+_MINHASH_PIN_ROWS_MAX = 8_000_000
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with exact
-    Jaccard. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    Jaccard. Returns (doc_a, doc_b, jaccard >= threshold).
+
+    ``cache_key``: optional identity of ``docs`` (e.g. the sf_dir) —
+    lets the big-corpus path reuse its streamed scratch tables across
+    invocations (the _PR_EDGES_STAGED discipline; see _MINHASH_PIN_ROWS_MAX)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # Physical-strategy knob BEFORE any data-sized materialization (the
+    # graph_pagerank two-knob spirit): one codegen'd aggregate over the
+    # token counts upper-bounds the fingerprint relation's rows and
+    # picks checkpoint-pin (fast, memory-first — every fixture scale)
+    # vs streamed scratch tables (constant-memory — the 100x envelope).
+    sh_rows_est = docs.agg(
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.lower(F.col("text")), " ")) - n + 1, F.lit(0)
+            )
+        ).alias("s")
+    ).collect()[0]["s"]  # 1-row contract-bounded collect
+    big = (sh_rows_est or 0) > _MINHASH_PIN_ROWS_MAX
+
+    def _pin(df: DataFrame, prefix: str, key_extra: tuple) -> DataFrame:
+        if not big:
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        from tstables_spark.plans._staging import stream_pin
+
+        ck = None if cache_key is None else cache_key + key_extra
+        return stream_pin(df, prefix, cache_key=ck)
+
     # Materialize the shingle set ONCE — as 60-bit portable fingerprints,
     # not strings. Three branches read it (the signature aggregate and
     # the two sides of the verify join), and each would otherwise
@@ -301,13 +343,18 @@ def minhash_lsh_pairs(
     # fingerprint rows) on the 8g single-JVM harness: the deserialized
     # default GC-thrashes to death, the serialized pin completes
     # (SCALE.md r11); on a cluster the same sizing rule decides
-    # whether an executor's slice fits its storage fraction.
+    # whether an executor's slice fits its storage fraction. Above
+    # _MINHASH_PIN_ROWS_MAX even the serialized pin rides the heap
+    # envelope (the r12 63-76 s GC-luck cluster) — _pin streams it
+    # into a scratch table instead.
     from pyspark import StorageLevel
 
-    sh = (
-        shingles(docs, n, with_size=True)
-        .select("doc_id", "n_sh", portable_hash60("shingle").alias("h"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    sh = _pin(
+        shingles(docs, n, with_size=True).select(
+            "doc_id", "n_sh", portable_hash60("shingle").alias("h")
+        ),
+        "mh_sh",
+        (n,),
     )
     # k hash functions from ONE portable base hash + k affine maps (see
     # portable_hash60): k codegen'd integer ops on the checkpointed
@@ -339,9 +386,13 @@ def minhash_lsh_pairs(
     # (SCALE.md r11). The accurate post-pin stats also let the planner
     # judge the self-join and verify joins from real sizes instead of
     # guessing under the duplicated-subtree estimate.
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    sig = _pin(
+        hashed.groupBy("doc_id").agg(
+            *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+        ),
+        "mh_sig",
+        (n, num_hashes),
+    )
     # Band key = the band's minhash tuple rendered as a string — an
     # engine-neutral join key (the previous xxhash64-of-band-columns key
     # was Spark-private). Slightly wider shuffle rows (one short string

@@ -66,17 +66,104 @@ def _decode_wav(data: bytes):
     return params, samples
 
 
+def _decode_bmp(data: bytes):
+    """stdlib BMP decode (no pip dependency): uncompressed 24-bpp
+    Windows BMP (BITMAPINFOHEADER, BI_RGB) -> (width, height, gray)
+    where ``gray`` is an int64 numpy array of shape (height, width) in
+    TOP-DOWN row order. Grayscale is the exact integer ITU-R 601 luma
+    (299 R + 587 G + 114 B) // 1000 — no float enters, so every
+    downstream feature is bit-reproducible. Rows are 4-byte padded per
+    the format; positive biHeight means bottom-up storage (flipped
+    here), negative means top-down."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    px_off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp BMP is decoded in-container "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=h * stride, offset=px_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.int64)
+    gray = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+    return w, h, gray
+
+
+def _decode_ppm(data: bytes):
+    """stdlib PPM/PGM decode (no pip dependency): binary P6 (RGB) and
+    P5 (grayscale), maxval <= 255 -> (width, height, gray), same exact
+    integer luma as _decode_bmp for P6. Header tokens may be separated
+    by any whitespace and ``#`` comments per the netpbm spec."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload (P5/P6)")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not decoded in-container")
+    if data[:2] == b"P5":
+        gray = (
+            np.frombuffer(data, dtype=np.uint8, count=w * h, offset=i)
+            .reshape(h, w)
+            .astype(np.int64)
+        )
+    else:
+        rgb = (
+            np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+            .reshape(h, w, 3)
+            .astype(np.int64)
+        )
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    return w, h, gray
+
+
+_IMAGE_DECODERS = {
+    "image/bmp": _decode_bmp,
+    "image/x-ms-bmp": _decode_bmp,
+    "image/x-portable-pixmap": _decode_ppm,
+    "image/x-portable-graymap": _decode_ppm,
+}
+
+
 def _decode_real(data: bytes, mime: str) -> str:
-    """Real-decoder dispatch. audio/wav is decoded IN-CONTAINER via the
-    stdlib ``wave`` module (r12 — the gate is genuinely open for one
-    real format); image/video formats still need PIL/av, absent here."""
+    """Real-decoder dispatch. audio/wav (r12, stdlib ``wave``) and
+    BMP/PPM/PGM images (r13, stdlib byte parsing) are decoded
+    IN-CONTAINER — the gate is genuinely open for one real format per
+    modality; compressed image formats and video still need PIL/av,
+    absent here."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         p, samples = _decode_wav(data)
         return f"pcm:{p.framerate}:{p.nchannels}:{p.sampwidth * 8}:{p.nframes}"
+    if mime in _IMAGE_DECODERS:
+        w, h, gray = _IMAGE_DECODERS[mime](data)
+        return f"img:{w}:{h}:{int(gray.sum())}"
     raise NotImplementedError(
-        "real decoders for non-WAV media (PIL/librosa/av) are not installed "
-        "in this environment; plug them in here — the mapInPandas plumbing "
-        "is decoder-agnostic"
+        "real decoders for compressed image formats and video (PIL/av) are "
+        "not installed in this environment; plug them in here — the "
+        "mapInPandas plumbing is decoder-agnostic"
     )
 
 
@@ -246,18 +333,48 @@ def audio_frame_energy(
 AHASH_SCHEMA = "doc_id long, phash string"
 
 
-def image_ahash(packed: DataFrame, side: int = 8, cell: int = 2) -> DataFrame:
+def _ahash_bits(gray: "np.ndarray", side: int) -> str:
+    """aHash thresholding over an int64 grayscale matrix with EXACT
+    integer arithmetic: the image is split into a side x side grid on
+    integer boundaries (i*h//side .. (i+1)*h//side — cells may hold
+    unequal pixel counts on non-divisible dims), and bit = 1 iff the
+    cell MEAN exceeds the global mean, compared by cross-multiplication
+    (cell_sum * total_pixels > total_sum * cell_pixels) so no float
+    division enters and the hash is bit-reproducible anywhere."""
+    h, w = gray.shape
+    total_sum = int(gray.sum())
+    total_px = h * w
+    bits = []
+    for i in range(side):
+        r0, r1 = i * h // side, (i + 1) * h // side
+        for j in range(side):
+            c0, c1 = j * w // side, (j + 1) * w // side
+            cell = gray[r0:r1, c0:c1]
+            bits.append(
+                "1"
+                if int(cell.sum()) * total_px > total_sum * cell.size
+                else "0"
+            )
+    return "".join(bits)
+
+
+def image_ahash(
+    packed: DataFrame, side: int = 8, cell: int = 2, use_real: bool = False
+) -> DataFrame:
     """Perceptual average-hash (aHash) over the multimodal struct —
     the image near-dup fingerprint (resize to a tiny grid, threshold
-    each cell against the mean). Real path: PIL decode + grayscale +
-    resize feeds the same thresholding; the deterministic stand-in
-    treats the first ``(side*cell)^2`` payload bytes (zero-padded) as a
-    square grayscale image. All-integer: cell value = SUM of its
-    ``cell x cell`` bytes, bit = 1 iff ``cell_sum * n_cells >
-    total_sum`` — no float mean, so the hash is bit-identical to the
-    byte-level SQL oracle. Emitted as a ``side*side``-char bit string
-    (a production deployment packs it into 8 bytes; the string keeps
-    the differential hash-check trivially cross-engine).
+    each cell against the mean). ``use_real=True`` (r13) opens the
+    real-decoder gate for BMP/PPM/PGM payloads via stdlib byte parsing
+    (_decode_bmp/_decode_ppm — no pip dependency): decode to an exact
+    integer-luma grayscale matrix, then the SAME integer thresholding
+    (_ahash_bits, cross-multiplied means — no float). The
+    deterministic stand-in treats the first ``(side*cell)^2`` payload
+    bytes (zero-padded) as a square grayscale image. All-integer either
+    way: the stand-in's cell value = SUM of its ``cell x cell`` bytes,
+    bit = 1 iff ``cell_sum * n_cells > total_sum`` — bit-identical to
+    the byte-level SQL oracle. Emitted as a ``side*side``-char bit
+    string (a production deployment packs it into 8 bytes; the string
+    keeps the differential hash-check trivially cross-engine).
 
     One Arrow-batched mapInPandas pass, 1 row -> 1 row, numpy block-sum
     per payload; payload bytes never leave the executor."""
@@ -268,6 +385,11 @@ def image_ahash(packed: DataFrame, side: int = 8, cell: int = 2) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if use_real:
+                    _, _, gray = _IMAGE_DECODERS[blob["mime"]](bytes(blob["data"]))
+                    hashes.append(_ahash_bits(gray, side))
+                    ids.append(doc_id)
+                    continue
                 data = bytes(blob["data"])[:n]
                 arr = np.zeros(n, dtype=np.int64)
                 if data:

@@ -1467,58 +1467,22 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Streamed _edge_pin scratch tables reused across invocations, keyed by
-# (applicationId, caller-supplied identity). Same motivation as
-# _PR_EDGES_STAGED: a pinned relation that is a pure function of the
-# input should be staged ONCE per app — best-of-N bench repetition at
-# 100x otherwise re-writes edge-sized tables every run and exhausts the
-# sweep box's disk (the staging root's rmtree only fires at interpreter
-# exit, and executor GC never reclaims live external tables).
-_EDGE_PIN_STAGED: dict = {}
-
-
 def _edge_pin(
     e: DataFrame, big: bool, prefix: str, cache_key: tuple | None = None
 ) -> DataFrame:
     """Materialize a multiply-consumed edge relation. Broadcast-scale
     graphs pin with a serialized localCheckpoint (fast, memory-first);
     big graphs (the graph_pagerank node-count knob) STREAM into a
-    scratch parquet table instead: materializing a corpus-sized
-    checkpoint builds 32 concurrent per-task serialized blocks out of
-    64 MB G1-humongous chunks — the 8g GCLocker OOM SCALE.md r12
-    measured — while a file write streams at constant memory and the
-    consumers re-scan files.
-
-    ``cache_key`` (only meaningful with ``big``): a tuple identifying
-    the relation as a pure function of its inputs (sf_dir + knobs) —
-    when given, the streamed scratch table is staged once per
-    (applicationId, cache_key) and reused on repeat invocations, the
-    _PR_EDGES_STAGED discipline."""
+    scratch parquet table instead — see _staging.stream_pin, which also
+    carries the per-(app, cache_key) reuse (the _PR_EDGES_STAGED
+    discipline; ADVICE r12)."""
     if not big:
         return e.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
-    import uuid
+    from tstables_spark.plans._staging import stream_pin
 
-    from tstables_spark.plans._staging import register_staged_table, scratch_dir
-
-    spark = e.sparkSession
-    full_key = None
-    if cache_key is not None:
-        full_key = (spark.sparkContext.applicationId, prefix, cache_key)
-        tag = _EDGE_PIN_STAGED.get(full_key)
-        if tag is not None:
-            return spark.table(tag)
-    tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    (
-        e.write.option("path", scratch_dir(spark, prefix + "_") + "/e")
-        .mode("overwrite")
-        .saveAsTable(tag)
-    )
-    register_staged_table(spark, tag)
-    if full_key is not None:
-        _EDGE_PIN_STAGED[full_key] = tag
-    return spark.table(tag)
+    return stream_pin(e, prefix, cache_key=cache_key)
 
 
 def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = None):

@@ -216,7 +216,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced verbatim by the DuckDB oracle, so the exact candidate set
     AND the verified Jaccard values are value-compared, not rows-only."""
     return minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.6
+        load(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.6,
+        cache_key=(sf_dir, "documents"),
     )
 
 

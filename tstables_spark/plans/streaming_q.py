@@ -471,21 +471,33 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
       FROM events
     )
-    SELECT bucket, max(open_v) AS open, max(value) AS high, min(value) AS low,
-           max(close_v) AS close, CAST(count(*) AS BIGINT) AS volume,
-           {sql_sum('value')} AS sum_value
-    FROM w GROUP BY bucket
+    SELECT * FROM (
+      SELECT bucket, max(open_v) AS open, max(value) AS high,
+             min(value) AS low, max(close_v) AS close,
+             CAST(count(*) AS BIGINT) AS volume,
+             {sql_sum('value')} AS sum_value
+      FROM w GROUP BY bucket
+    ) WHERE bucket + INTERVAL 1 MINUTE
+            <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
 )
 def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained 1-minute OHLC bars: the ts_resample_ohlc
-    aggregate run as a REAL streaming aggregation (watermark 10m,
-    complete mode) — min_by/max_by/count/decimal-sum all carry partial
-    merge state, so each bar updates incrementally per micro-batch
-    instead of recomputing. Hash-matching the batch oracle proves the
-    incremental maintenance converges to the exact batch answer — the
-    'derived view stays correct under streaming ingest' contract a
-    tick store needs."""
+    aggregate run as a REAL streaming aggregation — watermark 10m,
+    APPEND mode, the bounded-state PRODUCTION shape (r13; the
+    stream_append_windows pattern): each bar is emitted exactly once
+    when the watermark passes its window end and its
+    min_by/max_by/count/decimal-sum state is DROPPED, so state is
+    bounded by #(windows inside the watermark horizon), not by stream
+    length. (The r12 complete-mode registration re-emitted the whole
+    result per trigger and the soak measured state ∝ #windows — 38k
+    rows and growing over 100 batches; complete-mode batch equivalence
+    stays demonstrated by stream_tumbling.) The cost of append
+    semantics is that bars still open at end-of-stream are withheld:
+    the oracle encodes exactly that contract — every bar whose window
+    end the final watermark (max event time - 10 min) passed, and no
+    later bar. The hash match pins the incremental OHLC maintenance,
+    the emit-once rule, and the tail-withholding boundary."""
     from tstables_spark._exact import exact_sum
 
     src = _read_stream(spark, sf_dir)
@@ -502,7 +514,7 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "append")
     return out.select(
         F.col("window.start").alias("bucket"),
         "open", "high", "low", "close",
