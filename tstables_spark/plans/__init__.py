@@ -30,114 +30,73 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-12 verification window (first 50 = the harness's correctness
-    # window). Priority per the STANDING ROTATION POLICY (below):
+    # ROUND-13 verification window (first 50 = the harness's
+    # correctness window). Priority per the STANDING ROTATION POLICY
+    # (below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) NEW queries, never driver-checked: graph_triangles_approx
-    #     (DOULION edge-sampled estimator, deterministic md5 coin →
-    #     fully hash-checkable) and graph_triangles_gate (exact census
-    #     + estimate + within_tol boolean — the sim_recall gate
-    #     pattern for the sampled census);
-    # (c) re-check slots for r12 behavioral changes, per module:
-    #     - analytics.py: graph_pagerank rewritten (per-iteration state
-    #       O(nodes) — deg pinned once, ranks broadcast into the edge
-    #       scan; the 100x-8g-OOM fix), graph_triangles refactored onto
-    #       the shared _oriented_census the estimator reuses;
-    #     - similarity.py: ivfpq_topk pq_k clamped to the corpus size
-    #       (ADVICE r11) → sim_ivfpq (rows-only) + sim_recall (the
-    #       hash gate that grades it); stage_nsw_layout rebuilt as
-    #       block-partitioned tables with an incremental
-    #       append_nsw_layout path → sim_nsw_staged (rows-only, also
-    #       graded by sim_recall);
-    #     - operators/components.py: both connected-components pins
-    #       switched to serialized MEMORY_AND_DISK (output-neutral pin
-    #       discipline) → consumers dedup_clusters, dedup_cluster_sizes,
-    #       dedup_embed_clusters;
-    #     - multimodal.py: _decode_real now really decodes WAV PCM →
-    #       multimodal_audio_energy;
-    #     - operators/asof.py: stage_asof_layout's writer factored out
-    #       and shared with the new append_asof_layout (output-neutral)
-    #       → the three consumers of that layout, join_asof_presorted,
-    #       join_asof_forward_presorted, join_asof_nearest_presorted
-    #       (join_asof_multi_presorted stages through the untouched
-    #       stage_asof_multi_layout — verified, no slot).
-    # (d) oldest-evidence backfill — the r11 verdict's #1 item, the
-    #     28-query r12 queue, all of it inside this window: the r4-era
-    #     tail (ts_densify, ts_interpolate, win_running_total,
-    #     ts_resample_ohlc, ts_fill_forward, win_lag_lead, win_rolling,
-    #     win_range_frame, win_rank, ts_vwap, ts_outlier_iqr,
-    #     agg_histogram, zorder_layout, dedup_near_maxdf, decontaminate,
-    #     pii_redact, quality_filter, repetition_score, text_normalize,
-    #     embed_normalize, embed_quantize, udtf_apply_in_pandas,
-    #     dedup_clusters [slotted above in (c)], join_range,
-    #     join_range_banded, sql_tpch_q3, sql_tpch_q5, stream_session),
-    #     then the head of the r5 cohort to the 50 cut (agg_corr,
-    #     bpe_pair_counts, dedup_incremental, dedup_keep_latest,
-    #     dedup_simhash, dq_check, embed_dim_stats).
-    #
-    # STANDING ROTATION POLICY (r10+): window = pinned pair + any
-    # never-checked new queries + re-check slots for every query whose
-    # implementing module OR consumed helper changed since its last
-    # green row (check `git log -- <module>` against round markers —
-    # including helper modules like _staging/_staged_interchange, the
-    # r10 blind spot), then backfill with oldest-evidence queries.
-    # After this window the oldest remaining evidence is the r5 tail
-    # (funnel_steps, lm_unigram_score, mix_weights, profile_table,
-    # retention_cohorts, sample_stratified, split_temporal,
-    # sql_tpch_q10, sql_tpch_q7, ts_downsample_m4, ts_gaps,
-    # ts_interval_merge, ts_sessionize, win_corr, win_drawdown,
-    # win_rolling_median) — the r13 backfill queue head (16 queries;
-    # every r1-r4 cohort is then re-evidenced r10-r12). The 7
-    # permanently rows-only-by-design queries are sim_ivf,
-    # sim_ivf_centroid, sim_ivf_kmeans, sim_nsw, sim_nsw_staged,
-    # sim_ivfpq, ts_downsample_lttb — each indirectly gated by a
-    # hash-checked contract query (sim_recall / ts_lttb_gate).
-    # Everything displaced from this window is hash-green in a prior
-    # round with an unchanged implementation and covered by repo-local
-    # parity tests (tests/test_parity.py runs the full 265-oracle
-    # differential every suite run).
-    #
-    # LATE-r12 CHANGES, after this window was drawn (none displace a
-    # slot): (a) graph_pagerank / graph_triangles / the DOULION pair
-    # gained the two-knob big-graph strategy (streamed edge staging +
-    # strategy stats) — all four already hold slots above, which is
-    # exactly what the slots are for; a forced-knob plan test
-    # additionally asserts big == small results. (b) registry.wrapped
-    # now forwards **kwargs (signature-only, output-neutral for the
-    # driver's bare (spark, sf_dir) calls); the full parity suite and
-    # a 50/50 window rehearsal ran green AFTER the change. (c)
-    # session.py gained G1/AQE confs — the driver runs queries under
-    # ITS OWN vanilla session, so the correctness surface is
-    # untouched; the bench re-measured in-band under them.
+    # (b) new queries: none registered this round;
+    # (c) re-check slots for r13 behavioral changes, per module:
+    #     - analytics.py: _edge_pin gained per-(app, key) streamed
+    #       scratch caching (now via _staging.stream_pin) and
+    #       _oriented_census threads the cache key -> graph_pagerank
+    #       (deg-pin storage level honors big_nodes in the small-edge
+    #       branch too), graph_triangles, graph_triangles_approx (cut
+    #       validation + cached pins), graph_triangles_gate;
+    #     - operators/dedup.py: minhash_lsh_pairs gained the
+    #       two-path pin strategy (streamed scratch tables above an
+    #       estimated row bound, the 100x envelope fix) ->
+    #       dedup_minhash;
+    #     - operators/similarity.py: append_nsw_layout reworked into
+    #       three idempotent partition overwrites (crash recovery) ->
+    #       sim_nsw_staged (rows-only) + sim_recall (its hash gate);
+    #     - streaming_q.py: stream_ohlc re-registered as
+    #       watermark+append with the tail-withholding oracle (the
+    #       bounded production shape; r12 verdict #5) -> stream_ohlc;
+    #     - operators/multimodal.py: _decode_real opens the image
+    #       half (stdlib BMP/PPM/PGM), image_ahash gained use_real ->
+    #       consumers multimodal_schema (decode_features),
+    #       multimodal_phash, dedup_phash_band (image_ahash; default
+    #       paths output-neutral, slots per policy).
+    # (d) the legacy rows-only ANN trio (r12 verdict #2): sim_ivf (r2),
+    #     sim_ivf_centroid (r2), sim_ivf_kmeans (r4) — the last pre-r5
+    #     ledger entries, graded by the sim_recall gate slotted in (c);
+    # (e) oldest-evidence backfill (r12 verdict #1): win_ewma (r4, the
+    #     single oldest oracle-backed entry), then the ENTIRE r5 cohort
+    #     (17 queries incl. the rows-only ts_downsample_lttb, gated by
+    #     ts_lttb_gate), then the r6 cohort head to the 50 cut.
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) new this round: the sampled triangle census + gate
-            "graph_triangles_approx", "graph_triangles_gate",
-            # (c) r12 behavioral-change re-checks (see policy note)
+            # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
-            "sim_ivfpq", "sim_recall", "sim_nsw_staged",
-            "dedup_clusters", "dedup_cluster_sizes",
-            "dedup_embed_clusters",
-            "multimodal_audio_energy",
-            "join_asof_presorted", "join_asof_forward_presorted",
-            "join_asof_nearest_presorted",
-            # (d) the 28-query r12 backfill queue (dedup_clusters
-            # already slotted in (c)), oldest evidence first
-            "ts_densify", "ts_interpolate", "win_running_total",
-            "ts_resample_ohlc", "ts_fill_forward", "win_lag_lead",
-            "win_rolling", "win_range_frame", "win_rank", "ts_vwap",
-            "ts_outlier_iqr", "agg_histogram", "zorder_layout",
-            "dedup_near_maxdf", "decontaminate", "pii_redact",
-            "quality_filter", "repetition_score", "text_normalize",
-            "embed_normalize", "embed_quantize", "udtf_apply_in_pandas",
-            "join_range", "join_range_banded", "sql_tpch_q3",
-            "sql_tpch_q5", "stream_session",
-            # (d) r5-cohort head, to the 50 cut
-            "agg_corr", "bpe_pair_counts", "dedup_incremental",
-            "dedup_keep_latest", "dedup_simhash", "dq_check",
-            "embed_dim_stats",
+            "graph_triangles_approx", "graph_triangles_gate",
+            "dedup_minhash",
+            "sim_nsw_staged", "sim_recall",
+            "stream_ohlc",
+            "multimodal_schema", "multimodal_phash", "dedup_phash_band",
+            # (d) the legacy rows-only ANN trio (last pre-r5 entries)
+            "sim_ivf", "sim_ivf_centroid", "sim_ivf_kmeans",
+            # (e) oldest-evidence backfill: win_ewma (r4), then the
+            # full r5 cohort
+            "win_ewma",
+            "funnel_steps", "lm_unigram_score", "mix_weights",
+            "profile_table", "retention_cohorts", "sample_stratified",
+            "split_temporal", "sql_tpch_q10", "sql_tpch_q7",
+            "ts_downsample_lttb", "ts_downsample_m4", "ts_gaps",
+            "ts_interval_merge", "ts_sessionize", "win_corr",
+            "win_drawdown", "win_rolling_median",
+            # (e) r6-cohort head, to the 50 cut (tail queued for r14:
+            # sql_tpch_q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
+            # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
+            # ts_state_durations, udtf_python, win_first_last,
+            # win_minmax_norm, win_rsi, win_streaks)
+            "agg_approx_distinct", "attribution_last_touch", "cdc_scd2",
+            "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
+            "drift_psi_daily", "join_existence_prefilter",
+            "join_interval_overlap", "join_scd2_pit",
+            "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q14",
+            "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q17",
         ]
     )
 
