@@ -45,14 +45,14 @@ def test_transform_with_state(spark):
     """transformWithStateInPandas twin of stream_stateful — runs only
     where the python protobuf dependency its driver worker needs is
     importable (broken in this container; see plans/streaming_q.py).
-    Re-probed every round per the standing VERDICT item: r11 and r12
-    both observed `import google.protobuf` -> ModuleNotFoundError
+    Re-probed every round per the standing VERDICT item: r11, r12 and
+    r13 all observed `import google.protobuf` -> ModuleNotFoundError
     ("No module named 'google'"), so the applyInPandasWithState twin
     remains the carrier of the stateful semantics."""
     import pytest
 
     if not _protobuf_usable():
-        pytest.skip("google.protobuf unusable; transformWithStateInPandas gated (re-probed r12)")
+        pytest.skip("google.protobuf unusable; transformWithStateInPandas gated (re-probed r13)")
     from tstables_spark.streaming.stateful import running_user_stats_tws
 
     work = tempfile.mkdtemp(prefix="tws_")
