@@ -464,3 +464,62 @@ def test_substring_dup_pairs_random_texts(docs, w, max_df):
         for r in substring_dup_pairs(df, w=w, max_df=max_df).collect()
     }
     assert got == _substring_bruteforce(rows, w, max_df)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=11),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    top_down=st.booleans(),
+)
+def test_bmp_ppm_decode_roundtrip(w, h, seed, top_down):
+    """The stdlib image decoders against hand-encoded rasters over
+    random dims (pure Python, no Spark): every width hits a different
+    4-byte BMP stride padding, both BMP storage orders (positive
+    biHeight = bottom-up, negative = top-down) decode to the same
+    top-down matrix, and BMP/P6/P5 of the same logical image agree on
+    the exact integer luma. A decoder that mis-handles stride, row
+    order, channel order, or header offsets cannot pass for all dims."""
+    import numpy as np
+
+    from tstables_spark.operators.multimodal import _decode_bmp, _decode_ppm
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    want_gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = rgb[:, :, ::-1].astype(np.uint8).reshape(h, w * 3)
+    stored = raster if top_down else raster[::-1]
+    px = stored.tobytes()
+    bih = -h if top_down else h
+    bmp = (
+        b"BM"
+        + (54 + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + bih.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+        + px
+    )
+    dw, dh, gray_bmp = _decode_bmp(bmp)
+    assert (dw, dh) == (w, h)
+    assert (gray_bmp == want_gray).all()
+
+    p6 = f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
+    dw, dh, gray_p6 = _decode_ppm(p6)
+    assert (dw, dh) == (w, h)
+    assert (gray_p6 == want_gray).all()
+
+    p5 = f"P5 {w}\n# c\n{h} 255\n".encode() + want_gray.astype(np.uint8).tobytes()
+    dw, dh, gray_p5 = _decode_ppm(p5)
+    assert (dw, dh) == (w, h)
+    assert (gray_p5 == want_gray).all()
