@@ -41,7 +41,11 @@ if REPO not in sys.path:
 from pyspark.sql import functions as F  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The NSW soak appends one of the 10x corpus's 100 label blocks per
+# round (needs >= 1 staged block left), and the as-of soak slices the
+# [0.6, 1.0] id-quantile range into ROUNDS appends — both bound ROUNDS.
 ROUNDS = int(os.environ.get("SOAK_APPENDS", "20"))
+assert 1 <= ROUNDS <= 99, "SOAK_APPENDS must be in [1, 99]"
 
 
 def _count_files(path: str) -> int:
@@ -62,9 +66,6 @@ def soak_nsw(spark) -> dict:
 
     emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
     reps = 10
-    emb = emb0.select(
-        (F.col("vec_id")).alias("vec_id"), "embedding", "label"
-    )
     parts = [
         emb0.select(
             (F.col("vec_id") + F.lit(i * 2000)).alias("vec_id"),
@@ -163,7 +164,9 @@ def soak_asof(spark) -> dict:
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
     ).localCheckpoint(eager=True)
-    cuts = ev.approxQuantile("event_id", [0.6 + 0.02 * i for i in range(ROUNDS + 1)], 0.0)
+    cuts = ev.approxQuantile(
+        "event_id", [0.6 + 0.4 * i / ROUNDS for i in range(ROUNDS + 1)], 0.0
+    )
     ev = ev.localCheckpoint(eager=True)
     tag = "asofsoak"
     root = scratch_dir(spark, "asof_soak_")

@@ -300,14 +300,28 @@ def minhash_lsh_pairs(
     # token counts upper-bounds the fingerprint relation's rows and
     # picks checkpoint-pin (fast, memory-first — every fixture scale)
     # vs streamed scratch tables (constant-memory — the 100x envelope).
-    sh_rows_est = docs.agg(
-        F.sum(
-            F.greatest(
-                F.size(F.split(F.lower(F.col("text")), " ")) - n + 1, F.lit(0)
-            )
-        ).alias("s")
-    ).collect()[0]["s"]  # 1-row contract-bounded collect
-    big = (sh_rows_est or 0) > _MINHASH_PIN_ROWS_MAX
+    # Cache-first: if BOTH streamed tables are already staged for this
+    # cache_key, the big verdict is implied and the estimate scan (a
+    # full docs pass) is skipped — the repeat-invocation path the cache
+    # exists for must not re-scan the corpus just to re-derive `big`.
+    big = False
+    if cache_key is not None:
+        from tstables_spark.plans._staging import _STREAM_PINNED
+
+        app = docs.sparkSession.sparkContext.applicationId
+        big = all(
+            (app, p, cache_key + extra) in _STREAM_PINNED
+            for p, extra in (("mh_sh", (n,)), ("mh_sig", (n, num_hashes)))
+        )
+    if not big:
+        sh_rows_est = docs.agg(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.lower(F.col("text")), " ")) - n + 1, F.lit(0)
+                )
+            ).alias("s")
+        ).collect()[0]["s"]  # 1-row contract-bounded collect
+        big = (sh_rows_est or 0) > _MINHASH_PIN_ROWS_MAX
 
     def _pin(df: DataFrame, prefix: str, key_extra: tuple) -> DataFrame:
         if not big:

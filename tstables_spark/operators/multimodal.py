@@ -386,7 +386,16 @@ def image_ahash(
             ids, hashes = [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 if use_real:
-                    _, _, gray = _IMAGE_DECODERS[blob["mime"]](bytes(blob["data"]))
+                    dec = _IMAGE_DECODERS.get(blob["mime"])
+                    if dec is None:
+                        # same explicit gate as _decode_real — an
+                        # unknown mime must not surface as an opaque
+                        # KeyError task failure
+                        raise NotImplementedError(
+                            f"no in-container real decoder for {blob['mime']!r}; "
+                            "only BMP/PPM/PGM decode without PIL/av"
+                        )
+                    _, _, gray = dec(bytes(blob["data"]))
                     hashes.append(_ahash_bits(gray, side))
                     ids.append(doc_id)
                     continue

@@ -1369,8 +1369,13 @@ def append_nsw_layout(
     partitions. A failure between writes therefore leaves tables
     mutually inconsistent only until the SAME append is re-run: re-run
     converges all three tables to the exact post-append state (asserted
-    in tests). Ids colliding with existing base rows are treated as
-    replacements for the same reason.
+    in tests). An id colliding with an existing base row IN THE SAME
+    BLOCK is replaced for the same reason (its block is affected, so
+    the old row is anti-joined out); re-appending an id into a
+    DIFFERENT block is NOT supported — the stale row in the old,
+    unaffected block would survive (detecting it needs a full base
+    scan, which would void the bounded-append-I/O contract) — re-stage
+    to re-block.
 
     Appended edge partitions keep the catalog bucket spec (Spark
     bucket-hashes ``insertInto`` writes) but may hold >1 file per
@@ -1383,12 +1388,22 @@ def append_nsw_layout(
     append would mix neighborhood sizes across blocks. Results after
     append are asserted identical to a fresh re-stage in
     tests/test_operators.py."""
-    new_base = with_norm2(new_emb, vec_col=vec_col, dim=dim).select(
-        F.col(id_col),
-        F.col("v"),
-        F.col("n2"),
-        F.col(block_col).alias("blk"),
-        _nsw_pblk(F.col(block_col)).alias("pblk"),
+    # Pinned eagerly FIRST: new_base feeds the two affected-set
+    # collects, the kNN input, and the base partition rewrite — an
+    # unpinned delta would be re-evaluated per consumer (4x), could
+    # bake nondeterminism into base rows that differ from the rows the
+    # edges were computed from, and would break if the caller derived
+    # new_emb from the very tables the writes below overwrite.
+    new_base = (
+        with_norm2(new_emb, vec_col=vec_col, dim=dim)
+        .select(
+            F.col(id_col),
+            F.col("v"),
+            F.col("n2"),
+            F.col(block_col).alias("blk"),
+            _nsw_pblk(F.col(block_col)).alias("pblk"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     affected = [r["blk"] for r in new_base.select("blk").distinct().collect()]
     apblks = sorted({r["pblk"] for r in new_base.select("pblk").distinct().collect()})

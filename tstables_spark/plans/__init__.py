@@ -64,6 +64,24 @@ def _load_all() -> None:
     #     single oldest oracle-backed entry), then the ENTIRE r5 cohort
     #     (17 queries incl. the rows-only ts_downsample_lttb, gated by
     #     ts_lttb_gate), then the r6 cohort head to the 50 cut.
+    #
+    # STANDING ROTATION POLICY (r10+): window = pinned pair + any
+    # never-checked new queries + re-check slots for every query whose
+    # implementing module OR consumed helper changed since its last
+    # green row (check `git log -- <module>` against round markers —
+    # including helper modules like _staging/_staged_interchange, the
+    # r10 blind spot), then backfill with oldest-evidence queries.
+    # After this window the oldest remaining evidence is the r6 tail
+    # (17 queries, named beside the (e) slots below) — the r14
+    # backfill queue head; every r1-r5 cohort is then re-evidenced
+    # r10-r13. The 7 permanently rows-only-by-design queries are
+    # sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, sim_nsw,
+    # sim_nsw_staged, sim_ivfpq, ts_downsample_lttb — each indirectly
+    # gated by a hash-checked contract query (sim_recall /
+    # ts_lttb_gate). Everything displaced from this window is
+    # hash-green in a prior round with an unchanged implementation and
+    # covered by repo-local parity tests (tests/test_parity.py runs
+    # the full 265-oracle differential every suite run).
     registry.prioritize(
         [
             # (a) reference identity, pinned

@@ -1155,18 +1155,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             register_staged_table(spark, tag)
             _PR_EDGES_STAGED[key] = tag
         de = spark.table(tag)
-        # deg off the bucketed scan: partial+final agg with ZERO
-        # exchange (the scan already satisfies the clustering).
-        deg = (
-            de.groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(
-                eager=True,
-                storageLevel=StorageLevel.DISK_ONLY
-                if big_nodes
-                else StorageLevel.MEMORY_AND_DISK,
-            )
-        )
     else:
         eh = edges.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
@@ -1174,24 +1162,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         de = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
             eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
-        # deg is O(nodes): pin once instead of re-deriving it from a
-        # 2|E| scan+shuffle inside every iteration's join leg. The
-        # storage level honors the SAME big_nodes knob as the big-edge
-        # branch and the per-iteration rank pins: a wide-but-sparse
-        # graph (nodes above the broadcast bound, pair mass under the
-        # pin bound) lands here, and a memory-first O(nodes) pin is
-        # exactly the accumulation pattern the scale note above says
-        # OOMs (ADVICE r12).
-        deg = (
-            de.groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(
-                eager=True,
-                storageLevel=StorageLevel.DISK_ONLY
-                if big_nodes
-                else StorageLevel.MEMORY_AND_DISK,
-            )
+    # deg is O(nodes): pin once instead of re-deriving it from a 2|E|
+    # scan+shuffle inside every iteration's join leg. In the big-edge
+    # branch the agg comes off the bucketed scan with ZERO exchange
+    # (the scan already satisfies the clustering). The storage level
+    # honors the big_nodes knob like the per-iteration rank pins: a
+    # wide-but-sparse graph (nodes above the broadcast bound, pair
+    # mass under the pin bound) keeps O(nodes) pins DISK_ONLY — a
+    # memory-first pin is exactly the accumulation pattern the scale
+    # note above says OOMs (ADVICE r12).
+    deg = (
+        de.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(
+            eager=True,
+            storageLevel=StorageLevel.DISK_ONLY
+            if big_nodes
+            else StorageLevel.MEMORY_AND_DISK,
         )
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]  # 1-row
     ranks = deg.select(
         "node", "degree", F.expr(f"1000000000000L div {n}L").alias("pr12")
@@ -1643,9 +1632,11 @@ def graph_triangles_approx(
     # and the census's internal oriented-edge pin become streamed
     # scratch tables — no edge-sized checkpoint blocks on the heap
     # (see _edge_pin).
+    # Validate the knob BEFORE the scale-stats job — a malformed cut
+    # must fail free, not after a corpus aggregate.
+    keep = _validate_cut(cut)  # md5-prefix cut 'xx' keeps keep/256 of edges
     _, pair_est = _graph_scale_stats(b0, cap=256)
     big = pair_est > _EDGE_PIN_PAIRS_MAX
-    keep = _validate_cut(cut)  # md5-prefix cut 'xx' keeps keep/256 of edges
     # Streamed scratch pins cached per (app, sf_dir, cut) — the sampled
     # edge list and the census's oriented-edge relation are pure
     # functions of (input, cut), so best-of-N bench repetition at 100x
