@@ -1985,3 +1985,94 @@ def test_image_ahash_real_bmp_ppm(spark):
     feats = {r["doc_id"]: r["feat"] for r in decode_features(packed, use_real=True).collect()}
     assert feats[1] == f"img:{w}:{h}:{ts}"
     assert feats[1] == feats[2] == feats[3]
+
+
+def test_asof_epoch_layout_bounded_appends(spark, tmp_path):
+    """The epoch-partitioned as-of layout (r13): appends rewrite ONLY
+    the touched epochs' partitions — untouched epoch files are
+    byte-untouched on disk (the bounded-append-I/O claim
+    append_asof_layout cannot make) — while the UNCHANGED presorted
+    readers return exactly the batch asof_join over the cumulative
+    frames with zero Exchange (the bucketed scan clusters every epoch
+    of a key into one task, so the carry crosses epoch boundaries).
+    Also: repeated appends into one epoch keep one file per (epoch,
+    bucket), and a single-epoch-pruned read stays zero-Sort."""
+    import os
+    import re
+
+    from tstables_spark.operators.asof import (
+        _EPOCH,
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        asof_join_presorted_directional,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 13, (i * 37) % 900) for i in range(3000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 13, (i * 89) % 900, i) for i in range(400)],
+            "k long, t long, val long",
+        )
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 100).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    # epoch = day index of the time column (900*100s spans ~2 days)
+    epoch_of = lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000))  # noqa: E731
+    name, path = "asof_epoch_test", str(tmp_path / "t")
+    day0 = F.unix_micros(F.col("ts")) < 86400 * 1_000_000
+    rday0 = F.unix_micros(F.col("rts")) < 86400 * 1_000_000
+    stage_asof_epoch_layout(
+        left.where(day0), right.where(rday0),
+        "ts", "rts", "k", "k", ["val"], name, path, epoch_of, num_buckets=4,
+    )
+    files_day0 = sorted(os.listdir(f"{path}/{_EPOCH}=0"))
+    # two sequential appends into epoch 1 (left+right, then left-only)
+    l1 = left.where(~day0)
+    half = F.col("event_id") % 2 == 0
+
+    def day1_file_count():
+        return len(
+            [
+                f
+                for f in os.listdir(f"{path}/{_EPOCH}=1")
+                if not f.startswith(("_", "."))
+            ]
+        )
+
+    append_asof_epoch_layout(
+        spark, name, left=l1.where(half), right=right.where(~rday0),
+        left_on="ts", right_on="rts", left_by="k", right_by="k",
+        right_values=["val"], epoch_of=epoch_of, num_buckets=4,
+    )
+    after_first = day1_file_count()
+    assert after_first <= 4  # at most one file per non-empty bucket
+    append_asof_epoch_layout(
+        spark, name, left=l1.where(~half),
+        left_on="ts", left_by="k", epoch_of=epoch_of, num_buckets=4,
+    )
+    # bounded I/O: epoch-0 files never touched; repeated appends into
+    # epoch 1 do NOT accumulate files (the overwrite resets to one per
+    # non-empty bucket)
+    assert sorted(os.listdir(f"{path}/{_EPOCH}=0")) == files_day0
+    assert day1_file_count() == after_first
+    want = {
+        tuple(r)
+        for r in asof_join(left, right, "ts", "rts", "k", "k", ["val"]).collect()
+    }
+    pre = asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"])
+    assert {tuple(r) for r in pre.collect()} == want
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # zero Exchange at any epoch count
+    # nearest direction rides the same layout unchanged
+    near = asof_join_presorted_directional(
+        spark, name, ["event_id", "k", "ts"], ["val"], direction="nearest"
+    )
+    plan_n = near._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_n
+    assert near.count() == left.count()
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -34,7 +34,9 @@ def _load_all() -> None:
     # correctness window). Priority per the STANDING ROTATION POLICY
     # (below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) new queries: none registered this round;
+    # (b) NEW query, never driver-checked: join_asof_epochs (the
+    #     epoch-partitioned bounded-append as-of layout; its staging
+    #     deliberately drives the append path);
     # (c) re-check slots for r13 behavioral changes, per module:
     #     - analytics.py: _edge_pin gained per-(app, key) streamed
     #       scratch caching (now via _staging.stream_pin) and
@@ -86,6 +88,8 @@ def _load_all() -> None:
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
+            # (b) new this round: epoch-partitioned as-of layout
+            "join_asof_epochs",
             # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
             "graph_triangles_approx", "graph_triangles_gate",
@@ -105,7 +109,7 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # sql_tpch_q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
+            # sql_tpch_q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
@@ -114,7 +118,7 @@ def _load_all() -> None:
             "drift_psi_daily", "join_existence_prefilter",
             "join_interval_overlap", "join_scd2_pit",
             "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q14",
-            "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q17",
+            "sql_tpch_q15", "sql_tpch_q16",
         ]
     )
 

@@ -2976,6 +2976,107 @@ def join_asof_nearest_presorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+_ASOF_EPOCH_STAGED: dict = {}
+
+
+def _asof_epoch_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage join_asof's relation in the EPOCH-PARTITIONED bucket
+    layout once per (app, sf), deliberately driving the APPEND path as
+    part of the setup: everything except the last week of events is
+    staged, then that week is appended — so the driver check proves
+    stage + bounded append + read end-to-end, not just a fresh stage.
+    Epoch = calendar year: the 1992-1998 orders archive lands in its
+    own partitions that the event append NEVER rewrites (the bounded
+    I/O contract; operators/asof.py::stage_asof_epoch_layout)."""
+    import uuid
+
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        stage_asof_epoch_layout,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ASOF_EPOCH_STAGED:
+        tag = "asofe_" + uuid.uuid4().hex[:8]
+        base = scratch_dir(spark, "asof_epochs_")
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        od = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(
+                F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            )
+        )
+        cut = ev.agg(
+            F.date_sub(F.max("ts").cast("date"), 7).alias("c")
+        ).collect()[0]["c"]  # 1-row bounded collect
+        late = F.col("ts").cast("date") >= F.lit(cut)
+        epoch_of = F.year
+        stage_asof_epoch_layout(
+            ev.where(~late),
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            right_values=["o_orderkey", "o_totalprice"],
+            table_name=tag,
+            path=f"{base}/t",
+            epoch_of=epoch_of,
+            num_buckets=8,
+        )
+        append_asof_epoch_layout(
+            spark,
+            tag,
+            left=ev.where(late),
+            left_on="ts",
+            left_by="user_id",
+            epoch_of=epoch_of,
+            num_buckets=8,
+        )
+        register_staged_table(spark, tag)
+        _ASOF_EPOCH_STAGED[key] = tag
+    return _ASOF_EPOCH_STAGED[key]
+
+
+@query(
+    "join_asof_epochs",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_asof through the EPOCH-PARTITIONED bucket layout (r13) —
+    the bounded-append as-of strategy: one table partitioned by
+    calendar-year epoch and bucketed by key, where appends
+    dynamic-overwrite only the touched epochs (the staging for this
+    query APPENDS the last week of events after staging the rest, so
+    the driver hash proves the append path, not just a fresh stage)
+    and reads need no epoch logic at all — the bucketed scan clusters
+    every epoch of a key into one task, the running carry crosses
+    epoch boundaries by construction, and the plan keeps ZERO Exchange
+    at any epoch count (the in-partition Sort returns on multi-file
+    buckets, the only cost vs the single-epoch layout; asserted in
+    tests). Same oracle and result as join_asof / join_asof_presorted:
+    three physical strategies, one semantics."""
+    t = _asof_epoch_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted(
+        spark, t, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 _ASOF_MULTI_STAGED: dict = {}
 
 
