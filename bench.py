@@ -72,6 +72,10 @@ HEADLINE = [
     "dedup_substring",
     "sim_ivfpq",
     "sim_nsw_staged",
+    # r13 addition: the epoch-partitioned bounded-append as-of read
+    # (staging + the append happen in the warm pass; timed pass = the
+    # multi-epoch zero-Exchange read, the steady state by design)
+    "join_asof_epochs",
     # r12 addition: the DOULION sampled census (the 100 TB triangle
     # path; its exact-vs-estimate gate stays out of the headline — it
     # runs the exact census graph_triangles already covers)

@@ -243,6 +243,118 @@ def soak_asof(spark) -> dict:
     }
 
 
+def soak_asof_epochs(spark) -> dict:
+    """The epoch-partitioned layout under the SAME 20-append drive as
+    soak_asof, plus a 10x-archive variant: append walls must be flat
+    AND independent of how much archive sits in other epochs (the
+    bounded-I/O contract), with archive partition files byte-untouched
+    throughout — the claim the full-rewrite layout cannot make."""
+    from tstables_spark.operators.asof import (
+        _EPOCH,
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        stage_asof_epoch_layout,
+    )
+    from tstables_spark.plans._staging import scratch_dir
+    from tstables_spark.plans.tables import load
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    ev0 = load(spark, SF, "events").select("event_id", "user_id", "ts")
+    od = (
+        load(spark, SF, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    ).localCheckpoint(eager=True)
+    out = {}
+    for tag_sz, reps in (("1x_archive", 1), ("10x_archive", 10)):
+        # replicate events backward in time: replica i shifts ts -i
+        # years, so replicas land in DISTINCT year epochs (the archive)
+        # and the append target epoch stays the same size
+        parts = [
+            ev0.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "user_id",
+                (F.col("ts") - F.expr(f"INTERVAL {i * 366} DAYS")).alias("ts"),
+            )
+            for i in range(reps)
+        ]
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionByName(p)
+        ev = ev.localCheckpoint(eager=True)
+        newest = ev0  # appends always target the newest (2024) epoch
+        cuts = newest.approxQuantile(
+            "event_id", [0.6 + 0.4 * i / ROUNDS for i in range(ROUNDS + 1)], 0.0
+        )
+        tag = f"asofep_{tag_sz}"
+        root = scratch_dir(spark, f"asof_ep_{tag_sz}_")
+        epoch_of = F.year
+        stage_asof_epoch_layout(
+            ev.where(F.col("event_id") >= 10_000_000).unionByName(
+                newest.where(F.col("event_id") < cuts[0])
+            ),
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            right_values=["o_orderkey", "o_totalprice"],
+            table_name=tag,
+            path=f"{root}/t",
+            epoch_of=epoch_of,
+            num_buckets=8,
+        )
+        archive_dirs = sorted(
+            d for d in os.listdir(f"{root}/t") if d.startswith(_EPOCH) and "2024" not in d
+        )
+        archive_sig = {
+            d: sorted(os.listdir(f"{root}/t/{d}")) for d in archive_dirs
+        }
+        walls = []
+        for i in range(ROUNDS):
+            lo, hi = cuts[i], cuts[i + 1]
+            cond = (F.col("event_id") >= lo) & (
+                F.lit(i == ROUNDS - 1) | (F.col("event_id") < hi)
+            )
+            t0 = time.perf_counter()
+            append_asof_epoch_layout(
+                spark,
+                tag,
+                left=newest.where(cond),
+                left_on="ts",
+                left_by="user_id",
+                epoch_of=epoch_of,
+                num_buckets=8,
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+        assert {
+            d: sorted(os.listdir(f"{root}/t/{d}")) for d in archive_dirs
+        } == archive_sig, "archive epoch files were touched"
+        pre = asof_join_presorted(
+            spark, tag, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
+        )
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        want = asof_join(
+            ev, od, "ts", "o_orderdate", "user_id", "o_custkey",
+            ["o_orderkey", "o_totalprice"],
+        ).count()
+        assert pre.count() == want
+        out[tag_sz] = {
+            "rows_staged": ev.count(),
+            "wall_first5": round(sum(walls[:5]) / 5, 2),
+            "wall_last5": round(sum(walls[-5:]) / 5, 2),
+            "archive_untouched": True,
+        }
+        spark.sql(f"DROP TABLE IF EXISTS {tag}")
+        print(json.dumps({tag_sz: out[tag_sz]}), flush=True)
+    return {"soak": "asof_epoch_appends", "rounds": ROUNDS, **out}
+
+
 def main() -> None:
     from tstables_spark import get_spark
 
@@ -252,6 +364,8 @@ def main() -> None:
         print("NSW " + json.dumps(soak_nsw(spark)), flush=True)
     if which in ("asof", "both"):
         print("ASOF " + json.dumps(soak_asof(spark)), flush=True)
+    if which in ("asof_epochs", "both"):
+        print("ASOF_EPOCHS " + json.dumps(soak_asof_epochs(spark)), flush=True)
 
 
 if __name__ == "__main__":
