@@ -10,9 +10,10 @@ large-star/small-star, Kiveris et al., "Connected Components in
 MapReduce"). The jump makes convergence O(log diameter) instead of
 O(diameter): near-dup graphs are usually near-cliques (2-3 rounds),
 but sf0.1 produced a chain deeper than 20 hops and diameter-bound
-propagation timed out. Each round is two keyed joins + one aggregate;
-the driver only sees the single changed-label COUNT per round (an O(1)
-convergence probe, not data).
+propagation timed out. Each round is ONE job (r13: the joins, the min
+aggregate AND the O(1) convergence sum all ride the round's checkpoint
+materialization via observe()); the driver only sees the single
+label-sum per round, never data.
 
 Determinism: min() over labels is order-independent, so the fixpoint is
 unique regardless of partitioning — safe for exact oracle comparison
@@ -62,22 +63,28 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
-    # O(1)-row convergence probe WITHOUT a join: min-label propagation
-    # is monotone (every candidate is an existing label, min can only
-    # shrink), so the label sum strictly decreases every round until
-    # the fixpoint — equal sums ⟺ zero labels changed. DECIMAL(38,0)
-    # keeps the sum exact at any node-id magnitude (1e9 nodes × 1e18
-    # ids overflows int64). One single-stage scan of the checkpointed
-    # labels per round, vs the old join+count job (shuffle join + two
-    # checkpoint reads) — measured ~1.2-1.3x on the CC phase at toy
-    # scale (5.8 -> 4.4 s; the checkpoint jobs dominate what remains),
-    # and one fewer shuffle per round at any scale.
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    # O(1)-row convergence probe WITHOUT a join OR an extra job:
+    # min-label propagation is monotone (every candidate is an existing
+    # label, min can only shrink), so the label sum strictly decreases
+    # every round until the fixpoint — equal sums ⟺ zero labels
+    # changed. DECIMAL(38,0) keeps the sum exact at any node-id
+    # magnitude (1e9 nodes × 1e18 ids overflows int64). r13: the sum
+    # rides the checkpoint materialization itself via observe() —
+    # metrics are collected by the SAME job that pins the round, so the
+    # former per-round probe job (a full labels scan; ~half the
+    # per-round fixed cost in the SCALE.md r12 decomposition) is gone.
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    def _pin_with_sum(df: DataFrame):
+        obs = Observation()
+        pinned = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        return pinned, obs.get["s"]  # .get blocks on the checkpoint job
+
+    # Pin the identity labels too: round 0 references them in two join
+    # legs, and the pin doubles as the free initial-sum probe.
+    labels, prev_sum = _pin_with_sum(labels)
     for i in range(max_iter):
         # each node's candidate = min(own label, neighbors' labels)
         nbr = (
@@ -94,6 +101,15 @@ def connected_components(
         # per round; the fixpoint (min reachable label) is unchanged.
         # Round 0 skips it: labels are identity there, so the jump join
         # can only produce rows labels already contains.
+        #
+        # DO NOT deepen this to a second jump (label-of-label-of-label,
+        # a 3-way self-join): measured r13, iterating a 3-way self-join
+        # of the round's checkpoint makes PLANNING time grow
+        # exponentially with round count (~5x/round past round 11;
+        # 0.04s -> 8s by round 13 on a CONSTANT-size logical plan and
+        # constant partitioning — an explicit repartition before the
+        # checkpoint does not cure it), dwarfing the halved round
+        # count. The 2-way shape is planning-flat through 18+ rounds.
         if i > 0:
             jump = (
                 labels.alias("l1")
@@ -105,15 +121,10 @@ def connected_components(
             )
             cand = cand.union(jump)
         new_labels = cand.groupBy("node").agg(F.min("component").alias("component"))
-        # cut lineage each round BEFORE probing: iterative joins
-        # otherwise stack plans exponentially, and the probe then reads
-        # the materialized result instead of recomputing the round.
-        # O(nodes) rows — serialized for pin-discipline consistency.
-        new_labels = new_labels.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
-        s = _label_sum(new_labels)
-        labels = new_labels
+        # cut lineage each round: iterative joins otherwise stack plans
+        # exponentially. O(nodes) rows — serialized for pin-discipline
+        # consistency; the convergence sum rides the same job.
+        labels, s = _pin_with_sum(new_labels)
         if s == prev_sum:
             return labels
         prev_sum = s

@@ -54,6 +54,12 @@ def _load_all() -> None:
     #     - streaming_q.py: stream_ohlc re-registered as
     #       watermark+append with the tail-withholding oracle (the
     #       bounded production shape; r12 verdict #5) -> stream_ohlc;
+    #     - operators/components.py: the per-round convergence probe
+    #       now rides the checkpoint job via observe() (one O(nodes)
+    #       scan per round eliminated; same unique min fixpoint; a
+    #       deeper 3-way jump was measured and REJECTED — exponential
+    #       planning growth, see the kernel comment) -> consumers
+    #       dedup_clusters, dedup_cluster_sizes, dedup_embed_clusters;
     #     - operators/multimodal.py: _decode_real opens the image
     #       half (stdlib BMP/PPM/PGM), image_ahash gained use_real ->
     #       consumers multimodal_schema (decode_features),
@@ -97,6 +103,7 @@ def _load_all() -> None:
             "sim_nsw_staged", "sim_recall",
             "stream_ohlc",
             "multimodal_schema", "multimodal_phash", "dedup_phash_band",
+            "dedup_clusters", "dedup_cluster_sizes", "dedup_embed_clusters",
             # (d) the legacy rows-only ANN trio (last pre-r5 entries)
             "sim_ivf", "sim_ivf_centroid", "sim_ivf_kmeans",
             # (e) oldest-evidence backfill: win_ewma (r4), then the
@@ -109,7 +116,7 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # sql_tpch_q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
+            # sql_tpch_q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
@@ -117,8 +124,7 @@ def _load_all() -> None:
             "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
             "drift_psi_daily", "join_existence_prefilter",
             "join_interval_overlap", "join_scd2_pit",
-            "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q14",
-            "sql_tpch_q15", "sql_tpch_q16",
+            "sql_tpch_q12", "sql_tpch_q13",
         ]
     )
 
