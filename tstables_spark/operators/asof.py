@@ -237,10 +237,14 @@ def append_asof_layout(
     (the staged table is self-contained; callers need only the delta).
     The existing rows are pinned (serialized MEMORY_AND_DISK) before
     the overwrite both to permit writing the path being read and to
-    read them once. At 100 TB, bound the rewrite by staging one table
-    per coarse time epoch (appends land in the newest epoch's table)
-    and unioning the per-epoch presorted reads; pass the same
-    ``right_values`` order the table was staged with."""
+    read them once. At 100 TB, use ``stage_asof_epoch_layout`` /
+    ``append_asof_epoch_layout`` instead (r13, below): the
+    epoch-PARTITIONED variant bounds every append to the touched
+    epochs' partitions with the readers unchanged — this full-rewrite
+    variant remains for small/single-epoch series where one sorted
+    file per bucket (and therefore a zero-Sort read) matters more than
+    append cost. Pass the same ``right_values`` order the table was
+    staged with."""
     staged = spark.table(table_name)
     left_cols = [c for c in staged.columns if c not in (_KEY, _TIME, _SIDE, _CARRY)]
     carry_t = staged.schema[_CARRY].dataType
