@@ -34,9 +34,11 @@ def _load_all() -> None:
     # correctness window). Priority per the STANDING ROTATION POLICY
     # (below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) NEW query, never driver-checked: join_asof_epochs (the
+    # (b) NEW queries, never driver-checked: join_asof_epochs (the
     #     epoch-partitioned bounded-append as-of layout; its staging
-    #     deliberately drives the append path);
+    #     deliberately drives the append path) and stream_asof_epochs
+    #     (streaming foreachBatch ingest into that layout — per-batch
+    #     bounded epoch appends converging to the batch ASOF JOIN);
     # (c) re-check slots for r13 behavioral changes, per module:
     #     - analytics.py: _edge_pin gained per-(app, key) streamed
     #       scratch caching (now via _staging.stream_pin) and
@@ -95,7 +97,7 @@ def _load_all() -> None:
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
             # (b) new this round: epoch-partitioned as-of layout
-            "join_asof_epochs",
+            "join_asof_epochs", "stream_asof_epochs",
             # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
             "graph_triangles_approx", "graph_triangles_gate",
@@ -116,7 +118,7 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # sql_tpch_q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
+            # sql_tpch_q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
@@ -124,7 +126,7 @@ def _load_all() -> None:
             "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
             "drift_psi_daily", "join_existence_prefilter",
             "join_interval_overlap", "join_scd2_pit",
-            "sql_tpch_q12", "sql_tpch_q13",
+            "sql_tpch_q12",
         ]
     )
 

@@ -523,6 +523,96 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_asof_epochs",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def stream_asof_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the epoch-partitioned as-of layout (r13) —
+    the production daily pipeline for the bounded-append strategy: the
+    layout is staged with the RIGHT side only (the orders archive,
+    landing in its 1992-1998 year epochs), then the event stream is
+    consumed via ``foreachBatch`` and each micro-batch runs one
+    ``append_asof_epoch_layout`` bounded to the epochs ITS rows land in
+    (2024 — the archive partitions are never rewritten by any batch).
+    The final presorted read must equal the one-shot batch ASOF JOIN:
+    per-epoch append is a row-set union of deterministic encodings, so
+    batch boundaries cannot change the fixpoint — the same convergence
+    contract stream_upsert proves for TimeSeriesTable, here for the
+    staged as-of layout. Hash-checked against the join_asof oracle."""
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        asof_join_presorted,
+        stage_asof_epoch_layout,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    tag = "asofse_" + uuid.uuid4().hex[:8]
+    base = scratch_dir(spark, "stream_asof_epochs_")
+    epoch_of = F.year
+    # stage the right side alone: the left delta arrives as a stream
+    stage_asof_epoch_layout(
+        ev.where(F.lit(False)),
+        od,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["o_orderkey", "o_totalprice"],
+        table_name=tag,
+        path=f"{base}/t",
+        epoch_of=epoch_of,
+        num_buckets=8,
+    )
+    register_staged_table(spark, tag)
+    src_dir = f"{base}/src"
+    ev.repartition(3).write.parquet(src_dir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            lambda batch, _id: append_asof_epoch_layout(
+                spark,
+                tag,
+                left=batch,
+                left_on="ts",
+                left_by="user_id",
+                epoch_of=epoch_of,
+                num_buckets=8,
+            )
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted(
+        spark, tag, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 _ASOF_INTERVAL_STAGED: dict = {}
 
 
