@@ -12,6 +12,10 @@ correctness spot checks) — results in SCALE.md r13.
   three tables, the zero-Exchange bucketed-edges claim. Rounds 10/20:
   the staged walk must equal a FRESH nsw_topk over the cumulative
   corpus. Final: all three tables' row sets equal a fresh re-stage.
+- as-of epochs (append_asof_epoch_layout): the same 20-append drive
+  against the epoch-partitioned layout at 1x AND 10x archive sizes —
+  walls must be flat and independent of archive size, archive epoch
+  files byte-untouched, reads value-equal to the batch asof_join.
 - as-of (append_asof_layout): sf0.1 events/orders staged over the
   first 60% of events by time, then 20 left-side appends of the next
   2% slice each — the daily-ingest shape. Per round: wall, file count
@@ -22,7 +26,7 @@ correctness spot checks) — results in SCALE.md r13.
   O(|staged|+|new|) (operators/asof.py docstring) — bounded in
   production by per-epoch tables.
 
-Usage: python scripts/soak_appends.py [nsw|asof|both]
+Usage: python scripts/soak_appends.py [nsw|asof|asof_epochs|both]
 Prints one JSON line per soak; per-round curves inline.
 """
 
@@ -339,11 +343,16 @@ def soak_asof_epochs(spark) -> dict:
         )
         plan = pre._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+        # VALUE-complete equality, not a count (a left as-of always has
+        # exactly one row per left row, so counts are value-blind):
+        # symmetric exceptAll stays distributed at 10x.
         want = asof_join(
             ev, od, "ts", "o_orderdate", "user_id", "o_custkey",
             ["o_orderkey", "o_totalprice"],
-        ).count()
-        assert pre.count() == want
+        ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+        got = pre.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
         out[tag_sz] = {
             "rows_staged": ev.count(),
             "wall_first5": round(sum(walls[:5]) / 5, 2),

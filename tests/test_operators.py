@@ -1998,7 +1998,6 @@ def test_asof_epoch_layout_bounded_appends(spark, tmp_path):
     Also: repeated appends into one epoch keep one file per (epoch,
     bucket), and a single-epoch-pruned read stays zero-Sort."""
     import os
-    import re
 
     from tstables_spark.operators.asof import (
         _EPOCH,
@@ -2076,3 +2075,66 @@ def test_asof_epoch_layout_bounded_appends(spark, tmp_path):
     assert "Exchange" not in plan_n
     assert near.count() == left.count()
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_asof_epoch_layout_null_epoch_preserved(spark, tmp_path):
+    """NULL-time rows land in the hive default partition (NULL epoch);
+    an append whose batch also carries a NULL-time row must PRESERVE
+    the previously staged null-partition rows — isin() never matches
+    NULL, so the preserved-rows predicate needs the explicit isNull
+    branch (review r13: without it the overwrite silently dropped
+    them). Also: an append with NO null rows must not touch the null
+    partition at all."""
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        stage_asof_epoch_layout,
+    )
+
+    def lf(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, k long, t long"
+        ).select(
+            "event_id", "k",
+            F.when(F.col("t") >= 0, F.timestamp_seconds(F.col("t") * 1000)).alias("ts"),
+        )
+
+    right = (
+        spark.createDataFrame([(k, 50, k * 10) for k in range(3)], "k long, t long, val long")
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 1000).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.year(t)  # noqa: E731
+    name, path = "asof_epoch_null_test", str(tmp_path / "t")
+    # stage: two normal rows + ONE NULL-ts row (t = -1)
+    staged_left = lf([(1, 0, 100), (2, 1, 200), (3, 2, -1)])
+    stage_asof_epoch_layout(
+        staged_left, right, "ts", "rts", "k", "k", ["val"],
+        name, path, epoch_of, num_buckets=2,
+    )
+    # append 1: carries another NULL-ts row + a normal one
+    append_asof_epoch_layout(
+        spark, name, left=lf([(4, 0, 300), (5, 1, -1)]),
+        left_on="ts", left_by="k", epoch_of=epoch_of, num_buckets=2,
+    )
+    # append 2: no null rows at all
+    append_asof_epoch_layout(
+        spark, name, left=lf([(6, 2, 400)]),
+        left_on="ts", left_by="k", epoch_of=epoch_of, num_buckets=2,
+    )
+    try:
+        all_left = lf([(1, 0, 100), (2, 1, 200), (3, 2, -1),
+                       (4, 0, 300), (5, 1, -1), (6, 2, 400)])
+        want = {
+            tuple(r)
+            for r in asof_join(all_left, right, "ts", "rts", "k", "k", ["val"]).collect()
+        }
+        got = {
+            tuple(r)
+            for r in asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"]).collect()
+        }
+        assert got == want  # both NULL-ts rows survive, with NULL carries
+        assert sum(1 for r in got if r[2] is None) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

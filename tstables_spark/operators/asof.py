@@ -282,6 +282,53 @@ def append_asof_layout(
 _EPOCH = "__asof_epoch"
 
 
+def _encode_asof_sides(
+    left: DataFrame | None,
+    right: DataFrame | None,
+    left_on: str | None,
+    right_on: str | None,
+    left_by: str | None,
+    right_by: str | None,
+    right_values: Sequence[str],
+    left_cols: Sequence[str],
+    carry_t,
+    left_type_of,
+) -> DataFrame:
+    """The canonical as-of row encoding, shared by the epoch-layout
+    writers: left rows as (key, time, side=1, NULL carry, left cols),
+    right rows as (key, time, side=0, carry struct, NULL-padded left
+    cols). ``left_type_of(name)`` supplies the null-padding DataTypes
+    (from the inputs at stage time, from the STAGED schema at append
+    time so the encoding cannot drift). Byte-identical to the inline
+    encodings in asof_join / stage_asof_layout / append_asof_layout —
+    those legacy copies migrate here on their next behavioral round
+    (r14 note; changing them now would be output-neutral but drags
+    their four driver queries into an already-full window)."""
+    parts = []
+    if left is not None:
+        parts.append(
+            left.select(
+                F.col(left_by).alias(_KEY),
+                F.col(left_on).alias(_TIME),
+                F.lit(1).alias(_SIDE),
+                F.lit(None).cast(carry_t).alias(_CARRY),
+                *[F.col(c) for c in left_cols],
+            )
+        )
+    if right is not None:
+        rts = F.col(right_on).alias("__rts")
+        parts.append(
+            right.select(
+                F.col(right_by).alias(_KEY),
+                F.col(right_on).alias(_TIME),
+                F.lit(0).alias(_SIDE),
+                F.struct(*right_values, rts).alias(_CARRY),
+                *[F.lit(None).cast(left_type_of(c)).alias(c) for c in left_cols],
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
 def stage_asof_epoch_layout(
     left: DataFrame,
     right: DataFrame,
@@ -318,31 +365,26 @@ def stage_asof_epoch_layout(
       outputOrdering claim applies only to single-file buckets, so
       correctness never depends on the claim).
 
-    The row encoding is deliberately byte-identical to
-    ``stage_asof_layout``'s (the canonical encoder) so the two layouts
-    are interchangeable to every reader."""
-    left_cols = left.columns
-    rts = F.col(right_on).alias("__rts")
+    The row encoding is ``_encode_asof_sides`` — byte-identical to
+    ``stage_asof_layout``'s, so the two layouts are interchangeable to
+    every reader."""
     carry_t = right.select(
-        F.struct(*right_values, rts).alias("s")
+        F.struct(*right_values, F.col(right_on).alias("__rts")).alias("s")
     ).schema["s"].dataType
-    l = left.select(
-        F.col(left_by).alias(_KEY),
-        F.col(left_on).alias(_TIME),
-        F.lit(1).alias(_SIDE),
-        F.lit(None).cast(carry_t).alias(_CARRY),
-        *[F.col(c) for c in left_cols],
-    )
-    r = right.select(
-        F.col(right_by).alias(_KEY),
-        F.col(right_on).alias(_TIME),
-        F.lit(0).alias(_SIDE),
-        F.struct(*right_values, rts).alias(_CARRY),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    union = _encode_asof_sides(
+        left,
+        right,
+        left_on,
+        right_on,
+        left_by,
+        right_by,
+        right_values,
+        left.columns,
+        carry_t,
+        lambda c: left.schema[c].dataType,
     )
     (
-        l.unionByName(r)
-        .withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
+        union.withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
         .repartition(num_buckets, F.col(_KEY))
         .write.partitionBy(_EPOCH)
         .bucketBy(num_buckets, _KEY)
@@ -396,54 +438,65 @@ def append_asof_epoch_layout(
         c for c in cols_order if c not in (_KEY, _TIME, _SIDE, _CARRY, _EPOCH)
     ]
     carry_t = staged.schema[_CARRY].dataType
-    parts = []
-    if left is not None:
-        parts.append(
-            left.select(
-                F.col(left_by).alias(_KEY),
-                F.col(left_on).alias(_TIME),
-                F.lit(1).alias(_SIDE),
-                F.lit(None).cast(carry_t).alias(_CARRY),
-                *[F.col(c) for c in left_cols],
-            )
+    if left is None and right is None:
+        raise ValueError(
+            "append_asof_epoch_layout needs left rows, right rows, or both"
         )
-    if right is not None:
-        rts = F.col(right_on).alias("__rts")
-        parts.append(
-            right.select(
-                F.col(right_by).alias(_KEY),
-                F.col(right_on).alias(_TIME),
-                F.lit(0).alias(_SIDE),
-                F.struct(*right_values, rts).alias(_CARRY),
-                *[
-                    F.lit(None).cast(staged.schema[c].dataType).alias(c)
-                    for c in left_cols
-                ],
-            )
-        )
+    union = _encode_asof_sides(
+        left,
+        right,
+        left_on,
+        right_on,
+        left_by,
+        right_by,
+        right_values,
+        left_cols,
+        carry_t,
+        lambda c: staged.schema[c].dataType,
+    )
+    # The touched-epoch set rides the delta's pin job as an observed
+    # metric (the components.py observe() trick) — no separate
+    # distinct-collect scan per append, which matters for the
+    # streaming caller where the per-batch wall is job-floor-bound.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     new = (
-        reduce(DataFrame.unionByName, parts)
-        .withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
+        union.withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
+        .observe(
+            obs,
+            F.collect_set(_EPOCH).alias("es"),  # collect_set drops NULLs
+            F.sum(F.when(F.col(_EPOCH).isNull(), 1).otherwise(0)).alias("nnull"),
+        )
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    epochs = [
-        r["e"] for r in new.select(F.col(_EPOCH).alias("e")).distinct().collect()
-    ]  # bounded collect: appends land in one or few epochs by design
+    epochs = list(obs.get["es"])  # bounded: appends land in few epochs
+    # NULL-epoch rows (a NULL time -> NULL epoch) land in the hive
+    # default partition, which the overwrite below rewrites like any
+    # other touched partition — but isin() never matches NULL, so the
+    # null partition's preserved rows need an explicit isNull branch
+    # (silently dropping them was the data-loss bug a review caught).
+    touched = F.col(_EPOCH).isin(epochs)
+    if (obs.get["nnull"] or 0) > 0:
+        touched = touched | F.col(_EPOCH).isNull()
     keep = (
-        staged.where(F.col(_EPOCH).isin(epochs))
+        staged.where(touched)
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    # Lock-serialized dynamic-overwrite toggle (see
+    # _staging.dynamic_partition_overwrite): the per-write option is
+    # silently ignored by insertInto, and an unserialized conf toggle
+    # races under concurrent writers in one session — reachable here
+    # via the streaming foreachBatch caller.
+    from tstables_spark.plans._staging import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         (
             keep.unionByName(new)
             .select(*cols_order)  # insertInto is positional
             .repartition(num_buckets, F.col(_KEY))
             .write.insertInto(table_name, overwrite=True)
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
 
 def asof_join_presorted(

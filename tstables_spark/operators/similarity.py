@@ -1458,14 +1458,17 @@ def append_nsw_layout(
         .select(id_col, "v", "n2", "blk", "pblk")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # insertInto is POSITIONAL and partition columns sit last in the
-        # table schema — select in table order. All three writes are
-        # idempotent overwrites of the affected partitions (see the
-        # crash-recovery note above); every read they depend on is
-        # pinned eagerly before the first write.
+    # insertInto is POSITIONAL and partition columns sit last in the
+    # table schema — select in table order. All three writes are
+    # idempotent overwrites of the affected partitions (see the
+    # crash-recovery note above); every read they depend on is pinned
+    # eagerly before the first write. The dynamic-overwrite conf toggle
+    # is lock-serialized (see _staging.dynamic_partition_overwrite —
+    # the per-write option is silently ignored by insertInto, and an
+    # unserialized toggle races under concurrent writers).
+    from tstables_spark.plans._staging import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         edges.unionByName(keep_edges).write.insertInto(
             f"{table_name}_edges", overwrite=True
         )
@@ -1475,8 +1478,6 @@ def append_nsw_layout(
         keep_base.unionByName(old_full).unionByName(
             new_base.select(id_col, "v", "n2", "blk", "pblk")
         ).write.insertInto(f"{table_name}_base", overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
 
 def nsw_topk_staged(

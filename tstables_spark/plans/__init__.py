@@ -91,7 +91,7 @@ def _load_all() -> None:
     # ts_lttb_gate). Everything displaced from this window is
     # hash-green in a prior round with an unchanged implementation and
     # covered by repo-local parity tests (tests/test_parity.py runs
-    # the full 265-oracle differential every suite run).
+    # the full 267-oracle differential every suite run).
     registry.prioritize(
         [
             # (a) reference identity, pinned

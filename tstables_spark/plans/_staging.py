@@ -35,6 +35,45 @@ def scratch_dir(spark, prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
+_OVERWRITE_LOCK = None
+
+
+def dynamic_partition_overwrite(spark):
+    """Context manager: run ``insertInto(..., overwrite=True)`` writes
+    under ``spark.sql.sources.partitionOverwriteMode=dynamic``,
+    serialized by a process-wide lock.
+
+    The session conf is the ONLY lever — the per-write
+    ``.option("partitionOverwriteMode", "dynamic")`` is silently
+    IGNORED by the catalog-table insertInto path (verified r13: the
+    option-only write truncated every untouched partition), so the
+    toggle-and-restore must be made concurrency-safe instead: without
+    the lock, two writers in one session (reachable via streaming
+    foreachBatch) can interleave so one's restore lands between the
+    other's set and write, running that write in STATIC mode and
+    truncating every partition of its table."""
+    import threading
+    from contextlib import contextmanager
+
+    global _OVERWRITE_LOCK
+    if _OVERWRITE_LOCK is None:
+        _OVERWRITE_LOCK = threading.Lock()
+
+    @contextmanager
+    def _cm():
+        with _OVERWRITE_LOCK:
+            saved = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    return _cm()
+
+
 # Streamed scratch tables reused across invocations, keyed by
 # (applicationId, prefix, caller-supplied identity). A pinned relation
 # that is a pure function of its inputs should be staged ONCE per app —

@@ -3011,10 +3011,13 @@ def _asof_epoch_staged_table(spark: SparkSession, sf_dir: str) -> str:
         cut = ev.agg(
             F.date_sub(F.max("ts").cast("date"), 7).alias("c")
         ).collect()[0]["c"]  # 1-row bounded collect
+        # exhaustive split: a NULL ts is neither late nor ~late under
+        # three-valued logic — route NULL-ts rows to the stage side so
+        # no left row is silently dropped (review r13)
         late = F.col("ts").cast("date") >= F.lit(cut)
         epoch_of = F.year
         stage_asof_epoch_layout(
-            ev.where(~late),
+            ev.where(~F.coalesce(late, F.lit(False))),
             od,
             left_on="ts",
             right_on="o_orderdate",
