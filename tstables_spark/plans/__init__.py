@@ -92,6 +92,16 @@ def _load_all() -> None:
     # hash-green in a prior round with an unchanged implementation and
     # covered by repo-local parity tests (tests/test_parity.py runs
     # the full 267-oracle differential every suite run).
+    # LATE-r13 CHANGES, after this window was drawn (none displace a
+    # slot — every touched query already holds one): two code reviews
+    # landed fixes in append_nsw_layout (delta pin, same-block
+    # replacement contract), append_asof_epoch_layout (null-epoch
+    # preservation, lock-serialized overwrite toggle, observed epoch
+    # set), the epoch staging's NULL-ts split, image_ahash's unknown-
+    # mime gate, minhash's cache-first knob, and the CC observe probe.
+    # The FULL 50-slot window was re-rehearsed green AFTER the last of
+    # these (sf0.01, vanilla session), and the two epoch queries are
+    # additionally sf0.1-parity-green.
     registry.prioritize(
         [
             # (a) reference identity, pinned
