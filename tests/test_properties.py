@@ -523,3 +523,85 @@ def test_bmp_ppm_decode_roundtrip(w, h, seed, top_down):
     dw, dh, gray_p5 = _decode_ppm(p5)
     assert (dw, dh) == (w, h)
     assert (gray_p5 == want_gray).all()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_splits=st.integers(min_value=1, max_value=4),
+    epoch_days=st.sampled_from([1, 3, 7]),
+)
+def test_asof_epoch_appends_random(seed, n_splits, epoch_days):
+    """Epoch-layout appends == one-shot batch as-of on arbitrary random
+    frames: random left/right rows (with key skew, duplicate times and
+    a NULL-ts left row), a random epoch granularity, and the left side
+    split into 1-4 appends in random order — the presorted read after
+    staging+appends must VALUE-equal asof_join over the full frames,
+    regardless of which epochs each append touches or how appends
+    interleave across epoch boundaries."""
+    import random
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tstables_spark import get_spark
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        stage_asof_epoch_layout,
+    )
+
+    spark = get_spark("tstables_spark_tests")
+    rng = random.Random(seed)
+    n_left, n_right = 120, 40
+    lrows = [
+        (i, rng.randrange(6), rng.randrange(20 * 86400) if rng.random() > 0.02 else None)
+        for i in range(n_left)
+    ]
+    rrows = [(rng.randrange(6), rng.randrange(20 * 86400), i) for i in range(n_right)]
+    left = spark.createDataFrame(
+        lrows, "event_id long, k long, t long"
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = (
+        spark.createDataFrame(rrows, "k long, t long, val long")
+        .groupBy("k", F.timestamp_seconds("t").alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.floor(  # noqa: E731
+        F.unix_micros(t) / (epoch_days * 86400 * 1_000_000)
+    )
+    splits = [rng.randrange(n_splits) for _ in range(n_left)]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(splits)], "event_id long, split int"
+    )
+    lsplit = left.join(sdf, "event_id")
+    name = f"asof_ep_prop_{seed % 100000}_{n_splits}_{epoch_days}"
+    path = tempfile.mkdtemp(prefix="asof_ep_prop_")
+    order = list(range(n_splits))
+    rng.shuffle(order)
+    try:
+        stage_asof_epoch_layout(
+            lsplit.where(F.col("split") == order[0]).drop("split"),
+            right, "ts", "rts", "k", "k", ["val"], name, path + "/t",
+            epoch_of, num_buckets=3,
+        )
+        for s in order[1:]:
+            append_asof_epoch_layout(
+                spark, name, left=lsplit.where(F.col("split") == s).drop("split"),
+                left_on="ts", left_by="k", epoch_of=epoch_of, num_buckets=3,
+            )
+        want = {
+            tuple(r)
+            for r in asof_join(left, right, "ts", "rts", "k", "k", ["val"]).collect()
+        }
+        got = {
+            tuple(r)
+            for r in asof_join_presorted(
+                spark, name, ["event_id", "k", "ts"], ["val"]
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
