@@ -170,25 +170,22 @@ def stage_asof_layout(
     re-asserts it at the query boundary; a session without it still
     reads CORRECT results, just with a redundant in-partition Sort
     (pinned by the zero-Sort plan test in tests/test_operators.py)."""
-    left_cols = left.columns
-    rts = F.col(right_on).alias("__rts")
-    l = left.select(
-        F.col(left_by).alias(_KEY),
-        F.col(left_on).alias(_TIME),
-        F.lit(1).alias(_SIDE),
-        F.lit(None).cast(
-            right.select(F.struct(*right_values, rts).alias("s")).schema["s"].dataType
-        ).alias(_CARRY),
-        *[F.col(c) for c in left_cols],
+    carry_t = right.select(
+        F.struct(*right_values, F.col(right_on).alias("__rts")).alias("s")
+    ).schema["s"].dataType
+    union = _encode_asof_sides(
+        left,
+        right,
+        left_on,
+        right_on,
+        left_by,
+        right_by,
+        right_values,
+        left.columns,
+        carry_t,
+        lambda c: left.schema[c].dataType,
     )
-    r = right.select(
-        F.col(right_by).alias(_KEY),
-        F.col(right_on).alias(_TIME),
-        F.lit(0).alias(_SIDE),
-        F.struct(*right_values, rts).alias(_CARRY),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-    )
-    _write_asof_table(l.unionByName(r), table_name, path, num_buckets)
+    _write_asof_table(union, table_name, path, num_buckets)
 
 
 def _write_asof_table(
@@ -249,28 +246,19 @@ def append_asof_layout(
     left_cols = [c for c in staged.columns if c not in (_KEY, _TIME, _SIDE, _CARRY)]
     carry_t = staged.schema[_CARRY].dataType
     parts = [staged]
-    if left is not None:
+    if left is not None or right is not None:
         parts.append(
-            left.select(
-                F.col(left_by).alias(_KEY),
-                F.col(left_on).alias(_TIME),
-                F.lit(1).alias(_SIDE),
-                F.lit(None).cast(carry_t).alias(_CARRY),
-                *[F.col(c) for c in left_cols],
-            )
-        )
-    if right is not None:
-        rts = F.col(right_on).alias("__rts")
-        parts.append(
-            right.select(
-                F.col(right_by).alias(_KEY),
-                F.col(right_on).alias(_TIME),
-                F.lit(0).alias(_SIDE),
-                F.struct(*right_values, rts).alias(_CARRY),
-                *[
-                    F.lit(None).cast(staged.schema[c].dataType).alias(c)
-                    for c in left_cols
-                ],
+            _encode_asof_sides(
+                left,
+                right,
+                left_on,
+                right_on,
+                left_by,
+                right_by,
+                right_values,
+                left_cols,
+                carry_t,
+                lambda c: staged.schema[c].dataType,
             )
         )
     merged = reduce(DataFrame.unionByName, parts).localCheckpoint(
@@ -299,11 +287,11 @@ def _encode_asof_sides(
     right rows as (key, time, side=0, carry struct, NULL-padded left
     cols). ``left_type_of(name)`` supplies the null-padding DataTypes
     (from the inputs at stage time, from the STAGED schema at append
-    time so the encoding cannot drift). Byte-identical to the inline
-    encodings in asof_join / stage_asof_layout / append_asof_layout —
-    those legacy copies migrate here on their next behavioral round
-    (r14 note; changing them now would be output-neutral but drags
-    their four driver queries into an already-full window)."""
+    time so the encoding cannot drift). ALL FOUR layout writers
+    (stage/append x single-epoch/epoch) share this encoder (r13), so
+    the layouts' interchangeability-to-readers is structural, not
+    reviewed; only asof_join/_asof_nearest keep inline copies (their
+    encoding feeds a window directly, never a staged table)."""
     parts = []
     if left is not None:
         parts.append(

@@ -101,7 +101,12 @@ def _load_all() -> None:
     # mime gate, minhash's cache-first knob, and the CC observe probe.
     # The FULL 50-slot window was re-rehearsed green AFTER the last of
     # these (sf0.01, vanilla session), and the two epoch queries are
-    # additionally sf0.1-parity-green.
+    # additionally sf0.1-parity-green. A final late-r13 change DID
+    # re-shape the window: stage_asof_layout / append_asof_layout now
+    # encode through the shared _encode_asof_sides (output-neutral —
+    # the same bytes, now structural), so their three presorted
+    # consumers take re-check slots, displacing three more r6-head
+    # entries to the r14 queue; the window was re-rehearsed after.
     registry.prioritize(
         [
             # (a) reference identity, pinned
@@ -116,6 +121,8 @@ def _load_all() -> None:
             "stream_ohlc",
             "multimodal_schema", "multimodal_phash", "dedup_phash_band",
             "dedup_clusters", "dedup_cluster_sizes", "dedup_embed_clusters",
+            "join_asof_presorted", "join_asof_forward_presorted",
+            "join_asof_nearest_presorted",
             # (d) the legacy rows-only ANN trio (last pre-r5 entries)
             "sim_ivf", "sim_ivf_centroid", "sim_ivf_kmeans",
             # (e) oldest-evidence backfill: win_ewma (r4), then the
@@ -128,15 +135,14 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # sql_tpch_q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
+            # join_interval_overlap, join_scd2_pit,
+            # sql_tpch_q12/q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
             "agg_approx_distinct", "attribution_last_touch", "cdc_scd2",
             "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
             "drift_psi_daily", "join_existence_prefilter",
-            "join_interval_overlap", "join_scd2_pit",
-            "sql_tpch_q12",
         ]
     )
 
