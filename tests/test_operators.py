@@ -2138,3 +2138,54 @@ def test_asof_epoch_layout_null_epoch_preserved(spark, tmp_path):
         assert sum(1 for r in got if r[2] is None) == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_asof_epoch_compaction_restores_zero_sort(spark, tmp_path):
+    """compact_asof_epoch_layout: a multi-epoch table (whose reads pay
+    an in-partition Sort on the multi-file buckets) compacts into the
+    classic single-file-per-bucket layout — identical read results,
+    zero Exchange AND zero Sort afterwards (the cold-series OPTIMIZE
+    step of the epoch lifecycle)."""
+    import re
+
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        asof_join_presorted,
+        compact_asof_epoch_layout,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 7, (i * 41) % 1000) for i in range(2000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 200).alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 7, (i * 67) % 1000, i) for i in range(300)], "k long, t long, val long"
+        )
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 200).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000))  # noqa: E731
+    hot, cold = "asof_ep_hot", "asof_ep_cold"
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        stage_asof_epoch_layout(
+            left.where("event_id < 1500"), right, "ts", "rts", "k", "k",
+            ["val"], hot, str(tmp_path / "hot"), epoch_of, num_buckets=4,
+        )
+        append_asof_epoch_layout(
+            spark, hot, left=left.where("event_id >= 1500"),
+            left_on="ts", left_by="k", epoch_of=epoch_of, num_buckets=4,
+        )
+        before = asof_join_presorted(spark, hot, ["event_id", "k", "ts"], ["val"])
+        want = {tuple(r) for r in before.collect()}
+        compact_asof_epoch_layout(spark, str(tmp_path / "hot"), cold, str(tmp_path / "cold"), num_buckets=4)
+        after = asof_join_presorted(spark, cold, ["event_id", "k", "ts"], ["val"])
+        assert {tuple(r) for r in after.collect()} == want
+        plan = after._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert not re.search(r"\(\d+\) Sort ", plan), plan  # zero-Sort restored
+    finally:
+        for t in (hot, cold):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

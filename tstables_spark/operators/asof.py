@@ -487,6 +487,42 @@ def append_asof_epoch_layout(
         )
 
 
+def compact_asof_epoch_layout(
+    spark,
+    epoch_path: str,
+    table_name: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Compact a (now cold) ``stage_asof_epoch_layout`` table into the
+    single-file-per-bucket classic layout — the OPTIMIZE step of the
+    epoch lifecycle: while a series is hot, epoch appends keep write
+    I/O bounded and reads pay one in-partition Sort (multi-file
+    buckets); once it goes cold, one compaction pays that sort a final
+    time at write and every subsequent read is zero-Exchange AND
+    zero-Sort again (ts_compact's trade, applied to the as-of union).
+    The rows are already encoded — this is a pure re-layout through
+    the shared ``_write_asof_table`` writer.
+
+    ``epoch_path`` is the epoch table's DATA PATH, read as plain
+    parquet rather than through the catalog: the bucketed catalog scan
+    reports a partitioning compatible with the writer's repartition,
+    Catalyst collapses that shuffle, and the write then emits one file
+    per (source task x bucket) — multiple files per bucket, which
+    silently voids the single-file outputOrdering claim the compaction
+    exists to restore (measured r13). The plain-parquet read carries no
+    partitioning claim, so the repartition stands and each bucket gets
+    exactly one sorted file."""
+    (
+        _write_asof_table(
+            spark.read.parquet(epoch_path).drop(_EPOCH),
+            table_name,
+            path,
+            num_buckets,
+        )
+    )
+
+
 def asof_join_presorted(
     spark,
     table_name: str,
