@@ -242,6 +242,87 @@ def test_connected_components_raises_past_max_iter(spark):
     assert got == {n: 0 for n in range(9)}
 
 
+def _brute_kcore(pairs, k):
+    """Reference peel: remove nodes with degree < k until stable;
+    return {node: core_degree}."""
+    from collections import defaultdict
+
+    alive = {n for e in pairs for n in e}
+    while True:
+        deg = defaultdict(int)
+        for a, b in pairs:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {n for n in alive if deg[n] >= k}
+        if nxt == alive:
+            return {n: deg[n] for n in alive}
+        alive = nxt
+
+
+def test_kcore_peel_clique_plus_tail(spark):
+    """The 3-core of a 5-clique with a pendant chain is exactly the
+    clique: the chain peels over several rounds (each round exposes
+    the next node), exercising the multi-round fixpoint."""
+    from tstables_spark.operators.kcore import kcore_peel
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    pairs = clique + chain
+    half = spark.createDataFrame(pairs, "u long, v long")
+    de = half.selectExpr("u AS src", "v AS dst").unionAll(
+        half.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint(eager=True)
+    got = {r.node: r.c for r in kcore_peel(de, 3).collect()}
+    assert got == _brute_kcore(pairs, 3)
+    assert set(got) == set(range(5))
+
+
+def test_kcore_peel_random_graphs_match_brute_force(spark):
+    """Seeded random sparse graphs: the distributed peel equals the
+    sequential reference for several k, including empty cores."""
+    import random
+
+    from tstables_spark.operators.kcore import kcore_peel
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        pairs = sorted(
+            {
+                (a, b)
+                for _ in range(120)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        half = spark.createDataFrame(pairs, "u long, v long")
+        de = half.selectExpr("u AS src", "v AS dst").unionAll(
+            half.selectExpr("v AS src", "u AS dst")
+        ).localCheckpoint(eager=True)
+        for k in (2, 4, 7):
+            got = {r.node: r.c for r in kcore_peel(de, k).collect()}
+            assert got == _brute_kcore(pairs, k), f"trial={trial} k={k}"
+
+
+def test_kcore_peel_raises_past_max_iter(spark):
+    """An adversarial chain peels one node per round; max_iter below
+    the round count must RAISE rather than return a non-fixpoint set
+    (the unique-fixpoint contract the oracle twin relies on)."""
+    import pytest as _pytest
+
+    from tstables_spark.operators.kcore import kcore_peel
+
+    # Path graph: 2-core is empty, peeled one endpoint pair per round.
+    chain = [(i, i + 1) for i in range(8)]
+    half = spark.createDataFrame(chain, "u long, v long")
+    de = half.selectExpr("u AS src", "v AS dst").unionAll(
+        half.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint(eager=True)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore_peel(de, 2, max_iter=1)
+    assert kcore_peel(de, 2, max_iter=10).count() == 0
+
+
 def test_salted_join_rejects_right_family(spark):
     """Right/full joins would duplicate unmatched dim rows salt times —
     the contract is scoped to the inner/left family (ADVICE r2)."""

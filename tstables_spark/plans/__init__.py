@@ -36,9 +36,12 @@ def _load_all() -> None:
     # (a) the reference-identity pair, pinned permanently;
     # (b) NEW queries, never driver-checked: join_asof_epochs (the
     #     epoch-partitioned bounded-append as-of layout; its staging
-    #     deliberately drives the append path) and stream_asof_epochs
+    #     deliberately drives the append path), stream_asof_epochs
     #     (streaming foreachBatch ingest into that layout — per-batch
-    #     bounded epoch appends converging to the batch ASOF JOIN);
+    #     bounded epoch appends converging to the batch ASOF JOIN),
+    #     and graph_kcore (k-core peeling over the md5-sparsified
+    #     co-occurrence graph — the late-r13 graph-family addition;
+    #     unrolled-SQL oracle, fixpoint-unique);
     # (c) re-check slots for r13 behavioral changes, per module:
     #     - analytics.py: _edge_pin gained per-(app, key) streamed
     #       scratch caching (now via _staging.stream_pin) and
@@ -111,8 +114,9 @@ def _load_all() -> None:
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) new this round: epoch-partitioned as-of layout
-            "join_asof_epochs", "stream_asof_epochs",
+            # (b) new this round: epoch-partitioned as-of layout +
+            # the k-core graph-family addition
+            "join_asof_epochs", "stream_asof_epochs", "graph_kcore",
             # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
             "graph_triangles_approx", "graph_triangles_gate",
@@ -135,14 +139,16 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # join_interval_overlap, join_scd2_pit,
+            # join_existence_prefilter — displaced by the late-r13
+            # graph_kcore slot — plus join_interval_overlap,
+            # join_scd2_pit,
             # sql_tpch_q12/q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
             "agg_approx_distinct", "attribution_last_touch", "cdc_scd2",
             "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
-            "drift_psi_daily", "join_existence_prefilter",
+            "drift_psi_daily",
         ]
     )
 

@@ -1821,6 +1821,174 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(rounds: int = 16) -> str:
+    """Unrolled-iteration DuckDB twin of graph_kcore. Peeling is a
+    monotone fixpoint (Batagelj-Zaversnik): every post-fixpoint round
+    reproduces the same survivor set, so unrolling MORE rounds than
+    convergence needs is a no-op — 16 unrolled rounds cover the
+    fixtures' measured 4 (sf0.01) / 7 (sf0.1) with margin, and the
+    Spark side raises rather than return a non-fixpoint set. Every
+    quantity in the iteration is an integer (degrees, the rank-based
+    median, k), so the fixpoint is bit-identical across engines.
+
+    The edge relation and every round are AS MATERIALIZED: each round
+    references its predecessor TWICE (both join legs), so DuckDB's
+    default CTE inlining would expand round 16 into 2^16 copies of
+    the edge derivation (measured: exhausts file handles before it
+    exhausts patience)."""
+    cte = [
+        """
+    b0 AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 600000000 AS bucket
+      FROM events),
+    b AS (
+      SELECT user_id, bucket FROM (
+        SELECT user_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY user_id) AS rn
+        FROM b0) WHERE rn <= 256),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.user_id < b2.user_id),
+    se AS (
+      SELECT u, v FROM edges
+      WHERE substring(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)),
+                      1, 2) < '10'),
+    de AS MATERIALIZED (SELECT u AS src, v AS dst FROM se
+           UNION ALL
+           SELECT v AS src, u AS dst FROM se),
+    d0 AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+           FROM de GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+    md AS (SELECT c AS med FROM (
+             SELECT c, row_number() OVER (ORDER BY c) AS rn FROM d0)
+           WHERE rn = (SELECT (n + 1) // 2 FROM nn)),
+    kk AS (SELECT GREATEST(CAST(2 AS BIGINT), 3 * med // 4) AS k FROM md),
+    a0 AS MATERIALIZED (SELECT node, c FROM d0 WHERE c >= (SELECT k FROM kk))"""
+    ]
+    for i in range(1, rounds + 1):
+        cte.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT de.src AS node, CAST(count(*) AS BIGINT) AS c
+      FROM de JOIN a{i-1} x ON de.src = x.node
+              JOIN a{i-1} y ON de.dst = y.node
+      GROUP BY de.src HAVING count(*) >= (SELECT k FROM kk))""")
+    return (
+        "WITH" + ",".join(cte)
+        + f"""
+    SELECT node AS user_id, c AS core_degree, (SELECT k FROM kk) AS k
+    FROM a{rounds}
+    """
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE DECOMPOSITION (fixed data-derived k) over a sparsified
+    co-occurrence graph: the unique maximal subgraph in which every
+    surviving user still has >= k surviving neighbors — the density
+    backbone behind spam-ring extraction, loyal-cohort mining and
+    "dense community" crawl gates, completing the graph family
+    (degree dist / pagerank / triangles / jaccard) with its canonical
+    degeneracy probe. No upstream-tstables analogue (SURVEY §0: the
+    reference is a range-read store); graded as a pipeline operator.
+
+    Graph: the capped bucket-co-occurrence edges (graph_degree_dist's
+    derivation, shared helper) SPARSIFIED by a deterministic md5 edge
+    cut (keep md5(u_v) 2-hex prefix < '10', p = 1/16 — the DOULION
+    device, reused verbatim so both engines drop identical edges).
+    The raw 10-minute co-occurrence graph is near-regular
+    (min/median/max degree 70/94/115 at sf0.01 — every fixed or
+    quantile-derived k measured either kept everyone or cascaded to
+    empty); the sparsified graph has binomial degrees and a real core
+    structure. k = max(2, 3*median_degree div 4), an exact rank-based
+    integer statistic (value at ascending rank (n+1) div 2) — scale-
+    free, and measured non-trivial at both fixture scales: sf0.01
+    peels 27/150 nodes in 4 rounds (k=4), sf0.1 peels 56/1500 in 7
+    (k=44).
+
+    Correctness shape: every iteration quantity is an integer and the
+    peel is a MONOTONE unique fixpoint (removal order irrelevant —
+    Batagelj-Zaversnik), so the result hash-matches an unrolled-SQL
+    oracle exactly; over-unrolled rounds are no-ops, and the kernel
+    RAISES if max_iter is hit rather than return a non-fixpoint set.
+
+    Scale shape: the directed edge relation materializes ONCE via
+    _edge_pin (serialized checkpoint under the pair-mass bound,
+    streamed bucketed-by-src scratch table above it — zero-exchange
+    groupBy(src) off the bucketed scan); each round joins it against
+    two O(nodes) survivor legs (broadcast under the node bound,
+    shuffle-hash above — the graph_pagerank two-knob strategy),
+    aggregates src-side with map-side combine, and pins one O(nodes)
+    relation whose convergence count rides the SAME job via
+    observe() (the CC kernel's probe discipline: one job per round,
+    O(1) to the driver). The median comes from a degree HISTOGRAM +
+    distributed_cumsum — no global single-task sort at any node
+    count."""
+    from tstables_spark.operators.kcore import kcore_peel
+    from tstables_spark.operators.packing import distributed_cumsum
+
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.select(
+        "user_id",
+        F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket"),
+    ).distinct()
+    n_est, pair_est = _graph_scale_stats(b0, cap=256)
+    big_nodes = n_est > _PR_BROADCAST_NODES_MAX
+    # The md5 cut keeps 16/256 of edges uniformly, so the expected
+    # sampled pair mass is pair_est/16; size the pin decision on that
+    # (pair_est itself is already an upper bound on the unsampled
+    # edge count, so the scaled figure stays conservative in
+    # expectation — and flipping to the streamed layout early is
+    # harmless, flipping late is the OOM).
+    big_edges = (pair_est * 16) // 256 > _EDGE_PIN_PAIRS_MAX
+    half = cooccurrence_edges(b0, cap=256).where(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit("_"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "10"
+    )
+    de = _edge_pin(
+        half.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+        big_edges,
+        "kcore_de",
+        cache_key=(sf_dir, "kcore", "10"),
+    )
+    # k = max(2, 3*med div 4); med = exact ascending-rank median of
+    # full-graph degrees. Histogram (O(distinct degree values) rows)
+    # + two-phase distributed prefix sum — no single-task window; the
+    # two collects are 1-row contract-bounded aggregates.
+    deg0 = de.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = deg0.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    rank = (n + 1) // 2
+    hist = deg0.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    med = (
+        distributed_cumsum(hist, ["c"], ["cnt"])
+        .where(F.col("cum_cnt") >= rank)
+        .agg(F.min("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    k = max(2, 3 * med // 4)
+    core = kcore_peel(de, k, big_nodes=big_nodes)
+    return core.select(
+        F.col("node").alias("user_id"),
+        F.col("c").alias("core_degree"),
+        F.lit(k).cast("long").alias("k"),
+    )
+
+
 @query(
     "agg_linear_regression",
     oracle=f"""
