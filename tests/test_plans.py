@@ -502,3 +502,76 @@ def test_r13_minhash_big_path_identical(spark, sf_dir, monkeypatch):
     assert {
         k: v for k, v in _STREAM_PINNED.items() if k[1].startswith("mh_")
     } == staged  # reused, not re-staged
+
+
+def test_r13_kn_score_matches_python_reference(spark):
+    """lm_kn_score's scale-12 fixed point pinned against a plain-Python
+    Kneser-Ney reference computed from the same parquet with exact
+    integer arithmetic (the unit-pin discipline of bpe_train/vocab)."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    big_occ = []
+    for _, r in docs.iterrows():
+        t = r.text.lower().split(" ")
+        big_occ += [(int(r.doc_id), (t[i], t[i + 1])) for i in range(len(t) - 1)]
+    c12 = Counter(g for _, g in big_occ)
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    B = len(c12)
+    p12 = {
+        (w1, w2): (max(4 * c - 3, 0) * B + 3 * n1f[w1] * n1b[w2])
+        * 10**12
+        // (4 * c1[w1] * B)
+        for (w1, w2), c in c12.items()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for d, g in big_occ:
+        want[d][0] += 1
+        want[d][1] += p12[g]
+    got = {
+        r.doc_id: (r.n_bigrams, r.score12)
+        for r in QUERIES["lm_kn_score"](spark, sf).collect()
+    }
+    assert got == {d: (n, s) for d, (n, s) in want.items()}
+
+
+def test_r13_theta_sketch_exact_when_sets_small(spark):
+    """KMV contract: when both day-audiences hold fewer than k hashes
+    the sketch IS the set, so the intersection estimate must equal the
+    exact count (the sentinel-theta path) — true for every pair at
+    sf0.001 (~15 users/day/type << k=256)."""
+    rows = QUERIES["agg_theta_sketch"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.est_inter == float(r.exact_inter), r
+        assert r.inter_ok
+
+
+def test_r13_dedup_url_collapses_noise_groups(spark):
+    """Every synthesized 3-variant group (mixed case + trailing slash +
+    utm + fragment + :443 + param order + ref) collapses to ONE
+    canonical URL with the min doc_id surviving (the trailing group is
+    partial when the doc count doesn't divide by 3)."""
+    rows = QUERIES["dedup_url"](spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, []).append(r)
+    partial = sum(1 for grp in by_canon.values() if len(grp) != 3)
+    assert partial == (1 if n % 3 else 0)
+    for canon, grp in by_canon.items():
+        ids = sorted(x.doc_id for x in grp)
+        assert all(x.n_dups == len(grp) for x in grp)
+        assert all(x.survivor == ids[0] for x in grp)
+        assert [x.is_dup for x in sorted(grp, key=lambda x: x.doc_id)] == [
+            False] + [True] * (len(grp) - 1)
+        assert "#" not in canon and ":443" not in canon
+        assert "utm_" not in canon and "ref=" not in canon

@@ -39,9 +39,13 @@ def _load_all() -> None:
     #     deliberately drives the append path), stream_asof_epochs
     #     (streaming foreachBatch ingest into that layout — per-batch
     #     bounded epoch appends converging to the batch ASOF JOIN),
-    #     and graph_kcore (k-core peeling over the md5-sparsified
-    #     co-occurrence graph — the late-r13 graph-family addition;
-    #     unrolled-SQL oracle, fixpoint-unique);
+    #     and the four late-r13 additions: graph_kcore (k-core
+    #     peeling over the md5-sparsified co-occurrence graph;
+    #     unrolled-SQL oracle, fixpoint-unique), agg_theta_sketch
+    #     (portable KMV/theta intersection — estimates themselves
+    #     hash-checked, not just tolerance booleans), lm_kn_score
+    #     (Kneser-Ney bigram LM scoring, scale-12 fixed point), and
+    #     dedup_url (URL canonicalization dedup, scan-side HOFs);
     # (c) re-check slots for r13 behavioral changes, per module:
     #     - analytics.py: _edge_pin gained per-(app, key) streamed
     #       scratch caching (now via _staging.stream_pin) and
@@ -115,8 +119,9 @@ def _load_all() -> None:
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
             # (b) new this round: epoch-partitioned as-of layout +
-            # the k-core graph-family addition
+            # the four late-r13 operator additions
             "join_asof_epochs", "stream_asof_epochs", "graph_kcore",
+            "agg_theta_sketch", "lm_kn_score", "dedup_url",
             # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
             "graph_triangles_approx", "graph_triangles_gate",
@@ -139,16 +144,16 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # join_existence_prefilter — displaced by the late-r13
-            # graph_kcore slot — plus join_interval_overlap,
+            # dedup_paragraphs, doc_tfidf, drift_psi_daily,
+            # join_existence_prefilter — displaced by the four
+            # late-r13 new-query slots — plus join_interval_overlap,
             # join_scd2_pit,
             # sql_tpch_q12/q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
             "agg_approx_distinct", "attribution_last_touch", "cdc_scd2",
-            "dedup_ngram_coverage", "dedup_paragraphs", "doc_tfidf",
-            "drift_psi_daily",
+            "dedup_ngram_coverage",
         ]
     )
 

@@ -490,6 +490,134 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lm_kn_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+    big AS MATERIALIZED (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2),
+    bg AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2),
+    cw1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM bg GROUP BY 1),
+    cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+            FROM bg GROUP BY 1),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+    p AS MATERIALIZED (
+      SELECT bg.w1, bg.w2,
+             CAST(((CAST(greatest(4 * bg.c12 - 3, 0) AS HUGEINT) * bb.nb
+                    + 3 * cw1.n1f * cw2.n1b) * 1000000000000)
+                  // (4 * CAST(cw1.c1 AS HUGEINT) * bb.nb) AS BIGINT)
+               AS p12
+      FROM bg JOIN cw1 ON bg.w1 = cw1.w1
+              JOIN cw2 ON bg.w2 = cw2.w2, bb),
+    pd AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p.p12) AS BIGINT) AS score12
+      FROM big b JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, score12,
+           round(CAST(score12 AS DOUBLE)
+                 / (CAST(n_bigrams AS DOUBLE) * 1e12), 6) AS mean_pkn
+    FROM pd
+    """,
+)
+def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram LM document scoring (d = 0.75) —
+    the actual CCNet/cc_net-style language-model quality filter,
+    completing the LM trio: lm_unigram_score (frequency typicality),
+    lm_bigram_score (order typicality), and this — a proper
+    conditional probability with absolute discounting and the
+    continuation-probability backoff that makes KN the standard
+    n-gram smoother (Kneser & Ney 1995; Chen & Goodman 1999):
+
+        P_kn(w2|w1) = max(c(w1w2) - d, 0)/c(w1)
+                      + d·N1+(w1·)/c(w1) · N1+(·w2)/B
+
+    where N1+(w1·)/N1+(·w2) are distinct-continuation counts and B
+    the number of distinct bigram types ("how many contexts does w2
+    complete" — the reason 'francisco' scores low despite high
+    frequency). A document's score is the sum of P_kn over its bigram
+    occurrences; gibberish scores near 1/B per bigram, fluent text
+    orders of magnitude higher.
+
+    Hash-stability discipline (the graph_pagerank lesson): d = 3/4
+    makes every term rational, so P_kn is computed as a scale-12
+    FIXED-POINT integer in one exact division —
+    ((max(4·c12−3,0)·B + 3·N1f·N1b) · 10¹²) div (4·c1·B) — carried in
+    DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (max
+    numerator ~10²⁴, well inside both), truncated identically (all
+    terms non-negative, so trunc = floor). Per-doc score12 is an
+    order-insensitive BIGINT sum; ONE final IEEE divide reports the
+    mean probability at 6dp. No log, no per-token transcendental.
+
+    Scale shape: bigram construction is scan-side (transform over the
+    held token array + one explode, the lm_bigram_score plan); the
+    model is three partial-agg'd aggregates over bigram TYPES (not
+    occurrences) plus a 1-row type count; scoring re-joins occurrences
+    to the p12 relation on the bigram key — the only occurrence-sized
+    shuffles are the type aggregate and this scoring join, both
+    map-side combined. Nothing vocabulary-sized reaches the driver."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+        ),
+    )
+    big = base.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cw1 = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cw2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nb"))
+    p = (
+        bg.join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                "CAST((CAST(greatest(4L*c12 - 3L, 0L) AS DECIMAL(38,0))"
+                "       * CAST(nb AS DECIMAL(38,0))"
+                "      + CAST(3L*n1f*n1b AS DECIMAL(38,0)))"
+                "     * CAST(1000000000000 AS DECIMAL(38,0))"
+                "     div (CAST(4L*c1 AS DECIMAL(38,0))"
+                "          * CAST(nb AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("p12"),
+        )
+    )
+    pd_ = (
+        big.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p12").alias("score12"),
+        )
+    )
+    return pd_.select(
+        "doc_id",
+        "n_bigrams",
+        "score12",
+        F.round(
+            F.col("score12").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("mean_pkn"),
+    )
+
+
 def _bpe_oracle(n: int) -> str:
     """Unrolled-SQL twin of operators/bpe.py::bpe_train for ``n``
     rounds: each round re-derives pair counts from the previous symbol

@@ -69,6 +69,143 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://cdn' || CAST(doc_id // 3 % 7 AS VARCHAR)
+            || '.example.com/items/' || CAST(doc_id // 3 AS VARCHAR)
+            || '?lang=x' || CAST(doc_id // 3 % 3 AS VARCHAR) || '&v=2'
+          WHEN 1 THEN 'HTTPS://CDN' || CAST(doc_id // 3 % 7 AS VARCHAR)
+            || '.Example.COM/items/' || CAST(doc_id // 3 AS VARCHAR)
+            || '/?utm_source=feed&lang=x' || CAST(doc_id // 3 % 3 AS VARCHAR)
+            || '&v=2#frag'
+          ELSE 'https://cdn' || CAST(doc_id // 3 % 7 AS VARCHAR)
+            || '.example.com:443/items/' || CAST(doc_id // 3 AS VARCHAR)
+            || '?v=2&ref=tw&lang=x' || CAST(doc_id // 3 % 3 AS VARCHAR)
+        END AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+        || regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             ':443$', '')
+        || regexp_replace(
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+             '/$', '')
+        || CASE WHEN array_to_string(list_sort(list_filter(
+                  str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_')
+                       AND NOT starts_with(p, 'ref='))), '&') = ''
+                THEN ''
+                ELSE '?' || array_to_string(list_sort(list_filter(
+                  str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_')
+                       AND NOT starts_with(p, 'ref='))), '&')
+           END AS canonical
+      FROM u),
+    g AS (
+      SELECT canonical, CAST(min(doc_id) AS BIGINT) AS survivor,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM c GROUP BY 1)
+    SELECT c.doc_id, c.url, c.canonical, g.survivor, g.n_dups,
+           c.doc_id <> g.survivor AS is_dup
+    FROM c JOIN g ON c.canonical = g.canonical
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION DEDUP — the first dedup pass of every
+    crawl pipeline (CommonCrawl/C4 both run it before any content
+    hash): case-fold scheme and host, strip the default :443 port,
+    drop the fragment, remove tracking parameters (utm_*, ref=),
+    SORT the surviving query parameters, and strip the trailing
+    slash; then keep the lowest doc_id per canonical URL. Three noisy
+    variants per target are synthesized from fixture columns (the
+    corpus has no URL column — the fn_url precedent), covering
+    exactly the noise classes the canonicalizer must collapse:
+    mixed-case scheme/host + trailing slash + utm + fragment, and
+    explicit default port + shuffled params + ref tracker. Output is
+    per-doc (url, canonical, survivor, group size, is_dup) — every
+    group of 3 collapses to one survivor.
+
+    Scale shape: canonicalization is pure scan-side JVM expression
+    work (regexp extraction + ONE higher-order filter/sort over the
+    split parameter array — no UDF, stays in whole-stage codegen);
+    the only shuffle is the canonical-keyed min/count aggregate and
+    the join back of the O(groups) relation on the same key (the
+    dedup_exact shape with a computed key). Survivor choice min(id)
+    is order-insensitive."""
+    d = load(spark, sf_dir, "documents")
+    gid = F.expr("doc_id div 3")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://cdn"), (gid % 7).cast("string"),
+                F.lit(".example.com/items/"), gid.cast("string"),
+                F.lit("?lang=x"), (gid % 3).cast("string"), F.lit("&v=2"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTPS://CDN"), (gid % 7).cast("string"),
+                F.lit(".Example.COM/items/"), gid.cast("string"),
+                F.lit("/?utm_source=feed&lang=x"), (gid % 3).cast("string"),
+                F.lit("&v=2#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn"), (gid % 7).cast("string"),
+                F.lit(".example.com:443/items/"), gid.cast("string"),
+                F.lit("?v=2&ref=tw&lang=x"), (gid % 3).cast("string"),
+            )
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "")
+            & ~F.startswith(p, F.lit("utm_"))
+            & ~F.startswith(p, F.lit("ref=")),
+        )
+    )
+    qs = F.array_join(params, "&")
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            ":443$",
+            "",
+        ),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/$",
+            "",
+        ),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    c = u.select("doc_id", "url", canonical.alias("canonical"))
+    g = c.groupBy("canonical").agg(
+        F.min("doc_id").alias("survivor"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return c.join(g, "canonical").select(
+        "doc_id",
+        "url",
+        "canonical",
+        "survivor",
+        "n_dups",
+        (F.col("doc_id") != F.col("survivor")).alias("is_dup"),
+    )
+
+
+@query(
     "dedup_near",
     oracle="""
     WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),

@@ -1205,6 +1205,250 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_HEX13 = 4503599627370496.0  # 16^13 = 2^52: first-13-hex-digit hash space
+
+
+@query(
+    "agg_theta_sketch",
+    oracle=f"""
+    WITH m AS MATERIALIZED (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    sk AS MATERIALIZED (
+      SELECT event_type, day, h FROM (
+        SELECT event_type, day, h,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY h) AS rn
+        FROM m) WHERE rn <= {_KMV_K}),
+    th AS (SELECT event_type, day, max(h) AS kth, count(*) AS c
+           FROM sk GROUP BY 1, 2),
+    theta AS (SELECT event_type, day,
+                     CASE WHEN c >= {_KMV_K} THEN kth END AS theta
+              FROM th),
+    ex AS MATERIALIZED (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS exact_n
+      FROM m GROUP BY 1, 2),
+    exi AS (
+      SELECT a.event_type, a.day AS day_a, b.day AS day_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM m a JOIN m b ON a.event_type = b.event_type
+                       AND a.user_id = b.user_id
+                       AND b.day = a.day + 1
+      GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT sa.event_type, sa.day AS day_a, sb.day AS day_b, sa.h
+      FROM sk sa JOIN sk sb ON sa.event_type = sb.event_type
+                           AND sa.h = sb.h AND sb.day = sa.day + 1),
+    pe AS (
+      SELECT p.event_type, p.day_a, p.day_b,
+             least(coalesce(ta.theta, 'g'), coalesce(tb.theta, 'g'))
+               AS theta,
+             count(*) FILTER (WHERE p.h <
+               least(coalesce(ta.theta, 'g'), coalesce(tb.theta, 'g')))
+               AS c
+      FROM pairs p
+      JOIN theta ta ON ta.event_type = p.event_type AND ta.day = p.day_a
+      JOIN theta tb ON tb.event_type = p.event_type AND tb.day = p.day_b
+      GROUP BY 1, 2, 3,
+               least(coalesce(ta.theta, 'g'), coalesce(tb.theta, 'g')))
+    SELECT e.event_type,
+           CAST(e.day_a AS VARCHAR) AS day_a,
+           CAST(e.day_b AS VARCHAR) AS day_b,
+           xa.exact_n AS exact_a, xb.exact_n AS exact_b, e.exact_inter,
+           coalesce(CASE
+             WHEN p.theta IS NULL OR p.theta = 'g' THEN CAST(p.c AS DOUBLE)
+             ELSE round(CAST(p.c AS DOUBLE) * {_HEX13}
+                        / CAST(('0x' || substr(p.theta, 1, 13)) AS BIGINT),
+                        6)
+           END, 0.0) AS est_inter,
+           coalesce(abs(coalesce(CASE
+             WHEN p.theta IS NULL OR p.theta = 'g' THEN CAST(p.c AS DOUBLE)
+             ELSE round(CAST(p.c AS DOUBLE) * {_HEX13}
+                        / CAST(('0x' || substr(p.theta, 1, 13)) AS BIGINT),
+                        6)
+           END, 0.0) - e.exact_inter)
+             <= greatest(0.30 * e.exact_inter, 15.0), FALSE) AS inter_ok
+    FROM exi e
+    JOIN ex xa ON xa.event_type = e.event_type AND xa.day = e.day_a
+    JOIN ex xb ON xb.event_type = e.event_type AND xb.day = e.day_b
+    LEFT JOIN pe p ON p.event_type = e.event_type
+                  AND p.day_a = e.day_a AND p.day_b = e.day_b
+    """,
+)
+def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/THETA SKETCH SET INTERSECTION — the one set operation the
+    HLL family cannot answer: day-over-day retained audience per event
+    type, estimated from two mergeable k-minimum-values sketches
+    (k=256) and audited against the exact intersection in-data.
+    HLL sketches union losslessly but have no intersection operator
+    (inclusion-exclusion explodes the error); a KMV/theta sketch IS a
+    uniform hash sample of the set, so |A∩B| ≈ |{{h ∈ S_A∩S_B : h<θ}}|/θ
+    with θ = min(θ_A, θ_B) (Beyer et al., "On Synopses for Distinct-
+    Value Estimation Under Multiset Operations", SIGMOD'07 — the
+    Datasketches theta-sketch design). Unlike agg_hll_sketch_union
+    (whose JVM sketch bytes are engine-private, so only tolerance
+    booleans cross the oracle), the KMV sketch here is the portable
+    md5 order statistic — BOTH engines build the identical sketch, so
+    the ESTIMATES themselves hash-match exactly, and the tolerance
+    audit (est within max(30%, 15) of exact — the 1/sqrt(k·J)
+    concentration with tail slack; measured max rel err 22% at sf0.1,
+    exact at sf0.01 where sets < k) is checked on top.
+
+    Scale shape: sketches are per-(type, day) k-smallest order
+    statistics built in TWO window stages — first within
+    (type, day, salt=hash(user)%32) partitions, then over the ≤ 32k
+    salted survivors — so no single task ever sorts a full group (the
+    distributed top-k discipline); everything downstream touches only
+    O(groups × k) sketch rows. The exact audit joins distinct
+    memberships (|users| rows/day), the expensive-but-checkable half
+    that exists only to grade the sketch; a production pipeline ships
+    sketches alone — one 256-row relation per partition, mergeable by
+    min-merge, no re-scan of history."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    )
+    s1 = (
+        m.withColumn("salt", F.pmod(F.hash("user_id"), F.lit(32)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type", "day", "salt").orderBy("h")
+            ),
+        )
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn", "salt", "user_id")
+    )
+    sk = (
+        s1.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type", "day").orderBy("h")),
+        )
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    theta = (
+        sk.groupBy("event_type", "day")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("c") >= _KMV_K, F.col("kth")).alias("theta"),
+        )
+    )
+    ex = m.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    ma, mb = m.alias("ma"), m.alias("mb")
+    exi = (
+        ma.join(
+            mb,
+            (F.col("ma.event_type") == F.col("mb.event_type"))
+            & (F.col("ma.user_id") == F.col("mb.user_id"))
+            & (F.col("mb.day") == F.date_add(F.col("ma.day"), 1)),
+        )
+        .groupBy(
+            F.col("ma.event_type").alias("event_type"),
+            F.col("ma.day").alias("day_a"),
+            F.col("mb.day").alias("day_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    pairs = sa.join(
+        sb,
+        (F.col("sa.event_type") == F.col("sb.event_type"))
+        & (F.col("sa.h") == F.col("sb.h"))
+        & (F.col("sb.day") == F.date_add(F.col("sa.day"), 1)),
+    ).select(
+        F.col("sa.event_type").alias("event_type"),
+        F.col("sa.day").alias("day_a"),
+        F.col("sb.day").alias("day_b"),
+        F.col("sa.h").alias("h"),
+    )
+    ta, tb = theta.alias("ta"), theta.alias("tb")
+    th_pair = F.least(
+        F.coalesce(F.col("ta.theta"), F.lit("g")),
+        F.coalesce(F.col("tb.theta"), F.lit("g")),
+    )
+    pe = (
+        pairs.join(
+            F.broadcast(ta),
+            (F.col("ta.event_type") == pairs["event_type"])
+            & (F.col("ta.day") == pairs["day_a"]),
+        )
+        .join(
+            F.broadcast(tb),
+            (F.col("tb.event_type") == pairs["event_type"])
+            & (F.col("tb.day") == pairs["day_b"]),
+        )
+        .groupBy(
+            pairs["event_type"].alias("event_type"),
+            "day_a",
+            "day_b",
+            th_pair.alias("theta"),
+        )
+        .agg(
+            F.sum(F.when(F.col("h") < th_pair, 1).otherwise(0)).alias("c")
+        )
+    )
+    est = F.coalesce(
+        F.when(
+            F.col("pe.theta").isNull() | (F.col("pe.theta") == "g"),
+            F.col("pe.c").cast("double"),
+        ).otherwise(
+            F.round(
+                F.col("pe.c").cast("double")
+                * F.lit(_HEX13)
+                / F.conv(F.substring("pe.theta", 1, 13), 16, 10).cast("long"),
+                6,
+            )
+        ),
+        F.lit(0.0),
+    )
+    exa, exb = ex.alias("exa"), ex.alias("exb")
+    return (
+        exi.alias("exi")
+        .join(
+            F.broadcast(exa),
+            (F.col("exa.event_type") == F.col("exi.event_type"))
+            & (F.col("exa.day") == F.col("exi.day_a")),
+        )
+        .join(
+            F.broadcast(exb),
+            (F.col("exb.event_type") == F.col("exi.event_type"))
+            & (F.col("exb.day") == F.col("exi.day_b")),
+        )
+        .join(
+            F.broadcast(pe.alias("pe")),
+            (F.col("pe.event_type") == F.col("exi.event_type"))
+            & (F.col("pe.day_a") == F.col("exi.day_a"))
+            & (F.col("pe.day_b") == F.col("exi.day_b")),
+            "left",
+        )
+        .select(
+            F.col("exi.event_type").alias("event_type"),
+            F.col("exi.day_a").cast("string").alias("day_a"),
+            F.col("exi.day_b").cast("string").alias("day_b"),
+            F.col("exa.exact_n").alias("exact_a"),
+            F.col("exb.exact_n").alias("exact_b"),
+            F.col("exi.exact_inter").alias("exact_inter"),
+            est.alias("est_inter"),
+            F.coalesce(
+                F.abs(est - F.col("exi.exact_inter"))
+                <= F.greatest(
+                    F.lit(0.30) * F.col("exi.exact_inter"), F.lit(15.0)
+                ),
+                F.lit(False),
+            ).alias("inter_ok"),
+        )
+    )
+
+
 @query(
     "join_existence_prefilter",
     oracle="""
