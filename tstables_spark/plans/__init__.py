@@ -44,8 +44,10 @@ def _load_all() -> None:
     #     unrolled-SQL oracle, fixpoint-unique), agg_theta_sketch
     #     (portable KMV/theta intersection — estimates themselves
     #     hash-checked, not just tolerance booleans), lm_kn_score
-    #     (Kneser-Ney bigram LM scoring, scale-12 fixed point), and
-    #     dedup_url (URL canonicalization dedup, scan-side HOFs);
+    #     (Kneser-Ney bigram LM scoring, scale-12 fixed point),
+    #     dedup_url (URL canonicalization dedup, scan-side HOFs), and
+    #     stream_theta (the KMV maintainer — stream-merged ==
+    #     batch-built hash by hash, bounded groups×k state);
     # (c) re-check slots for r13 behavioral changes, per module:
     #     - analytics.py: _edge_pin gained per-(app, key) streamed
     #       scratch caching (now via _staging.stream_pin) and
@@ -122,6 +124,7 @@ def _load_all() -> None:
             # the four late-r13 operator additions
             "join_asof_epochs", "stream_asof_epochs", "graph_kcore",
             "agg_theta_sketch", "lm_kn_score", "dedup_url",
+            "stream_theta",
             # (c) r13 behavioral-change re-checks (see policy note)
             "graph_pagerank", "graph_triangles",
             "graph_triangles_approx", "graph_triangles_gate",
@@ -144,16 +147,15 @@ def _load_all() -> None:
             "ts_interval_merge", "ts_sessionize", "win_corr",
             "win_drawdown", "win_rolling_median",
             # (e) r6-cohort head, to the 50 cut (tail queued for r14:
-            # dedup_paragraphs, doc_tfidf, drift_psi_daily,
-            # join_existence_prefilter — displaced by the four
-            # late-r13 new-query slots — plus join_interval_overlap,
-            # join_scd2_pit,
+            # dedup_ngram_coverage, dedup_paragraphs, doc_tfidf,
+            # drift_psi_daily, join_existence_prefilter — displaced
+            # by the five late-r13 new-query slots — plus
+            # join_interval_overlap, join_scd2_pit,
             # sql_tpch_q12/q13/q14/q15/q16/q17/q18/q19/q4/q6/q8, token_pmi, ts_autocorr,
             # ts_cusum, ts_peak_detect, ts_rate, ts_seasonal_profile,
             # ts_state_durations, udtf_python, win_first_last,
             # win_minmax_norm, win_rsi, win_streaks)
             "agg_approx_distinct", "attribution_last_touch", "cdc_scd2",
-            "dedup_ngram_coverage",
         ]
     )
 

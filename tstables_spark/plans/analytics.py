@@ -1956,14 +1956,28 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < "10"
     )
-    de = _edge_pin(
-        half.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        ),
-        big_edges,
-        "kcore_de",
-        cache_key=(sf_dir, "kcore", "10"),
-    )
+    if big_edges:
+        # Streamed scratch table holds the directed list (the stream
+        # is constant-memory regardless of size; consumers re-scan
+        # files) — the pagerank big-edge discipline via _edge_pin.
+        de = _edge_pin(
+            half.select(
+                F.col("u").alias("src"), F.col("v").alias("dst")
+            ).unionAll(
+                half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+            ),
+            True,
+            "kcore_de",
+            cache_key=(sf_dir, "kcore", "10"),
+        )
+    else:
+        # Pin the HALF list (the _EDGE_PIN_PAIRS_MAX bound is in
+        # half-edges — pinning 2|E| is the r11 pagerank OOM); both
+        # directions derive lazily from the pinned rows.
+        eh = _edge_pin(half, False, "kcore_eh")
+        de = eh.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(eh.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     # k = max(2, 3*med div 4); med = exact ascending-rank median of
     # full-graph degrees. Histogram (O(distinct degree values) rows)
     # + two-phase distributed prefix sum — no single-task window; the

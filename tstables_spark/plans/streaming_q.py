@@ -779,6 +779,94 @@ def stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_theta",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events)
+    SELECT event_type, CAST(day AS VARCHAR) AS day, h FROM (
+      SELECT event_type, day, h,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY h) AS rn
+      FROM m) WHERE rn <= 256
+    """,
+)
+def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV/THETA SKETCH maintained INCREMENTALLY over the event
+    stream — agg_theta_sketch's maintainer, completing the streaming
+    sketch family (stream_cms frequency, stream_bloom membership,
+    stream_qsketch/kll rank statistics, this one DISTINCT-SET algebra
+    incl. intersection). KMV truncation is an associative, lossy-but-
+    sufficient merge: k-smallest(k-smallest(A) ∪ k-smallest(B)) =
+    k-smallest(A ∪ B), so folding each micro-batch's hashes into the
+    k-per-group state and re-truncating converges to EXACTLY the
+    batch sketch — the oracle is the batch KMV over the same events
+    (4 files, one per trigger), and the hash match proves
+    stream-merged == batch-built bit-for-bit, hash by hash (the
+    portable-md5 advantage over JVM-private sketch bytes again).
+
+    Scale shape: state is a parquet relation bounded at groups x k
+    rows REGARDLESS of stream length (the sketching point); each
+    trigger unions the batch's distinct (group, hash) rows, dedups,
+    and re-truncates with a per-group window over <= state + batch
+    rows — the same pay-per-batch-not-per-history discipline as the
+    epoch as-of ingest. Versioned state dirs keep each rewrite
+    atomic-by-rename semantics simple (read v{i-1}, write v{i})."""
+    from pyspark.sql import Window as Wnd
+
+    from tstables_spark.plans.relational import _KMV_K
+
+    ev = load(spark, sf_dir, "events")
+    sdir = scratch_dir(spark, "theta_src_") + "/events"
+    ev.repartition(4).write.mode("overwrite").parquet(sdir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    base = scratch_dir(spark, "theta_state_")
+    state: dict = {"path": None}
+
+    def merge(batch: DataFrame, bid: int) -> None:
+        m = batch.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+        allr = (
+            m
+            if state["path"] is None
+            else spark.read.parquet(state["path"]).unionByName(m)
+        )
+        sk = (
+            allr.dropDuplicates(["event_type", "day", "h"])
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Wnd.partitionBy("event_type", "day").orderBy("h")
+                ),
+            )
+            .where(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+        newp = f"{base}/v{bid}"
+        sk.write.mode("overwrite").parquet(newp)
+        state["path"] = newp
+
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"]).select(
+        "event_type", F.col("day").cast("string").alias("day"), "h"
+    )
+
+
 from tstables_spark.plans.timeseries import V_PATTERN_ORACLE
 
 
