@@ -80,6 +80,13 @@ HEADLINE = [
     # path; its exact-vs-estimate gate stays out of the headline — it
     # runs the exact census graph_triangles already covers)
     "graph_triangles_approx",
+    # late-r13 additions: the iterative peel (edge pin staged in the
+    # warm pass), the KMV intersection (sketch + exact audit), and the
+    # Kneser-Ney LM score (the heaviest of the new text passes —
+    # bigram-type model + occurrence re-join)
+    "graph_kcore",
+    "agg_theta_sketch",
+    "lm_kn_score",
 ]
 
 # A single timing rides this box's ±1.5x load-noise band (SCALE.md

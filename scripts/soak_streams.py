@@ -236,6 +236,72 @@ def soak_kll(spark, ev_src):
     return rows
 
 
+def soak_theta(spark, ev_src):
+    """foreachBatch KMV fold (stream_theta's merge, r13): state is the
+    groups x k sketch parquet; per-batch cost = union(state, batch) +
+    per-group truncation window, so the state curve must SATURATE at
+    groups*k rows (38.4k at sf0.1: 5 types x 30 days x k=256) while
+    per-batch latency stays flat — never per-history."""
+    from pyspark.sql import Window as Wnd
+
+    from tstables_spark.plans.relational import _KMV_K
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(ev_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_src)
+    )
+    base = f"{SRC_ROOT}/theta_state_{uuid.uuid4().hex[:8]}"
+    state: dict = {"path": None}
+    rows: list[dict] = []
+
+    def fold(batch, bid: int) -> None:
+        t0 = time.perf_counter()
+        m = batch.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+        allr = (
+            m
+            if state["path"] is None
+            else spark.read.parquet(state["path"]).unionByName(m)
+        )
+        sk = (
+            allr.dropDuplicates(["event_type", "day", "h"])
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Wnd.partitionBy("event_type", "day").orderBy("h")
+                ),
+            )
+            .where(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+        newp = f"{base}/v{bid}"
+        sk.write.mode("overwrite").parquet(newp)
+        state["path"] = newp
+        n = spark.read.parquet(newp).count()
+        rows.append(
+            {
+                "batch": bid,
+                "ms": round((time.perf_counter() - t0) * 1000, 1),
+                "rows_in": None,
+                "state_rows": n,
+                "state_bytes": None,
+            }
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{SRC_ROOT}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
 def main() -> None:
     from tstables_spark import get_spark
     from tstables_spark.plans.tables import load
@@ -255,6 +321,7 @@ def main() -> None:
         "stream_ohlc": (soak_ohlc, ev_ordered),
         "stream_kll_gate": (soak_kll, ev_src),
         "stream_pattern": (soak_pattern, ev_ordered),
+        "stream_theta": (soak_theta, ev_src),
     }
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(soaks)
     needed = {soaks[n][1] for n in names}

@@ -45,6 +45,9 @@ def test_loaded_tables_never_ntz(spark, sf_dir):
         ("topk_per_group", r"WindowGroupLimit"),  # rank pushdown
         ("sort_limit", r"TakeOrderedAndProject"),  # top-k, no global sort
         ("scan_parquet", r"FileScan parquet"),
+        # theta sketch: the O(groups) theta/exact relations join the
+        # pair stream by broadcast, never a shuffled exchange
+        ("agg_theta_sketch", r"BroadcastHashJoin"),
     ],
 )
 def test_plan_contains(spark, sf_dir, name, pattern):
