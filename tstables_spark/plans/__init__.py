@@ -39,7 +39,7 @@ def _load_all() -> None:
     #     deliberately drives the append path), stream_asof_epochs
     #     (streaming foreachBatch ingest into that layout — per-batch
     #     bounded epoch appends converging to the batch ASOF JOIN),
-    #     and the four late-r13 additions: graph_kcore (k-core
+    #     and the five late-r13 additions: graph_kcore (k-core
     #     peeling over the md5-sparsified co-occurrence graph;
     #     unrolled-SQL oracle, fixpoint-unique), agg_theta_sketch
     #     (portable KMV/theta intersection — estimates themselves
@@ -100,7 +100,7 @@ def _load_all() -> None:
     # ts_lttb_gate). Everything displaced from this window is
     # hash-green in a prior round with an unchanged implementation and
     # covered by repo-local parity tests (tests/test_parity.py runs
-    # the full 267-oracle differential every suite run).
+    # the full 272-oracle differential every suite run).
     # LATE-r13 CHANGES, after this window was drawn (none displace a
     # slot — every touched query already holds one): two code reviews
     # landed fixes in append_nsw_layout (delta pin, same-block
@@ -116,12 +116,18 @@ def _load_all() -> None:
     # the same bytes, now structural), so their three presorted
     # consumers take re-check slots, displacing three more r6-head
     # entries to the r14 queue; the window was re-rehearsed after.
+    # LATER STILL (the r13 continuation session): the five (b)-group
+    # operator additions (graph_kcore, agg_theta_sketch, lm_kn_score,
+    # dedup_url, stream_theta) displaced five more r6-head entries;
+    # the FULL 50-slot window was re-rehearsed green at sf0.01 after
+    # EACH addition batch (three rehearsal passes total), and every
+    # new query is additionally sf0.1-parity-green.
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
             # (b) new this round: epoch-partitioned as-of layout +
-            # the four late-r13 operator additions
+            # the five late-r13 operator additions
             "join_asof_epochs", "stream_asof_epochs", "graph_kcore",
             "agg_theta_sketch", "lm_kn_score", "dedup_url",
             "stream_theta",
