@@ -578,3 +578,28 @@ def test_r13_dedup_url_collapses_noise_groups(spark):
             False] + [True] * (len(grp) - 1)
         assert "#" not in canon and ":443" not in canon
         assert "utm_" not in canon and "ref=" not in canon
+
+
+def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
+    """graph_kcore's big-graph strategies (streamed scratch-table edge
+    pin above the pair-mass bound; shuffle-hash survivor joins +
+    DISK_ONLY round pins above the node bound), forced by dropping
+    both knobs to 1, must compute EXACTLY the broadcast/checkpoint
+    answer — and repeat invocations must reuse the staged edge table
+    instead of re-writing it per run (the DOULION/minhash repetition
+    guarantee)."""
+    import tstables_spark.plans.analytics as A
+    from tstables_spark.plans._staging import _STREAM_PINNED
+
+    small = {tuple(r) for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
+    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    monkeypatch.setattr(A, "_PR_BROADCAST_NODES_MAX", 1)
+    big1 = {tuple(r) for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
+    assert big1 == small
+    staged = {k: v for k, v in _STREAM_PINNED.items() if k[1] == "kcore_de"}
+    assert len(staged) == 1
+    big2 = {tuple(r) for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
+    assert big2 == small
+    assert {
+        k: v for k, v in _STREAM_PINNED.items() if k[1] == "kcore_de"
+    } == staged  # reused, not re-staged
