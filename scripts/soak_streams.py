@@ -242,9 +242,10 @@ def soak_theta(spark, ev_src):
     per-group truncation window, so the state curve must SATURATE at
     groups*k rows (38.4k at sf0.1: 5 types x 30 days x k=256) while
     per-batch latency stays flat — never per-history."""
-    from pyspark.sql import Window as Wnd
-
-    from tstables_spark.plans.relational import _KMV_K
+    from tstables_spark.plans._portable_sql import (
+        kmv_batch_hashes,
+        kmv_truncate,
+    )
 
     src = (
         spark.readStream.schema(spark.read.parquet(ev_src).schema)
@@ -257,29 +258,14 @@ def soak_theta(spark, ev_src):
 
     def fold(batch, bid: int) -> None:
         t0 = time.perf_counter()
-        m = batch.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.md5(F.col("user_id").cast("string")).alias("h"),
-        ).distinct()
+        m = kmv_batch_hashes(batch)
         allr = (
             m
             if state["path"] is None
             else spark.read.parquet(state["path"]).unionByName(m)
         )
-        sk = (
-            allr.dropDuplicates(["event_type", "day", "h"])
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Wnd.partitionBy("event_type", "day").orderBy("h")
-                ),
-            )
-            .where(F.col("rn") <= _KMV_K)
-            .drop("rn")
-        )
         newp = f"{base}/v{bid}"
-        sk.write.mode("overwrite").parquet(newp)
+        kmv_truncate(allr).write.mode("overwrite").parquet(newp)
         state["path"] = newp
         n = spark.read.parquet(newp).count()
         rows.append(

@@ -45,6 +45,7 @@ def kcore_peel(
     k: int,
     big_nodes: bool = False,
     max_iter: int = 40,
+    deg0: DataFrame | None = None,
 ) -> DataFrame:
     """Peel the directed edge list ``de(src, dst)`` (both directions
     present) to its k-core. Returns ``(node, c)`` where ``c`` is the
@@ -62,6 +63,14 @@ def kcore_peel(
     relies on. Peeling removes >= 1 node per non-final round, so
     ``max_iter`` only binds on adversarial chains (each round peeling
     exactly one node); the co-occurrence fixtures converge in <= 7.
+    Callers comparing against an unrolled-SQL oracle should pass
+    max_iter == the oracle's round count so a deeper graph raises
+    instead of silently diverging.
+
+    ``deg0``: optionally the precomputed full-graph degree relation
+    ``(node, c)`` — callers that already aggregated degrees (e.g. for
+    a data-derived k) pass it to skip round 0's rebuild of the same
+    2|E| scan+shuffle.
     """
     from pyspark.sql import Observation
 
@@ -78,9 +87,10 @@ def kcore_peel(
 
     # Round 0 peels on FULL-graph degrees (the first peel needs no
     # survivor restriction: within-all degrees ARE full degrees).
-    deg0 = de.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    if deg0 is None:
+        deg0 = de.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
     alive, prev = _pin_with_count(deg0.where(F.col("c") >= k))
     for _ in range(max_iter):
         xa = alive.select(F.col("node").alias("xa"))

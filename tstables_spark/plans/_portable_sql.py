@@ -240,3 +240,40 @@ def _cms_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> str:
            CAST(count(*) AS BIGINT) AS cnt
     FROM cells GROUP BY sketch_row, bucket
     """
+
+
+# -- KMV / theta sketch (agg_theta_sketch, stream_theta, soak) --------------
+_KMV_K = 256  # sketch size: rel err ~ 1/sqrt(k*J) on intersections
+_HEX13 = 4503599627370496.0  # 16^13 = 2^52: first-13-hex-digit hash space
+
+
+def kmv_batch_hashes(batch: DataFrame) -> DataFrame:
+    """Distinct (event_type, day, h) membership hashes of an events
+    batch — the ONE hash definition the batch sketch, the streaming
+    maintainer and the soak harness all share (the _cms_bucket
+    discipline: build and probe must hash identically)."""
+    return batch.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+
+
+def kmv_truncate(df: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Truncate a (event_type, day, h) relation to the k smallest
+    hashes per group — KMV's associative, lossy-but-sufficient merge:
+    k-smallest(k-smallest(A) ∪ B) = k-smallest(A ∪ B), so folding
+    batches through this converges to exactly the batch sketch."""
+    from pyspark.sql import Window as Wnd
+
+    return (
+        df.dropDuplicates(["event_type", "day", "h"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Wnd.partitionBy("event_type", "day").orderBy("h")
+            ),
+        )
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -83,7 +83,13 @@ def dynamic_partition_overwrite(spark):
 _STREAM_PINNED: dict = {}
 
 
-def stream_pin(df, prefix: str, cache_key: tuple | None = None):
+def stream_pin(
+    df,
+    prefix: str,
+    cache_key: tuple | None = None,
+    bucket_by: str | None = None,
+    num_buckets: int | None = None,
+):
     """Materialize a multiply-consumed CORPUS-SIZED relation by
     STREAMING it into a scratch parquet table, the big-graph
     alternative to a localCheckpoint pin: checkpoint materialization
@@ -92,7 +98,11 @@ def stream_pin(df, prefix: str, cache_key: tuple | None = None):
     while a file write streams at constant memory and consumers
     re-scan files. ``cache_key``: a tuple identifying the relation as
     a pure function of its inputs (sf_dir + knobs) — when given, the
-    staged table is reused per (applicationId, prefix, cache_key)."""
+    staged table is reused per (applicationId, prefix, cache_key).
+    ``bucket_by``/``num_buckets``: optionally bucket the staged table
+    so key-clustered consumers (a groupBy or shuffle-hash join on the
+    bucket key) read it with ZERO exchange — the graph_pagerank edge
+    layout, available to any caller."""
     import uuid
 
     spark = df.sparkSession
@@ -103,8 +113,12 @@ def stream_pin(df, prefix: str, cache_key: tuple | None = None):
         if tag is not None:
             return spark.table(tag)
     tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    w = df.write
+    if bucket_by is not None:
+        nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        w = w.bucketBy(nb, bucket_by)
     (
-        df.write.option("path", scratch_dir(spark, prefix + "_") + "/d")
+        w.option("path", scratch_dir(spark, prefix + "_") + "/d")
         .mode("overwrite")
         .saveAsTable(tag)
     )

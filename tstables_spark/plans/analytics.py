@@ -1457,21 +1457,26 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _edge_pin(
-    e: DataFrame, big: bool, prefix: str, cache_key: tuple | None = None
+    e: DataFrame,
+    big: bool,
+    prefix: str,
+    cache_key: tuple | None = None,
+    bucket_by: str | None = None,
 ) -> DataFrame:
     """Materialize a multiply-consumed edge relation. Broadcast-scale
     graphs pin with a serialized localCheckpoint (fast, memory-first);
     big graphs (the graph_pagerank node-count knob) STREAM into a
     scratch parquet table instead — see _staging.stream_pin, which also
     carries the per-(app, cache_key) reuse (the _PR_EDGES_STAGED
-    discipline; ADVICE r12)."""
+    discipline; ADVICE r12) and, via ``bucket_by``, the bucketed
+    layout that feeds key-clustered consumers with zero exchange."""
     if not big:
         return e.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
     from tstables_spark.plans._staging import stream_pin
 
-    return stream_pin(e, prefix, cache_key=cache_key)
+    return stream_pin(e, prefix, cache_key=cache_key, bucket_by=bucket_by)
 
 
 def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = None):
@@ -1821,21 +1826,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle(rounds: int = 16) -> str:
+def _kcore_oracle(rounds: int = 24) -> str:
     """Unrolled-iteration DuckDB twin of graph_kcore. Peeling is a
     monotone fixpoint (Batagelj-Zaversnik): every post-fixpoint round
     reproduces the same survivor set, so unrolling MORE rounds than
-    convergence needs is a no-op — 16 unrolled rounds cover the
-    fixtures' measured 4 (sf0.01) / 7 (sf0.1) with margin, and the
-    Spark side raises rather than return a non-fixpoint set. Every
+    convergence needs is a no-op — 24 unrolled rounds cover the
+    fixtures' measured 4 (sf0.01) / 7 (sf0.1) with 3x margin, and the
+    Spark side passes max_iter == THIS round count so a deeper graph
+    RAISES loudly instead of silently diverging from the oracle
+    (review r13). Every
     quantity in the iteration is an integer (degrees, the rank-based
     median, k), so the fixpoint is bit-identical across engines.
 
     The edge relation and every round are AS MATERIALIZED: each round
     references its predecessor TWICE (both join legs), so DuckDB's
-    default CTE inlining would expand round 16 into 2^16 copies of
-    the edge derivation (measured: exhausts file handles before it
-    exhausts patience)."""
+    default CTE inlining would expand the final round into 2^rounds
+    copies of the edge derivation (measured at 16 rounds: exhausts
+    file handles before it exhausts patience)."""
     cte = [
         """
     b0 AS (
@@ -1969,6 +1976,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             True,
             "kcore_de",
             cache_key=(sf_dir, "kcore", "10"),
+            bucket_by="src",
         )
     else:
         # Pin the HALF list (the _EDGE_PIN_PAIRS_MAX bound is in
@@ -1994,8 +2002,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("m"))
         .collect()[0]["m"]
     )
-    k = max(2, 3 * med // 4)
-    core = kcore_peel(de, k, big_nodes=big_nodes)
+    # med is None only when the sampled edge set is EMPTY (deg0 has no
+    # rows); the oracle's scalar subqueries go NULL and return an
+    # empty relation there — k=2 over an empty graph peels to the
+    # same empty result through the normal path.
+    k = max(2, 3 * med // 4) if med is not None else 2
+    # max_iter == the oracle's unrolled round count: past it Spark
+    # RAISES where the oracle would silently return a non-fixpoint
+    # round — the guard keeps divergence loud (review r13). Fixtures
+    # converge in <= 7; 24 is 3x margin.
+    core = kcore_peel(de, k, big_nodes=big_nodes, max_iter=24, deg0=deg0)
     return core.select(
         F.col("node").alias("user_id"),
         F.col("c").alias("core_degree"),

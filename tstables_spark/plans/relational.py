@@ -22,7 +22,12 @@ from tstables_spark.plans._exact import (
     sql_sum_distinct,
 )
 from tstables_spark.operators.skew import salted_join
-from tstables_spark.plans._portable_sql import _qsketch_cells, _qsketch_cells_sql
+from tstables_spark.plans._portable_sql import (
+    _HEX13,
+    _KMV_K,
+    _qsketch_cells,
+    _qsketch_cells_sql,
+)
 from tstables_spark.plans._staging import register_staged_table, scratch_dir
 from tstables_spark.plans.registry import query
 from tstables_spark.plans.tables import load, register_views
@@ -1203,10 +1208,6 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("daily_close"),
         )
     )
-
-
-_KMV_K = 256
-_HEX13 = 4503599627370496.0  # 16^13 = 2^52: first-13-hex-digit hash space
 
 
 @query(

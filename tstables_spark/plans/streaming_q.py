@@ -31,10 +31,13 @@ from pyspark.sql import functions as F
 
 from tstables_spark.plans._exact import sql_sum
 from tstables_spark.plans._portable_sql import (
+    _KMV_K,
     _cms_cells,
     _cms_oracle,
     _qsketch_cells,
     _qsketch_cells_sql,
+    kmv_batch_hashes,
+    kmv_truncate,
 )
 from tstables_spark.plans._staging import register_staged_table, scratch_dir
 from tstables_spark.plans.registry import query
@@ -781,7 +784,7 @@ def stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_theta",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
              md5(CAST(user_id AS VARCHAR)) AS h
@@ -790,7 +793,7 @@ def stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, day, h,
              row_number() OVER (PARTITION BY event_type, day
                                 ORDER BY h) AS rn
-      FROM m) WHERE rn <= 256
+      FROM m) WHERE rn <= {_KMV_K}
     """,
 )
 def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,10 +817,6 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the same pay-per-batch-not-per-history discipline as the
     epoch as-of ingest. Versioned state dirs keep each rewrite
     atomic-by-rename semantics simple (read v{i-1}, write v{i})."""
-    from pyspark.sql import Window as Wnd
-
-    from tstables_spark.plans.relational import _KMV_K
-
     ev = load(spark, sf_dir, "events")
     sdir = scratch_dir(spark, "theta_src_") + "/events"
     ev.repartition(4).write.mode("overwrite").parquet(sdir)
@@ -830,29 +829,14 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict = {"path": None}
 
     def merge(batch: DataFrame, bid: int) -> None:
-        m = batch.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.md5(F.col("user_id").cast("string")).alias("h"),
-        ).distinct()
+        m = kmv_batch_hashes(batch)
         allr = (
             m
             if state["path"] is None
             else spark.read.parquet(state["path"]).unionByName(m)
         )
-        sk = (
-            allr.dropDuplicates(["event_type", "day", "h"])
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Wnd.partitionBy("event_type", "day").orderBy("h")
-                ),
-            )
-            .where(F.col("rn") <= _KMV_K)
-            .drop("rn")
-        )
         newp = f"{base}/v{bid}"
-        sk.write.mode("overwrite").parquet(newp)
+        kmv_truncate(allr).write.mode("overwrite").parquet(newp)
         state["path"] = newp
 
     q = (
