@@ -2068,6 +2068,57 @@ def test_image_ahash_real_bmp_ppm(spark):
     assert feats[1] == feats[2] == feats[3]
 
 
+def test_image_ahash_real_png(spark):
+    """The COMPRESSED half of the image real-decoder gate (late r13):
+    the same logical image carried as PNG (RGB, mixed scanline
+    filters via the property-test encoder) and as BMP must produce
+    the SAME aHash through image_ahash(use_real=True) end-to-end in
+    Spark, and decode_features must pin the identical img feature
+    string — PNG normalizes to the same exact integer-luma matrix as
+    the uncompressed containers."""
+    import numpy as np
+
+    from tests.test_properties import _png_encode
+    from tstables_spark.operators.multimodal import (
+        decode_features,
+        image_ahash,
+    )
+
+    w, h = 10, 6
+    rng = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    rgb = ((rng * 7 + 13) % 251).astype(np.uint8)
+
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)
+    px = raster[::-1].tobytes()
+    bmp = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+        + b"\x00" * 16 + px
+    )
+    png = _png_encode(rgb, [y % 5 for y in range(h)])  # all 5 filters
+
+    packed = spark.createDataFrame(
+        [(1, (bmp, "image/bmp", {})), (2, (png, "image/png", {}))],
+        "doc_id long, blob struct<data: binary, mime: string, meta: map<string,string>>",
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in image_ahash(packed, side=4, use_real=True).collect()
+    }
+    assert got[2] == got[1]
+    feats = {
+        r["doc_id"]: r["feat"]
+        for r in decode_features(packed, use_real=True).collect()
+    }
+    assert feats[2] == feats[1]
+
+
 def test_asof_epoch_layout_bounded_appends(spark, tmp_path):
     """The epoch-partitioned as-of layout (r13): appends rewrite ONLY
     the touched epochs' partitions — untouched epoch files are

@@ -605,3 +605,90 @@ def test_asof_epoch_appends_random(seed, n_splits, epoch_days):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _png_encode(arr, filters):
+    """Forward-filter PNG encoder for the decode test: per-row filter
+    choice, per-byte spec recurrences — an encoder bug and a decoder
+    bug cannot cancel for ALL random dims/filters/color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int64)
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append(int((row[x] - pred) % 256))
+        prev = row
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big")
+            + typ
+            + payload
+            + zlib.crc32(typ + payload).to_bytes(4, "big")
+        )
+
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=11),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ch=st.sampled_from([1, 3, 4]),
+)
+def test_png_decode_all_filters_roundtrip(w, h, seed, ch):
+    """The stdlib PNG decoder against a hand-rolled forward-filter
+    encoder (pure Python, no Spark): random dims, gray/RGB/RGBA color
+    types and a RANDOM per-row mix of all five scanline filters
+    (None/Sub/Up/Average/Paeth) must reconstruct the exact pixels —
+    filter-prediction bugs corrupt values rather than shift them, so
+    no dimension-coincidence can hide one. RGBA must agree with the
+    RGB of its color planes (alpha ignored by the luma)."""
+    import numpy as np
+
+    from tstables_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h).tolist()
+    png = _png_encode(arr, filters)
+    dw, dh, gray = _decode_png(png)
+    assert (dw, dh) == (w, h)
+    a64 = arr.astype(np.int64)
+    if ch == 1:
+        want = a64[:, :, 0]
+    else:
+        want = (299 * a64[:, :, 0] + 587 * a64[:, :, 1] + 114 * a64[:, :, 2]) // 1000
+    assert (gray == want).all()

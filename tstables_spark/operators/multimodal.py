@@ -140,20 +140,105 @@ def _decode_ppm(data: bytes):
     return w, h, gray
 
 
+def _decode_png(data: bytes):
+    """stdlib PNG decode (no pip dependency — zlib IS the PNG codec):
+    8-bit non-interlaced grayscale (color type 0), RGB (2) and RGBA
+    (6), ALL FIVE scanline filters (None/Sub/Up/Average/Paeth per the
+    spec's byte-wise recurrences) -> (width, height, gray) with the
+    same exact integer ITU-R 601 luma as _decode_bmp (RGBA's alpha is
+    ignored — luma is over the color channels). This opens the gate
+    for the first COMPRESSED image format: unlike BMP/netpbm the
+    raster is DEFLATE-streamed and filter-predicted, so a decoder bug
+    in stride, filter order, or the Paeth tie-break corrupts pixels
+    rather than shifting them — the property test drives all five
+    filters over random dims. Palette, 16-bit, and interlaced PNGs
+    still raise (as does JPEG, whose codec is not in the stdlib)."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (missing signature)")
+    i, idat, ihdr = 8, [], None
+    while i + 8 <= len(data):
+        ln = int.from_bytes(data[i : i + 4], "big")
+        typ = data[i + 4 : i + 8]
+        if typ == b"IHDR":
+            ihdr = data[i + 8 : i + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(data[i + 8 : i + 8 + ln])
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + payload + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG is decoded "
+            f"in-container (got depth={depth}, color type={ctype}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up: whole-row vectorizable (no intra-row dep)
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    # spec tie-break order: a, then b, then c
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        gray = px[:, :, 0]
+    else:
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return w, h, gray
+
+
 _IMAGE_DECODERS = {
     "image/bmp": _decode_bmp,
     "image/x-ms-bmp": _decode_bmp,
     "image/x-portable-pixmap": _decode_ppm,
     "image/x-portable-graymap": _decode_ppm,
+    "image/png": _decode_png,
 }
 
 
 def _decode_real(data: bytes, mime: str) -> str:
-    """Real-decoder dispatch. audio/wav (r12, stdlib ``wave``) and
-    BMP/PPM/PGM images (r13, stdlib byte parsing) are decoded
-    IN-CONTAINER — the gate is genuinely open for one real format per
-    modality; compressed image formats and video still need PIL/av,
-    absent here."""
+    """Real-decoder dispatch. audio/wav (r12, stdlib ``wave``),
+    BMP/PPM/PGM images (r13, stdlib byte parsing) and PNG (late r13,
+    stdlib ``zlib`` + filter reconstruction) are decoded IN-CONTAINER
+    — the gate is open for a real format per modality INCLUDING a
+    compressed one; JPEG and video still need PIL/av, absent here."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         p, samples = _decode_wav(data)
         return f"pcm:{p.framerate}:{p.nchannels}:{p.sampwidth * 8}:{p.nframes}"
