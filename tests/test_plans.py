@@ -603,3 +603,25 @@ def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
     assert {
         k: v for k, v in _STREAM_PINNED.items() if k[1] == "kcore_de"
     } == staged  # reused, not re-staged
+
+
+def test_stream_pin_bucketed_zero_exchange(spark, sf_dir):
+    """stream_pin(bucket_by=...) must produce a staged table whose
+    bucket-key aggregate plans with ZERO Exchange — the layout claim
+    graph_kcore's big-edge path (and its docstring) rides on."""
+    from pyspark.sql import functions as F
+
+    from tstables_spark.plans._staging import stream_pin
+    from tstables_spark.plans.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    t = stream_pin(ev, "bktest", bucket_by="user_id", num_buckets=8)
+    plan = (
+        t.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan

@@ -120,7 +120,8 @@ def _load_all() -> None:
     # operator additions (graph_kcore, agg_theta_sketch, lm_kn_score,
     # dedup_url, stream_theta) displaced five more r6-head entries;
     # the FULL 50-slot window was re-rehearsed green at sf0.01 after
-    # EACH addition batch (three rehearsal passes total), and every
+    # EACH addition batch AND after the post-landing review fixes and
+    # the stdlib PNG decoder (five rehearsal passes total), and every
     # new query is additionally sf0.1-parity-green.
     registry.prioritize(
         [
