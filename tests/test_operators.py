@@ -2209,6 +2209,79 @@ def test_asof_epoch_layout_bounded_appends(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_asof_epoch_layout_expire(spark, tmp_path):
+    """Retention purge for the epoch layout: expiring epochs below the
+    horizon drops their partitions from BOTH catalog and disk, leaves
+    retained partitions byte-untouched, never touches the NULL-epoch
+    partition, and the unchanged presorted reader afterwards equals
+    the batch as-of over the boundary-filtered inputs with the
+    zero-Exchange plan intact. A second call is an idempotent no-op."""
+    import os
+
+    from tstables_spark.operators.asof import (
+        _EPOCH,
+        asof_join,
+        asof_join_presorted,
+        expire_asof_epoch_layout,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 13, (i * 37) % 900) for i in range(3000)]
+        + [(9991, 3, None)],  # one NULL-time row -> hive default part
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 13, (i * 89) % 900, i) for i in range(400)],
+            "k long, t long, val long",
+        )
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 100).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000))  # noqa: E731
+    name, path = "asof_epoch_expire_test", str(tmp_path / "t")
+    try:
+        stage_asof_epoch_layout(
+            left, right, "ts", "rts", "k", "k", ["val"],
+            name, path, epoch_of, num_buckets=4,
+        )
+        assert os.path.isdir(f"{path}/{_EPOCH}=0")
+        files_day1 = sorted(os.listdir(f"{path}/{_EPOCH}=1"))
+        null_part = f"{path}/{_EPOCH}=__HIVE_DEFAULT_PARTITION__"
+        assert os.path.isdir(null_part)
+
+        assert expire_asof_epoch_layout(spark, name, min_epoch=0) == []
+        dropped = expire_asof_epoch_layout(spark, name, min_epoch=1)
+        assert dropped == [0]
+        # catalog + disk agree; retained and null partitions untouched
+        parts = {
+            r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()
+        }
+        assert f"{_EPOCH}=0" not in parts
+        assert not os.path.exists(f"{path}/{_EPOCH}=0")
+        assert sorted(os.listdir(f"{path}/{_EPOCH}=1")) == files_day1
+        assert os.path.isdir(null_part)
+        # reader == batch as-of over the boundary-filtered inputs
+        cut = F.unix_micros(F.col("ts")) >= 86400 * 1_000_000
+        rcut = F.unix_micros(F.col("rts")) >= 86400 * 1_000_000
+        want = {
+            tuple(r)
+            for r in asof_join(
+                left.where(cut | F.col("ts").isNull()), right.where(rcut),
+                "ts", "rts", "k", "k", ["val"],
+            ).collect()
+        }
+        pre = asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"])
+        assert {tuple(r) for r in pre.collect()} == want
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # idempotent
+        assert expire_asof_epoch_layout(spark, name, min_epoch=1) == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_asof_epoch_layout_null_epoch_preserved(spark, tmp_path):
     """NULL-time rows land in the hive default partition (NULL epoch);
     an append whose batch also carries a NULL-time row must PRESERVE

@@ -523,6 +523,57 @@ def compact_asof_epoch_layout(
     )
 
 
+def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
+    """RETENTION purge for the epoch as-of layout — the lifecycle's
+    final verb (stage -> append -> compact -> EXPIRE, the
+    ts_retention_purge policy applied to the as-of union): drop every
+    epoch partition STRICTLY below ``min_epoch``, catalog metadata AND
+    bytes (an external table keeps its files on DROP PARTITION; the
+    Hadoop FileSystem delete reclaims them on any storage, not just a
+    local fs). The NULL-epoch partition (rows with no time value —
+    the hive default partition the append path explicitly preserves)
+    is NEVER expired: retention is a time-axis policy and those rows
+    sit outside the time axis.
+
+    Readers need no change: the bucketed scan simply stops listing the
+    dropped partitions, so ``asof_join_presorted`` afterwards equals
+    the batch as-of over the boundary-filtered inputs (rows with
+    ``epoch_of(ts) >= min_epoch``) with the zero-Exchange plan intact
+    — a left row whose previous match lived only in an expired epoch
+    reverts to unmatched, exactly as if the inputs had been filtered.
+
+    Returns the sorted list of dropped epochs (empty list = nothing
+    below the horizon; the call is idempotent). Ordering inside:
+    metadata drop FIRST, bytes second — a crash between the two
+    leaves an unreferenced directory (harmless, deleted by the next
+    call or any cleaner) rather than a catalog partition pointing at
+    deleted files."""
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table_name}").collect()]
+    victims = []
+    for p in parts:
+        v = p.split("=", 1)[1]
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        if int(v) < min_epoch:
+            victims.append(int(v))
+    if not victims:
+        return []
+    loc = None
+    for r in spark.sql(f"DESC FORMATTED {table_name}").collect():
+        if (r[0] or "").strip() == "Location":
+            loc = (r[1] or "").strip()
+            break
+    for v in sorted(victims):
+        spark.sql(
+            f"ALTER TABLE {table_name} DROP IF EXISTS PARTITION ({_EPOCH}={v})"
+        )
+        if loc:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{loc}/{_EPOCH}={v}")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+    return sorted(victims)
+
+
 def asof_join_presorted(
     spark,
     table_name: str,
