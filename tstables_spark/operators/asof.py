@@ -543,34 +543,59 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
     reverts to unmatched, exactly as if the inputs had been filtered.
 
     Returns the sorted list of dropped epochs (empty list = nothing
-    below the horizon; the call is idempotent). Ordering inside:
-    metadata drop FIRST, bytes second — a crash between the two
-    leaves an unreferenced directory (harmless, deleted by the next
-    call or any cleaner) rather than a catalog partition pointing at
-    deleted files."""
-    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table_name}").collect()]
-    victims = []
-    for p in parts:
-        v = p.split("=", 1)[1]
-        if v == "__HIVE_DEFAULT_PARTITION__":
-            continue
-        if int(v) < min_epoch:
-            victims.append(int(v))
-    if not victims:
-        return []
+    below the horizon; the call is idempotent). Crash recovery: the
+    victim set is computed from the CATALOG UNION THE FILESYSTEM
+    listing — a crash between the metadata drop and the byte delete
+    leaves an orphaned directory that the NEXT call re-collects and
+    deletes (review r13: a catalog-only victim scan leaked orphans
+    forever, and compact_asof_epoch_layout reads the data path as
+    plain parquet, so an orphan would silently RESURRECT expired rows
+    through the lifecycle's own OPTIMIZE step). Byte reclamation is
+    NOT best-effort: an unresolvable table location or a delete the
+    FileSystem reports failed raises instead of returning the epoch
+    as expired while its bytes remain (the 100 TB monthly trim must
+    not silently leak storage)."""
     loc = None
     for r in spark.sql(f"DESC FORMATTED {table_name}").collect():
         if (r[0] or "").strip() == "Location":
             loc = (r[1] or "").strip()
             break
+    if not loc:
+        raise RuntimeError(
+            f"cannot resolve the data location of {table_name}: byte "
+            f"reclamation would silently skip — refusing to expire"
+        )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    victims = set()
+    for p in spark.sql(f"SHOW PARTITIONS {table_name}").collect():
+        v = p[0].split("=", 1)[1]
+        if v != "__HIVE_DEFAULT_PARTITION__" and int(v) < min_epoch:
+            victims.add(int(v))
+    # union the filesystem listing: re-collects orphans from a prior
+    # crash between the metadata drop and the byte delete
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith(f"{_EPOCH}="):
+                continue
+            v = name.split("=", 1)[1]
+            if v != "__HIVE_DEFAULT_PARTITION__" and int(v) < min_epoch:
+                victims.add(int(v))
+    if not victims:
+        return []
     for v in sorted(victims):
         spark.sql(
             f"ALTER TABLE {table_name} DROP IF EXISTS PARTITION ({_EPOCH}={v})"
         )
-        if loc:
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{loc}/{_EPOCH}={v}")
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(jpath, True)
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_EPOCH}={v}")
+        if fs.exists(jpath) and not fs.delete(jpath, True):
+            raise RuntimeError(
+                f"FileSystem refused to delete {loc}/{_EPOCH}={v}: epoch "
+                f"{v} is dropped from the catalog but its bytes remain — "
+                f"re-run expire after fixing storage permissions"
+            )
     return sorted(victims)
 
 

@@ -106,16 +106,30 @@ def stream_pin(
     import uuid
 
     spark = df.sparkSession
+    nb = None
+    if bucket_by is not None:
+        nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     full_key = None
     if cache_key is not None:
-        full_key = (spark.sparkContext.applicationId, prefix, cache_key)
+        # the layout knobs are part of the relation's identity: a
+        # cached UNBUCKETED table silently returned to a caller
+        # expecting the bucketed zero-exchange scan regains the full
+        # corpus-sized shuffle with no error (review r13)
+        full_key = (
+            spark.sparkContext.applicationId, prefix, cache_key, bucket_by, nb
+        )
         tag = _STREAM_PINNED.get(full_key)
         if tag is not None:
             return spark.table(tag)
     tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    if bucket_by is not None:
+        # repartition on the bucket key first (the stage_asof_epoch_
+        # layout discipline): without it a T-task upstream writes up
+        # to T x nb files — every later scan then pays the listing
+        # and the per-bucket multi-file merge
+        df = df.repartition(nb, bucket_by)
     w = df.write
     if bucket_by is not None:
-        nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
         w = w.bucketBy(nb, bucket_by)
     (
         w.option("path", scratch_dir(spark, prefix + "_") + "/d")

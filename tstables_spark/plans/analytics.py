@@ -1826,7 +1826,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle(rounds: int = 24) -> str:
+_KCORE_ROUNDS = 24  # oracle unroll == kcore_peel max_iter: ONE constant
+# so the "raises rather than silently diverges" guard can't drift from
+# the oracle (review r13)
+
+
+def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled-iteration DuckDB twin of graph_kcore. Peeling is a
     monotone fixpoint (Batagelj-Zaversnik): every post-fixpoint round
     reproduces the same survivor set, so unrolling MORE rounds than
@@ -1989,9 +1994,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k = max(2, 3*med div 4); med = exact ascending-rank median of
     # full-graph degrees. Histogram (O(distinct degree values) rows)
     # + two-phase distributed prefix sum — no single-task window; the
-    # two collects are 1-row contract-bounded aggregates.
-    deg0 = de.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("c")
+    # two collects are 1-row contract-bounded aggregates. deg0 is
+    # PINNED (O(nodes), the storage level honoring big_nodes like
+    # every O(nodes) pin here): the node count, the histogram AND the
+    # peel's round 0 all consume it — unpinned, each re-runs the full
+    # 2|E| aggregate (review r13: a lazy deg0 made the pass-through
+    # parameter a no-op).
+    deg0 = (
+        de.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(
+            eager=True,
+            storageLevel=StorageLevel.DISK_ONLY
+            if big_nodes
+            else StorageLevel.MEMORY_AND_DISK,
+        )
     )
     n = deg0.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     rank = (n + 1) // 2
@@ -2007,11 +2024,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty relation there — k=2 over an empty graph peels to the
     # same empty result through the normal path.
     k = max(2, 3 * med // 4) if med is not None else 2
-    # max_iter == the oracle's unrolled round count: past it Spark
-    # RAISES where the oracle would silently return a non-fixpoint
-    # round — the guard keeps divergence loud (review r13). Fixtures
-    # converge in <= 7; 24 is 3x margin.
-    core = kcore_peel(de, k, big_nodes=big_nodes, max_iter=24, deg0=deg0)
+    # max_iter == the oracle's unrolled round count (ONE shared
+    # constant): past it Spark RAISES where the oracle would silently
+    # return a non-fixpoint round — the guard keeps divergence loud
+    # (review r13). Fixtures converge in <= 7; 24 is 3x margin.
+    core = kcore_peel(
+        de, k, big_nodes=big_nodes, max_iter=_KCORE_ROUNDS, deg0=deg0
+    )
     return core.select(
         F.col("node").alias("user_id"),
         F.col("c").alias("core_degree"),
