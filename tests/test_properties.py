@@ -607,10 +607,12 @@ def test_asof_epoch_appends_random(seed, n_splits, epoch_days):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def _png_encode(arr, filters):
+def _png_encode(arr, filters, palette=None):
     """Forward-filter PNG encoder for the decode test: per-row filter
     choice, per-byte spec recurrences — an encoder bug and a decoder
-    bug cannot cancel for ALL random dims/filters/color types."""
+    bug cannot cancel for ALL random dims/filters/color types.
+    ``palette``: (n, 3) uint8 array -> color type 3 with a PLTE chunk
+    (``arr`` must then be (h, w, 1) indices)."""
     import struct
     import zlib
 
@@ -651,11 +653,17 @@ def _png_encode(arr, filters):
             + zlib.crc32(typ + payload).to_bytes(4, "big")
         )
 
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ctype = 3 if palette is not None else {1: 0, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -692,3 +700,14 @@ def test_png_decode_all_filters_roundtrip(w, h, seed, ch):
     else:
         want = (299 * a64[:, :, 0] + 587 * a64[:, :, 1] + 114 * a64[:, :, 2]) // 1000
     assert (gray == want).all()
+
+    # palette variant of the same raster: indices through a random
+    # PLTE must luma-match the looked-up RGB exactly
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+    png3 = _png_encode(idx, filters, palette=pal)
+    dw, dh, gray3 = _decode_png(png3)
+    assert (dw, dh) == (w, h)
+    p64 = pal.astype(np.int64)[idx[:, :, 0]]
+    want3 = (299 * p64[:, :, 0] + 587 * p64[:, :, 1] + 114 * p64[:, :, 2]) // 1000
+    assert (gray3 == want3).all()

@@ -142,8 +142,9 @@ def _decode_ppm(data: bytes):
 
 def _decode_png(data: bytes):
     """stdlib PNG decode (no pip dependency — zlib IS the PNG codec):
-    8-bit non-interlaced grayscale (color type 0), RGB (2) and RGBA
-    (6), ALL FIVE scanline filters (None/Sub/Up/Average/Paeth per the
+    8-bit non-interlaced grayscale (color type 0), RGB (2), palette
+    (3, PLTE lookup) and RGBA (6), ALL FIVE scanline filters
+    (None/Sub/Up/Average/Paeth per the
     spec's byte-wise recurrences) -> (width, height, gray) with the
     same exact integer ITU-R 601 luma as _decode_bmp (RGBA's alpha is
     ignored — luma is over the color channels). This opens the gate
@@ -151,18 +152,20 @@ def _decode_png(data: bytes):
     raster is DEFLATE-streamed and filter-predicted, so a decoder bug
     in stride, filter order, or the Paeth tie-break corrupts pixels
     rather than shifting them — the property test drives all five
-    filters over random dims. Palette, 16-bit, and interlaced PNGs
+    filters over random dims. 16-bit and interlaced (Adam7) PNGs
     still raise (as does JPEG, whose codec is not in the stdlib)."""
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload (missing signature)")
-    i, idat, ihdr = 8, [], None
+    i, idat, ihdr, plte = 8, [], None, None
     while i + 8 <= len(data):
         ln = int.from_bytes(data[i : i + 4], "big")
         typ = data[i + 4 : i + 8]
         if typ == b"IHDR":
             ihdr = data[i + 8 : i + 8 + ln]
+        elif typ == b"PLTE":
+            plte = data[i + 8 : i + 8 + ln]
         elif typ == b"IDAT":
             idat.append(data[i + 8 : i + 8 + ln])
         elif typ == b"IEND":
@@ -173,13 +176,15 @@ def _decode_png(data: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit non-interlaced gray/RGB/RGBA PNG is decoded "
-            f"in-container (got depth={depth}, color type={ctype}, "
-            f"interlace={interlace})"
+            f"only 8-bit non-interlaced gray/RGB/palette/RGBA PNG is "
+            f"decoded in-container (got depth={depth}, color "
+            f"type={ctype}, interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.int64)
@@ -227,6 +232,13 @@ def _decode_png(data: bytes):
     px = out.reshape(h, w, ch)
     if ctype == 0:
         gray = px[:, :, 0]
+    elif ctype == 3:
+        # palette lookup: the raster holds 1-byte indices into the
+        # PLTE RGB triples; index through the table then the same
+        # exact-integer luma as every other path
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        rgb = pal[px[:, :, 0]]
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
     else:
         gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
     return w, h, gray
