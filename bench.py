@@ -113,7 +113,6 @@ def main() -> None:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    reps: dict[str, int] = {}
     for name in names:
         t = float("inf")
         for _ in range(BENCH_REPS):
@@ -123,7 +122,6 @@ def main() -> None:
             ).save()
             t = min(t, time.perf_counter() - t0)
         timings[name] = round(t, 3)
-        reps[name] = BENCH_REPS
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Machine-load context: r3->r4 showed a uniform ~1.4x swing on a
@@ -141,7 +139,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "reps": reps,
+                # scalar, NOT per-query: the harness records only the
+                # LAST 2000 output chars, and the r12/r13 per-query
+                # reps dict pushed the line past that, front-truncating
+                # the metric and early timings (r13 verdict #8)
+                "reps": BENCH_REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg": loadavg,
             }

@@ -20,6 +20,7 @@ duplicates upstream (see plans/timeseries.py::join_asof).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 from functools import reduce
 
@@ -569,10 +570,26 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
     root = jvm.org.apache.hadoop.fs.Path(loc)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     victims = set()
+
+    def _epoch_or_none(v: str):
+        # a foreign directory (e.g. a copied `__asof_epoch=3.bak`)
+        # must not abort the whole retention run (r13 advice): skip
+        # anything that does not parse as an epoch number
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            warnings.warn(
+                f"expire_asof_epoch_layout: skipping unparseable "
+                f"partition value {_EPOCH}={v!r} under {table_name}"
+            )
+            return None
+
     for p in spark.sql(f"SHOW PARTITIONS {table_name}").collect():
-        v = p[0].split("=", 1)[1]
-        if v != "__HIVE_DEFAULT_PARTITION__" and int(v) < min_epoch:
-            victims.add(int(v))
+        ep = _epoch_or_none(p[0].split("=", 1)[1])
+        if ep is not None and ep < min_epoch:
+            victims.add(ep)
     # union the filesystem listing: re-collects orphans from a prior
     # crash between the metadata drop and the byte delete
     if fs.exists(root):
@@ -580,9 +597,9 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
             name = st.getPath().getName()
             if not name.startswith(f"{_EPOCH}="):
                 continue
-            v = name.split("=", 1)[1]
-            if v != "__HIVE_DEFAULT_PARTITION__" and int(v) < min_epoch:
-                victims.add(int(v))
+            ep = _epoch_or_none(name.split("=", 1)[1])
+            if ep is not None and ep < min_epoch:
+                victims.add(ep)
     if not victims:
         return []
     for v in sorted(victims):

@@ -162,6 +162,13 @@ def _decode_png(data: bytes):
     while i + 8 <= len(data):
         ln = int.from_bytes(data[i : i + 4], "big")
         typ = data[i + 4 : i + 8]
+        if i + 8 + ln > len(data):
+            # truncated payloads must fail with a labeled decode error,
+            # not a raw zlib/numpy error deep in an executor (r13 advice)
+            raise ValueError(
+                f"truncated PNG chunk {typ!r}: declares {ln} bytes but "
+                f"only {len(data) - i - 8} remain"
+            )
         if typ == b"IHDR":
             ihdr = data[i + 8 : i + 8 + ln]
         elif typ == b"PLTE":
@@ -208,22 +215,52 @@ def _decode_png(data: bytes):
             # of magnitude slower than the BMP path)
             cur = row.reshape(-1, ch).cumsum(axis=0).reshape(-1) % 256
         elif ft in (3, 4):  # Average/Paeth: inherently sequential in x
-            # plain-list loop: python ints beat numpy scalar indexing
-            # ~20x in tight per-byte recurrences
+            # the left-recurrence cannot be expressed as a numpy scan
+            # (floor-halving / 3-way select break associativity), so
+            # the loop stays python-int — but PER CHANNEL LANE with the
+            # left recon (a) and left-up (c) CARRIED in locals and zip
+            # iteration over pre-sliced lanes: no per-byte list index
+            # arithmetic, no abs() calls (|p-a| = |b-c| etc. expand to
+            # carried differences). Measured 1.42x the r13 flat loop
+            # (331 -> 233 ms all-Paeth 512x512 RGBA; Average rows
+            # 109 ms). Faster exact paths were tested and REJECTED: the
+            # LOCO-I MED clamp is NOT Paeth (differs on 5.5M of 16M
+            # byte triples) and a precomputed 511x511 sel(d=a-c,e=b-c)
+            # table is timing-neutral (the lookup index math costs what
+            # the predicted branches cost) — exact Paeth below ~50 ms
+            # needs a C codec; PIL remains the production path.
             rl, pl = row.tolist(), prev.tolist()
             cl = [0] * stride
-            for x in range(stride):
-                a = cl[x - ch] if x >= ch else 0
-                b = pl[x]
+            for ci in range(ch):
+                rlane, plane = rl[ci::ch], pl[ci::ch]
+                lane = []
+                ap = lane.append
+                a = 0
                 if ft == 3:
-                    pred = (a + b) // 2
+                    for r, b in zip(rlane, plane):
+                        a = (r + ((a + b) >> 1)) & 255
+                        ap(a)
                 else:
-                    c = pl[x - ch] if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    # spec tie-break order: a, then b, then c
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cl[x] = (rl[x] + pred) % 256
+                    c = 0
+                    for r, b in zip(rlane, plane):
+                        # p = a+b-c; pa=|p-a|=|b-c|, pb=|p-b|=|a-c|,
+                        # pc=|p-c|=|a+b-2c|; spec tie-break a, b, c
+                        d = a - c
+                        pb = d if d >= 0 else -d
+                        e = b - c
+                        pa = e if e >= 0 else -e
+                        s = d + e
+                        pc = s if s >= 0 else -s
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = b
+                        else:
+                            pred = c
+                        a = (r + pred) & 255
+                        ap(a)
+                        c = b
+                cl[ci::ch] = lane
             cur = np.array(cl, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG scanline filter {ft}")
@@ -237,6 +274,11 @@ def _decode_png(data: bytes):
         # PLTE RGB triples; index through the table then the same
         # exact-integer luma as every other path
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        if int(px[:, :, 0].max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"palette index out of range: raster references entry "
+                f">= PLTE size {len(pal)}"
+            )
         rgb = pal[px[:, :, 0]]
         gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
     else:

@@ -591,7 +591,13 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST((CAST(greatest(4L*c12 - 3L, 0L) AS DECIMAL(38,0))"
                 "       * CAST(nb AS DECIMAL(38,0))"
-                "      + CAST(3L*n1f*n1b AS DECIMAL(38,0)))"
+                # promote BEFORE multiplying: n1f*n1b in BIGINT would
+                # wrap silently (non-ANSI) above ~3e18 while the
+                # oracle's HUGEINT arithmetic stays exact — mirror its
+                # promotion order (r13 advice)
+                "      + CAST(3 AS DECIMAL(38,0))"
+                "        * CAST(n1f AS DECIMAL(38,0))"
+                "        * CAST(n1b AS DECIMAL(38,0)))"
                 "     * CAST(1000000000000 AS DECIMAL(38,0))"
                 "     div (CAST(4L*c1 AS DECIMAL(38,0))"
                 "          * CAST(nb AS DECIMAL(38,0))) AS BIGINT)"

@@ -826,7 +826,7 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sdir)
     )
     base = scratch_dir(spark, "theta_state_")
-    state: dict = {"path": None}
+    state: dict = {"path": None, "attempt": 0}
 
     def merge(batch: DataFrame, bid: int) -> None:
         m = kmv_batch_hashes(batch)
@@ -835,7 +835,15 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             if state["path"] is None
             else spark.read.parquet(state["path"]).unionByName(m)
         )
-        newp = f"{base}/v{bid}"
+        # version by a monotone ATTEMPT counter, not the batch id: if
+        # an attempt writes v{bid} but dies before the streaming
+        # commit, the replayed batch id would read AND overwrite the
+        # same path — which Spark rejects, stalling the query. A fresh
+        # path per attempt keeps the KMV fold's natural idempotence
+        # usable on replay (re-merging already-folded rows dedups to
+        # the same k-smallest set). (r13 advice)
+        state["attempt"] += 1
+        newp = f"{base}/v{state['attempt']}"
         kmv_truncate(allr).write.mode("overwrite").parquet(newp)
         state["path"] = newp
 
