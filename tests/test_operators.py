@@ -2282,6 +2282,164 @@ def test_asof_epoch_layout_expire(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_asof_epoch_append_crash_detected_and_recovered(spark, tmp_path, monkeypatch):
+    """Crash-injection for append_asof_epoch_layout's commit marker
+    (r13 verdict #2): a multi-epoch append killed inside its
+    destructive window leaves the marker behind, so (1) the failure is
+    DETECTED — the next append refuses with the touched-epoch set
+    instead of silently duplicating rows; (2) the documented recovery
+    (recover_asof_epoch_append) rebuilds exactly the marked epochs
+    from source — including dropping a marked epoch whose rebuild is
+    empty — after which the unchanged presorted reader equals the
+    batch as-of over the cumulative source with no duplicate rows;
+    (3) a clean append leaves no marker and the marker clear restores
+    normal appends."""
+    import os
+    from contextlib import contextmanager
+
+    import tstables_spark.plans._staging as _staging
+    from tstables_spark.operators.asof import (
+        _EPOCH,
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        pending_asof_epoch_append,
+        recover_asof_epoch_append,
+        stage_asof_epoch_layout,
+    )
+
+    # t*100 seconds in [0, 180000) spans epochs 0..2 at 86400 s/epoch
+    left = spark.createDataFrame(
+        [(i, i % 13, (i * 37) % 1800) for i in range(3000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+    extra = spark.createDataFrame(
+        [(10000 + i, i % 13, 900 + (i * 41) % 900) for i in range(600)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 13, (i * 89) % 1800, i) for i in range(400)],
+            "k long, t long, val long",
+        )
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 100).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000))  # noqa: E731
+    day = lambda c: F.floor(F.unix_micros(F.col(c)) / (86400 * 1_000_000))  # noqa: E731
+    name, path = "asof_epoch_crash_test", str(tmp_path / "t")
+    try:
+        stage_asof_epoch_layout(
+            left.where(day("ts") == 0), right.where(day("rts") == 0),
+            "ts", "rts", "k", "k", ["val"], name, path, epoch_of, num_buckets=4,
+        )
+        assert pending_asof_epoch_append(spark, name) is None
+        append_asof_epoch_layout(
+            spark, name,
+            left=left.where(day("ts") == 1), right=right.where(day("rts") == 1),
+            left_on="ts", right_on="rts", left_by="k", right_by="k",
+            right_values=["val"], epoch_of=epoch_of, num_buckets=4,
+        )
+        # clean appends leave no marker behind
+        assert pending_asof_epoch_append(spark, name) is None
+
+        class Boom(RuntimeError):
+            pass
+
+        real_dpo = _staging.dynamic_partition_overwrite
+
+        @contextmanager
+        def crashing_dpo(s):
+            with real_dpo(s):
+                yield
+            raise Boom("injected crash inside the destructive window")
+
+        # the crashing append touches epochs {1, 2}: `extra` spans both
+        monkeypatch.setattr(_staging, "dynamic_partition_overwrite", crashing_dpo)
+        with pytest.raises(Boom):
+            append_asof_epoch_layout(
+                spark, name, left=extra, left_on="ts", left_by="k",
+                epoch_of=epoch_of, num_buckets=4,
+            )
+        monkeypatch.undo()
+        marker = pending_asof_epoch_append(spark, name)
+        assert marker is not None and marker["epochs"] == [1, 2]
+        assert not marker["null_partition"]
+        # turn the full commit into the true mid-write kill state:
+        # epoch 1 committed (old + extra), epoch 2 gone entirely
+        import shutil
+
+        spark.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({_EPOCH}='2')")
+        shutil.rmtree(f"{path}/{_EPOCH}=2")
+        # DETECTION: re-running the append refuses instead of duplicating
+        with pytest.raises(RuntimeError, match="commit marker"):
+            append_asof_epoch_layout(
+                spark, name, left=extra, left_on="ts", left_by="k",
+                epoch_of=epoch_of, num_buckets=4,
+            )
+        # RECOVERY from source-of-truth: everything intended for the
+        # touched epochs (epoch-0 rows pass through and are ignored —
+        # recovery never touches an unmarked partition)
+        files_day0 = sorted(os.listdir(f"{path}/{_EPOCH}=0"))
+        assert recover_asof_epoch_append(
+            spark, name,
+            left=left.unionByName(extra), right=right,
+            left_on="ts", right_on="rts", left_by="k", right_by="k",
+            right_values=["val"], epoch_of=epoch_of, num_buckets=4,
+        ) == [1, 2]
+        assert pending_asof_epoch_append(spark, name) is None
+        assert sorted(os.listdir(f"{path}/{_EPOCH}=0")) == files_day0
+        # reader equals the batch as-of over the cumulative source,
+        # with NO duplicates (count check — sets would mask them)
+        all_left = left.unionByName(extra)
+        want = {
+            tuple(r)
+            for r in asof_join(
+                all_left, right, "ts", "rts", "k", "k", ["val"]
+            ).collect()
+        }
+        rows = asof_join_presorted(
+            spark, name, ["event_id", "k", "ts"], ["val"]
+        ).collect()
+        assert len(rows) == all_left.count()
+        assert {tuple(r) for r in rows} == want
+        # normal appends work again after recovery
+        tail = spark.createDataFrame(
+            [(20000, 5, 1790)], "event_id long, k long, t long"
+        ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+        append_asof_epoch_layout(
+            spark, name, left=tail, left_on="ts", left_by="k",
+            epoch_of=epoch_of, num_buckets=4,
+        )
+        assert pending_asof_epoch_append(spark, name) is None
+
+        # EMPTY-REBUILD path: crash an append whose rows the source of
+        # truth then disavows — recovery must DROP the marked epoch
+        # (catalog + bytes), not leave the half-committed partition
+        bad = spark.createDataFrame(
+            [(30000 + i, i % 13, 2600 + i) for i in range(50)],  # epoch 3
+            "event_id long, k long, t long",
+        ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+        monkeypatch.setattr(_staging, "dynamic_partition_overwrite", crashing_dpo)
+        with pytest.raises(Boom):
+            append_asof_epoch_layout(
+                spark, name, left=bad, left_on="ts", left_by="k",
+                epoch_of=epoch_of, num_buckets=4,
+            )
+        monkeypatch.undo()
+        assert pending_asof_epoch_append(spark, name)["epochs"] == [3]
+        assert recover_asof_epoch_append(
+            spark, name, left=bad.limit(0), left_on="ts", left_by="k",
+            epoch_of=epoch_of, num_buckets=4,
+        ) == [3]
+        assert pending_asof_epoch_append(spark, name) is None
+        parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()}
+        assert f"{_EPOCH}=3" not in parts
+        assert not os.path.exists(f"{path}/{_EPOCH}=3")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_asof_epoch_layout_null_epoch_preserved(spark, tmp_path):
     """NULL-time rows land in the hive default partition (NULL epoch);
     an append whose batch also carries a NULL-time row must PRESERVE

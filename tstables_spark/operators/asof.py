@@ -384,6 +384,97 @@ def stage_asof_epoch_layout(
     )
 
 
+def _table_fs_root(spark, table_name: str):
+    """(jvm, FileSystem, root Path, location str) of a catalog table's
+    data directory — the shared resolution for every epoch-layout verb
+    that touches bytes (expire's reclamation, the append commit
+    marker). Raises rather than guessing: a mis-resolved location
+    would silently skip byte work."""
+    loc = None
+    for r in spark.sql(f"DESC FORMATTED {table_name}").collect():
+        if (r[0] or "").strip() == "Location":
+            loc = (r[1] or "").strip()
+            break
+    if not loc:
+        raise RuntimeError(
+            f"cannot resolve the data location of {table_name}: "
+            f"filesystem-level maintenance would silently skip — refusing"
+        )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, root, loc
+
+
+# Append commit marker: leading "_" makes it invisible to Spark's file
+# listings (bucketed scans, compact's plain-parquet read), so only the
+# lifecycle verbs ever see it.
+_PENDING = "_asof_append_pending.json"
+
+
+def _read_small_file(jvm, fs, jpath) -> bytes:
+    """Driver-side read of a tiny FS file through the Hadoop API (works
+    on any FileSystem, not just file:)."""
+    inp = fs.open(jpath)
+    try:
+        try:
+            # hadoop-common bundles commons-io; one RPC for the payload
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+            )
+        except Exception:
+            buf = bytearray()  # fallback: per-byte py4j read (marker ~200 B)
+            while True:
+                b = inp.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            return bytes(buf)
+    finally:
+        inp.close()
+
+
+def pending_asof_epoch_append(spark, table_name: str):
+    """The commit marker of an epoch append that cannot be proven
+    complete, or ``None``. A present marker means an
+    ``append_asof_epoch_layout`` wrote it and never reached its
+    completion line: the touched epochs (``epochs`` in the payload,
+    ``null_partition`` for the NULL-time partition) may hold any of
+    {old rows, a partial commit, the full new state} — re-running the
+    append would DUPLICATE rows in already-committed epochs, so the
+    next append refuses until ``recover_asof_epoch_append`` rebuilds
+    the touched epochs from source (or the operator verifies the
+    commit landed and calls ``clear_asof_epoch_append_marker``)."""
+    import json
+
+    jvm, fs, root, loc = _table_fs_root(spark, table_name)
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
+    if not fs.exists(jpath):
+        return None
+    return json.loads(_read_small_file(jvm, fs, jpath).decode("utf-8"))
+
+
+def clear_asof_epoch_append_marker(spark, table_name: str) -> None:
+    """Remove the append commit marker — the operator's explicit
+    declaration that the touched epochs were verified or rebuilt."""
+    jvm, fs, root, loc = _table_fs_root(spark, table_name)
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
+    if fs.exists(jpath) and not fs.delete(jpath, False):
+        raise RuntimeError(f"could not delete {loc}/{_PENDING}")
+
+
+def _write_pending_marker(jvm, fs, loc: str, payload: dict) -> None:
+    import json
+
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        out.hsync()
+    finally:
+        out.close()
+
+
 def append_asof_epoch_layout(
     spark,
     table_name: str,
@@ -416,8 +507,16 @@ def append_asof_epoch_layout(
     level; a multi-epoch append that fails mid-write may leave a
     subset of touched epochs committed, and RE-RUNNING WOULD DUPLICATE
     the new rows in the committed ones (as-of rows carry no unique id
-    to anti-join on, unlike append_nsw_layout) — recover by re-staging
-    the touched epochs from source, bounded by their size.
+    to anti-join on, unlike append_nsw_layout). The failure is
+    DETECTED, not silent (r13 verdict #2): a commit marker
+    (``_asof_append_pending.json``, hidden from every scan by its
+    ``_`` prefix) is written with the touched-epoch set before the
+    overwrite and removed after it completes — the expire verb's
+    metadata-first discipline applied to append. A later append that
+    finds the marker raises instead of duplicating; recovery is
+    ``recover_asof_epoch_append`` (rebuild the touched epochs from
+    source, bounded by their size) or manual verification plus
+    ``clear_asof_epoch_append_marker``.
 
     Pass ``epoch_of`` and parameter names identical to staging: they
     are physical parameters of the layout."""
@@ -430,6 +529,17 @@ def append_asof_epoch_layout(
     if left is None and right is None:
         raise ValueError(
             "append_asof_epoch_layout needs left rows, right rows, or both"
+        )
+    stale = pending_asof_epoch_append(spark, table_name)
+    if stale is not None:
+        raise RuntimeError(
+            f"append_asof_epoch_layout({table_name}): a prior append's "
+            f"commit marker is present — epochs {stale.get('epochs')}"
+            f"{' + NULL partition' if stale.get('null_partition') else ''} "
+            f"may be partially committed; appending again would duplicate "
+            f"rows. Rebuild them from source with "
+            f"recover_asof_epoch_append, or verify the commit landed and "
+            f"clear_asof_epoch_append_marker."
         )
     union = _encode_asof_sides(
         left,
@@ -479,6 +589,20 @@ def append_asof_epoch_layout(
     # via the streaming foreachBatch caller.
     from tstables_spark.plans._staging import dynamic_partition_overwrite
 
+    # marker BEFORE the overwrite, removed only after it returns: the
+    # keep-pin above is already materialized (eager checkpoint), so
+    # everything after the marker is the destructive window
+    jvm, fs, _root, loc = _table_fs_root(spark, table_name)
+    _write_pending_marker(
+        jvm,
+        fs,
+        loc,
+        {
+            "table": table_name,
+            "epochs": sorted(epochs),
+            "null_partition": bool((obs.get["nnull"] or 0) > 0),
+        },
+    )
     with dynamic_partition_overwrite(spark):
         (
             keep.unionByName(new)
@@ -486,6 +610,109 @@ def append_asof_epoch_layout(
             .repartition(num_buckets, F.col(_KEY))
             .write.insertInto(table_name, overwrite=True)
         )
+    clear_asof_epoch_append_marker(spark, table_name)
+
+
+def recover_asof_epoch_append(
+    spark,
+    table_name: str,
+    left: DataFrame | None = None,
+    right: DataFrame | None = None,
+    *,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    left_by: str | None = None,
+    right_by: str | None = None,
+    right_values: Sequence[str] = (),
+    epoch_of=None,
+    num_buckets: int = 8,
+) -> list:
+    """Rebuild the epochs a crashed append left in an unprovable state:
+    the documented recovery for ``append_asof_epoch_layout``'s commit
+    marker. ``left``/``right`` are the SOURCE-OF-TRUTH rows whose
+    encoding is the full intended content of the touched epochs —
+    callers pass the complete source; rows landing outside the
+    marker's epoch set are ignored (this verb never touches an
+    unmarked partition). Each touched epoch is dynamic-overwritten
+    with exactly its replacement rows; a touched epoch with NO
+    replacement rows is dropped outright (catalog + bytes, the expire
+    discipline) — a half-committed partition must not survive because
+    the rebuild happens to be empty there. The marker is cleared LAST,
+    so a crash during recovery leaves it in place and the recovery is
+    re-runnable (same inputs -> same bytes, idempotent).
+
+    Returns the sorted list of rebuilt epochs."""
+    marker = pending_asof_epoch_append(spark, table_name)
+    if marker is None:
+        raise RuntimeError(
+            f"recover_asof_epoch_append({table_name}): no pending-append "
+            f"marker — nothing to recover"
+        )
+    staged = spark.table(table_name)
+    cols_order = staged.columns
+    left_cols = [
+        c for c in cols_order if c not in (_KEY, _TIME, _SIDE, _CARRY, _EPOCH)
+    ]
+    carry_t = staged.schema[_CARRY].dataType
+    union = _encode_asof_sides(
+        left,
+        right,
+        left_on,
+        right_on,
+        left_by,
+        right_by,
+        right_values,
+        left_cols,
+        carry_t,
+        lambda c: staged.schema[c].dataType,
+    )
+    targets = set(marker.get("epochs") or [])
+    with_null = bool(marker.get("null_partition"))
+    scope = F.col(_EPOCH).isin(sorted(targets))
+    if with_null:
+        scope = scope | F.col(_EPOCH).isNull()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    repl = (
+        union.withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
+        .where(scope)
+        .observe(
+            obs,
+            F.collect_set(_EPOCH).alias("es"),
+            F.sum(F.when(F.col(_EPOCH).isNull(), 1).otherwise(0)).alias("nnull"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    have = set(obs.get["es"])
+    have_null = (obs.get["nnull"] or 0) > 0
+    from tstables_spark.plans._staging import dynamic_partition_overwrite
+
+    if have or have_null:
+        with dynamic_partition_overwrite(spark):
+            (
+                repl.select(*cols_order)
+                .repartition(num_buckets, F.col(_KEY))
+                .write.insertInto(table_name, overwrite=True)
+            )
+    # empty rebuilds: drop the partition entirely — catalog AND bytes
+    jvm, fs, _root, loc = _table_fs_root(spark, table_name)
+    empty = sorted(targets - have) + (
+        ["__HIVE_DEFAULT_PARTITION__"] if with_null and not have_null else []
+    )
+    for v in empty:
+        spark.sql(
+            f"ALTER TABLE {table_name} DROP IF EXISTS PARTITION ({_EPOCH}='{v}')"
+        )
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_EPOCH}={v}")
+        if fs.exists(jpath) and not fs.delete(jpath, True):
+            raise RuntimeError(
+                f"FileSystem refused to delete {loc}/{_EPOCH}={v} during "
+                f"append recovery — marker left in place; re-run after "
+                f"fixing storage permissions"
+            )
+    clear_asof_epoch_append_marker(spark, table_name)
+    return sorted(targets)
 
 
 def compact_asof_epoch_layout(
@@ -556,19 +783,7 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
     FileSystem reports failed raises instead of returning the epoch
     as expired while its bytes remain (the 100 TB monthly trim must
     not silently leak storage)."""
-    loc = None
-    for r in spark.sql(f"DESC FORMATTED {table_name}").collect():
-        if (r[0] or "").strip() == "Location":
-            loc = (r[1] or "").strip()
-            break
-    if not loc:
-        raise RuntimeError(
-            f"cannot resolve the data location of {table_name}: byte "
-            f"reclamation would silently skip — refusing to expire"
-        )
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(loc)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    jvm, fs, root, loc = _table_fs_root(spark, table_name)
     victims = set()
 
     def _epoch_or_none(v: str):
