@@ -3080,6 +3080,122 @@ def join_asof_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+_ASOF_LIFECYCLE: dict = {}
+
+
+def _asof_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the COMPLETE epoch-layout lifecycle once per (app, sf) —
+    stage -> two bounded appends -> expire -> compact — and return the
+    final compacted classic table. Every verb's correctness folds into
+    the consumer's driver hash: a duplicating append changes counts, a
+    lossy compaction changes rows, a mis-scoped expiry changes which
+    left rows revert to unmatched. Epoch = calendar year, horizon 1997:
+    expiry drops the 1995-96 order archive (catalog + bytes) while the
+    2024 event epochs the appends touched are untouched by it."""
+    import uuid
+
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        compact_asof_epoch_layout,
+        expire_asof_epoch_layout,
+        pending_asof_epoch_append,
+        stage_asof_epoch_layout,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ASOF_LIFECYCLE:
+        tag_e = "asoflc_e_" + uuid.uuid4().hex[:8]
+        tag_c = "asoflc_c_" + uuid.uuid4().hex[:8]
+        base = scratch_dir(spark, "asof_lifecycle_")
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        od = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(
+                F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            )
+        )
+        cut = ev.agg(
+            F.date_sub(F.max("ts").cast("date"), 7).alias("c")
+        ).collect()[0]["c"]  # 1-row bounded collect
+        # NULL-ts rows route to the stage side (exhaustive split under
+        # three-valued logic — the join_asof_epochs discipline)
+        late = F.col("ts").cast("date") >= F.lit(cut)
+        epoch_of = F.year
+        stage_asof_epoch_layout(
+            ev.where(~F.coalesce(late, F.lit(False))),
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            right_values=["o_orderkey", "o_totalprice"],
+            table_name=tag_e,
+            path=f"{base}/e",
+            epoch_of=epoch_of,
+            num_buckets=8,
+        )
+        # two sequential appends (deterministic halves) prove repeated
+        # bounded appends, not just one
+        for keep_even in (True, False):
+            half = (F.col("event_id") % 2 == 0) == F.lit(keep_even)
+            append_asof_epoch_layout(
+                spark,
+                tag_e,
+                left=ev.where(late & half),
+                left_on="ts",
+                left_by="user_id",
+                epoch_of=epoch_of,
+                num_buckets=8,
+            )
+        assert pending_asof_epoch_append(spark, tag_e) is None
+        # retention horizon 1997: drops the 1995-96 order epochs
+        expire_asof_epoch_layout(spark, tag_e, min_epoch=1997)
+        # cold now -> compact survivors into the classic zero-Sort layout
+        compact_asof_epoch_layout(spark, f"{base}/e", tag_c, f"{base}/c", 8)
+        register_staged_table(spark, tag_e)
+        register_staged_table(spark, tag_c)
+        _ASOF_LIFECYCLE[key] = tag_c
+    return _ASOF_LIFECYCLE[key]
+
+
+@query(
+    "ts_epoch_lifecycle",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders WHERE year(o_orderdate) >= 1997
+      GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def ts_epoch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch as-of layout's FULL lifecycle under one driver hash
+    (r13 verdict #7): stage -> append x2 -> expire(1997) -> compact ->
+    read. The oracle is the batch ASOF LEFT JOIN over the
+    boundary-filtered inputs (orders from 1997 on — exactly what
+    retention left behind; a left row whose only match lived in an
+    expired epoch reverts to unmatched), so a hash match proves the
+    whole cycle lossless: appends added exactly their rows once,
+    expiry dropped exactly the sub-horizon epochs, and compaction
+    re-laid out every surviving byte. The read itself runs on the
+    compacted classic table — zero Exchange and zero Sort
+    (operators/asof.py::compact_asof_epoch_layout)."""
+    t = _asof_lifecycle_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted(
+        spark, t, ["event_id", "user_id", "ts"], ["o_orderkey", "o_totalprice"]
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 _ASOF_MULTI_STAGED: dict = {}
 
 
