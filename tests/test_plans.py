@@ -582,9 +582,10 @@ def test_r13_dedup_url_collapses_noise_groups(spark):
 
 def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
     """graph_kcore's big-graph strategies (streamed scratch-table edge
-    pin above the pair-mass bound; shuffle-hash survivor joins +
-    DISK_ONLY round pins above the node bound), forced by dropping
-    both knobs to 1, must compute EXACTLY the broadcast/checkpoint
+    pin above the STAGE-ECONOMICS pair-mass bound — the r14 knob-free
+    auto-selection, _EDGE_STAGE_PAIRS_MIN; shuffle-hash survivor joins
+    + DISK_ONLY round pins above the node bound), forced by dropping
+    both bounds to 1, must compute EXACTLY the broadcast/checkpoint
     answer — and repeat invocations must reuse the staged edge table
     instead of re-writing it per run (the DOULION/minhash repetition
     guarantee)."""
@@ -592,7 +593,7 @@ def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
     from tstables_spark.plans._staging import _STREAM_PINNED
 
     small = {tuple(r) for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
-    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    monkeypatch.setattr(A, "_EDGE_STAGE_PAIRS_MIN", 1)
     monkeypatch.setattr(A, "_PR_BROADCAST_NODES_MAX", 1)
     big1 = {tuple(r) for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
     assert big1 == small
@@ -603,6 +604,37 @@ def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
     assert {
         k: v for k, v in _STREAM_PINNED.items() if k[1] == "kcore_de"
     } == staged  # reused, not re-staged
+
+
+def test_dedup_near_conf_scoped_session(spark, sf_dir):
+    """dedup_near's frame must be bound to a conf-scoped session twin
+    (AQE initialPartitionNum flattened to the shuffle floor) while the
+    PARENT keeps the engine-global x8 — the r13 bisection's named
+    global trade (census OOM protection vs dedup_near's 1.6x), scoped
+    per-query instead of globalized (r14). The clone must inherit the
+    parent's runtime confs (UTC is load-bearing for every oracle) and
+    be reused across invocations; row parity is covered by the full
+    sf0.01 differential in test_parity.py."""
+    df = QUERIES["dedup_near"](spark, sf_dir)
+    s = df.sparkSession
+    assert s is not spark
+    flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert (
+        int(s.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
+        == flat
+    )
+    assert (
+        int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+        == flat * 8
+    )  # the global trade stays intact for every other query
+    assert s.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
+    assert QUERIES["dedup_near"](spark, sf_dir).sparkSession is s  # cached
 
 
 def test_stream_pin_bucketed_zero_exchange(spark, sf_dir):

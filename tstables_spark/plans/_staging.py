@@ -157,3 +157,46 @@ def register_staged_table(spark, table: str) -> None:
             pass  # JVM gateway may already be down at exit
 
     atexit.register(_drop)
+
+
+_CONF_SCOPED: dict = {}
+
+
+def conf_scoped_session(spark, overrides: dict):
+    """A SQLConf-scoped twin of ``spark``: same SparkContext and
+    external catalog, OWN SQLConf — the only scope that makes an
+    EXECUTION-TIME conf local to one query's DataFrame. A set/restore
+    around plan CONSTRUCTION is invisible to the driver's later
+    execution of the returned frame, and a plain global set is exactly
+    the named global trade this helper exists to avoid (SCALE.md r13
+    bisection: AQE initialPartitionNum x8 buys the wedge census its 8g
+    completion and costs dedup_near 1.6x at the 100x envelope — two
+    right answers, one conf slot).
+
+    ``newSession()`` inherits only BUILDER-time confs (they live in the
+    SparkContext conf), so the parent's explicitly-set runtime confs —
+    the driver wrapper's UTC/NTZ/output-timestamp trio, harness shuffle
+    sizing — are copied onto the clone first (``SET`` enumerates them;
+    static entries that reject runtime set are skipped), then the
+    overrides land on top. Cached per (app, overrides): SessionState
+    construction is not free and queries re-run every round."""
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),  # two sessions in one app must not share a clone
+        tuple(sorted((str(k), str(v)) for k, v in overrides.items())),
+    )
+    s = _CONF_SCOPED.get(key)
+    if s is None:
+        s = spark.newSession()
+        for r in spark.sql("SET").collect():
+            k, v = r[0], r[1]
+            if not k.startswith("spark.sql."):
+                continue
+            try:
+                s.conf.set(k, v)
+            except Exception:
+                pass  # static conf (can only be set at builder time)
+        for k, v in overrides.items():
+            s.conf.set(k, str(v))
+        _CONF_SCOPED[key] = s
+    return s

@@ -1008,6 +1008,20 @@ _PR_BROADCAST_NODES_MAX = 2_000_000
 # relation.
 _EDGE_PIN_PAIRS_MAX = 50_000_000
 
+# ECONOMICS bound, distinct from the OOM bound above: for a
+# multiply-consumed edge relation cached per (app, sf, cut), the
+# streamed bucketed scratch table is the amortizing steady state well
+# below the memory ceiling — r13 measured graph_kcore's 100x fixture
+# (~7.1M sampled half-edges) at 97.98 s COLD STAGED (staging included)
+# vs ~109 s per-invocation pinned, then 17.8 s on every repeat (the
+# cached table feeds deg0 and all peel rounds with zero re-derivation).
+# Above this mass the staged layout wins even one-shot, so iterative
+# consumers flip to it knob-free (r13 verdict #3); below it (sf0.1 is
+# ~71k) the serialized pin's lower constant cost wins the one-shot
+# driver/bench shape. Set one order below the measured-cheaper point,
+# two above sf0.1 — conservative on both sides.
+_EDGE_STAGE_PAIRS_MIN = 1_000_000
+
 # Big-graph bucketed edge tables, staged once per (applicationId,
 # sf_dir) — see graph_pagerank's scale note.
 _PR_EDGES_STAGED: dict = {}
@@ -1952,8 +1966,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pair_est itself is already an upper bound on the unsampled
     # edge count, so the scaled figure stays conservative in
     # expectation — and flipping to the streamed layout early is
-    # harmless, flipping late is the OOM).
-    big_edges = (pair_est * 16) // 256 > _EDGE_PIN_PAIRS_MAX
+    # harmless, flipping late is the OOM). TWO bounds, one branch:
+    # above _EDGE_STAGE_PAIRS_MIN the cached bucketed table is CHEAPER
+    # (cold and amortized — the measured economics at its definition),
+    # above _EDGE_PIN_PAIRS_MAX it is also the only layout that fits.
+    sampled_pairs = (pair_est * 16) // 256
+    big_edges = sampled_pairs > _EDGE_STAGE_PAIRS_MIN
     half = cooccurrence_edges(b0, cap=256).where(
         F.substring(
             F.md5(

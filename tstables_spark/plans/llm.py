@@ -227,8 +227,27 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard over an inverted-index
     self-join (operators/dedup.py — the exact baseline the LSH variant
-    approximates)."""
-    return jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
+    approximates).
+
+    Runs on a CONF-SCOPED session twin with AQE's initialPartitionNum
+    flattened to the shuffle floor: the engine-global x8 setting is
+    load-bearing for the wedge census's 8g completion but costs this
+    query's two posting shuffles 1.6x at the 100x envelope in pure
+    reduce-task overhead (SCALE.md r13 six-row bisection; r13 verdict
+    #4). The clone scopes the flat setting to exactly this frame — the
+    census keeps its OOM protection, dedup_near gets its 12.7 s back,
+    results byte-identical (partition count only)."""
+    from tstables_spark.plans._staging import conf_scoped_session
+
+    s = conf_scoped_session(
+        spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        },
+    )
+    return jaccard_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.6)
 
 
 @query(
