@@ -288,6 +288,56 @@ def soak_theta(spark, ev_src):
     return rows
 
 
+def soak_hh(spark, docs_src):
+    """foreachBatch Misra-Gries fold (stream_heavy_hitters' merge, r14):
+    state is the driver-side k=64 counter dict — the curve must sit AT
+    k from the first saturating batch on (the sketching point: state is
+    k counters regardless of stream length) with flat per-batch latency
+    (one Arrow pass over the batch + a partitions x k collect)."""
+    from itertools import chain
+
+    from tstables_spark.operators.heavyhitters import mg_merge, mg_partitions
+
+    k = 64
+    src = (
+        spark.readStream.schema(spark.read.parquet(docs_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_src)
+    )
+    snaps: dict[int, dict] = {}
+    rows: list[dict] = []
+
+    def fold(batch, bid: int) -> None:
+        t0 = time.perf_counter()
+        toks = batch.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        summ = [
+            (r["item"], r["cnt"])
+            for r in mg_partitions(toks, "tok", k).collect()
+        ]
+        snaps[bid] = mg_merge(chain(snaps.get(bid - 1, {}).items(), summ), k)
+        snaps.pop(bid - 2, None)
+        rows.append(
+            {
+                "batch": bid,
+                "ms": round((time.perf_counter() - t0) * 1000, 1),
+                "rows_in": None,
+                "state_rows": len(snaps[bid]),
+                "state_bytes": None,
+            }
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{SRC_ROOT}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
 def main() -> None:
     from tstables_spark import get_spark
     from tstables_spark.plans.tables import load
@@ -308,6 +358,7 @@ def main() -> None:
         "stream_kll_gate": (soak_kll, ev_src),
         "stream_pattern": (soak_pattern, ev_ordered),
         "stream_theta": (soak_theta, ev_src),
+        "stream_heavy_hitters": (soak_hh, docs_src),
     }
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(soaks)
     needed = {soaks[n][1] for n in names}

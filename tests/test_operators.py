@@ -1691,6 +1691,65 @@ def test_mg_batch_fold_guarantees():
                 assert c - counters[item] <= bound, (batch, item)
 
 
+def test_mg_stream_snapshot_fold_replay_safe():
+    """stream_heavy_hitters' per-batch-id snapshot fold: the MG fold is
+    NOT idempotent (re-folding a replayed micro-batch double-counts —
+    unlike the KMV fold, which dedups), so the maintainer folds every
+    batch from its PREDECESSOR's snapshot. Replaying any batch must
+    land on the bit-identical snapshot (deterministic pure arithmetic),
+    the naive fold-into-current-state alternative must be shown to
+    actually diverge (the failure mode the snapshots exist for), and
+    the final snapshot must satisfy the MG guarantees."""
+    import collections
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    from tstables_spark.operators.heavyhitters import mg_merge
+
+    rng = np.random.default_rng(23)
+    data = [f"t{int(x)}" for x in rng.zipf(1.3, 30000) if x < 4000]
+    k = 64
+    batches = [data[i : i + 1000] for i in range(0, len(data), 1000)]
+
+    def batch_summary(b):
+        vc = pd.Series(b).value_counts()
+        return list(zip(vc.index, vc.to_numpy()))
+
+    snaps: dict[int, dict] = {}
+    for bid, b in enumerate(batches):
+        snaps[bid] = mg_merge(
+            chain(snaps.get(bid - 1, {}).items(), batch_summary(b)), k
+        )
+    # replay-safety: re-running any batch from its predecessor snapshot
+    # reproduces the exact same successor snapshot
+    for bid in (0, len(batches) // 2, len(batches) - 1):
+        replay = mg_merge(
+            chain(snaps.get(bid - 1, {}).items(), batch_summary(batches[bid])),
+            k,
+        )
+        assert replay == snaps[bid], bid
+    # the naive alternative (fold the replayed batch into the CURRENT
+    # counters) double-counts: total counter mass strictly grows
+    last = len(batches) - 1
+    naive = mg_merge(
+        chain(snaps[last].items(), batch_summary(batches[last])), k
+    )
+    assert sum(naive.values()) > sum(snaps[last].values())
+    # final guarantees over the whole stream
+    exact = collections.Counter(data)
+    n = len(data)
+    bound = n // (k + 1)
+    final = snaps[last]
+    assert len(final) <= k
+    for item, est in final.items():
+        assert est <= exact[item], item
+    for item, c in exact.items():
+        if c > bound:
+            assert item in final and c - final[item] <= bound, item
+
+
 def test_nsw_staged_identity_and_plan(spark):
     """stage_nsw_layout + nsw_topk_staged returns EXACTLY nsw_topk's
     rows (same graph, entries, walk, tie-breaks) while paying zero

@@ -859,6 +859,120 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_STAGED: dict = {}
+
+
+def _staged_doc_stream(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """documents as a 4-file parquet dir (one file per trigger), staged
+    once per (app, sf) — the _staged_kll_values discipline; repeated
+    invocations reuse the files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HH_STAGED:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        path = scratch_dir(spark, "hh_src_") + "/documents"
+        docs.repartition(4).write.mode("overwrite").parquet(path)
+        _HH_STAGED[key] = (path, docs.schema)
+    return _HH_STAGED[key]
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT unnest(str_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    nn AS (SELECT count(*) AS n FROM toks),
+    c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT c.tok AS token, CAST(c.c AS BIGINT) AS exact_cnt,
+           TRUE AS in_summary, TRUE AS err_ok
+    FROM c, nn WHERE c.c > nn.n // 65
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MISRA-GRIES heavy-hitters summary maintained INCREMENTALLY
+    over a document stream — agg_heavy_hitters' maintainer, completing
+    the streaming sketch family's sixth member (cms / bloom / qsketch /
+    kll / theta / this). Each trigger reduces its batch to per-partition
+    MG summaries (the same Arrow-batched mapInPandas pass the batch
+    query uses — O(k) task state, partitions x k rows collected) and
+    folds them into the running k=64 counters with the subtract-merge;
+    the MG guarantees hold under ANY merge schedule (Agarwal et al.,
+    mergeable summaries), so after the final trigger every token with
+    true frequency above n/(k+1) is in the summary with undercount at
+    most n/(k+1). The oracle is agg_heavy_hitters' exact-count gate:
+    the driver hash-checks the exact heavy-hitter list, counts, and
+    TRUE guarantee flags against the STREAM-maintained summary.
+
+    Unlike the KMV fold (stream_theta), the MG fold is NOT idempotent —
+    re-folding a replayed micro-batch would double-count — so state is
+    snapshotted per batch id and a batch always folds from its
+    PREDECESSOR's snapshot: a replay of batch b recomputes from
+    snap[b-1] and lands on the identical snap[b] (deterministic pure
+    arithmetic), keeping foreachBatch's at-least-once delivery
+    exactly-once in effect. Only the two live snapshots are retained.
+
+    Scale shape: per trigger one Arrow-batched pass over the batch +
+    one bounded partitions x k collect; driver state is <= k counters
+    REGARDLESS of stream length (soaked 100 micro-batches in
+    scripts/soak_streams.py: flat latency, state == k)."""
+    from itertools import chain
+
+    from tstables_spark.operators.heavyhitters import mg_merge, mg_partitions
+
+    k = 64
+    path, schema = _staged_doc_stream(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    snaps: dict[int, dict] = {}
+
+    def merge(batch: DataFrame, bid: int) -> None:
+        toks_b = batch.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        summ = [
+            (r["item"], r["cnt"])
+            for r in mg_partitions(toks_b, "tok", k).collect()
+        ]
+        prev = snaps.get(bid - 1, {})
+        snaps[bid] = mg_merge(chain(prev.items(), summ), k)
+        snaps.pop(bid - 2, None)  # replay window: predecessor only
+
+    base = scratch_dir(spark, "hh_state_")
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = snaps[max(snaps)] if snaps else {}
+    # The exact-count audit (identical to agg_heavy_hitters): bounded —
+    # <= k+1 tokens can exceed n/(k+1) by counting.
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = exact.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    bound = n // (k + 1)
+    hh = exact.where(F.col("c") > bound).collect()
+    out = []
+    for r in hh:
+        est = merged.get(r["tok"], 0)
+        out.append(
+            (
+                r["tok"],
+                r["c"],
+                r["tok"] in merged,
+                bool(est <= r["c"] and r["c"] - est <= bound),
+            )
+        )
+    return spark.createDataFrame(
+        out, "token string, exact_cnt long, in_summary boolean, err_ok boolean"
+    )
+
+
 from tstables_spark.plans.timeseries import V_PATTERN_ORACLE
 
 
