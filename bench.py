@@ -87,6 +87,12 @@ HEADLINE = [
     "graph_kcore",
     "agg_theta_sketch",
     "lm_kn_score",
+    # r14 addition: the full epoch lifecycle read (stage + appends +
+    # expire + compact happen in the warm pass; timed pass = the
+    # zero-Exchange zero-Sort read of the compacted classic table).
+    # stream_heavy_hitters stays out: its wall is trigger-count-bound
+    # streaming machinery, not plan cost (the stream_* precedent).
+    "ts_epoch_lifecycle",
 ]
 
 # A single timing rides this box's ±1.5x load-noise band (SCALE.md
