@@ -253,7 +253,10 @@ def soak_theta(spark, ev_src):
         .parquet(ev_src)
     )
     base = f"{SRC_ROOT}/theta_state_{uuid.uuid4().hex[:8]}"
-    state: dict = {"path": None}
+    # attempt-counter versioning, matching the PLAN's replay-safe write
+    # scheme (streaming_q.stream_theta, r13 advice) — the soak must
+    # measure the write pattern production actually runs
+    state: dict = {"path": None, "attempt": 0}
     rows: list[dict] = []
 
     def fold(batch, bid: int) -> None:
@@ -264,7 +267,8 @@ def soak_theta(spark, ev_src):
             if state["path"] is None
             else spark.read.parquet(state["path"]).unionByName(m)
         )
-        newp = f"{base}/v{bid}"
+        state["attempt"] += 1
+        newp = f"{base}/v{state['attempt']}"
         kmv_truncate(allr).write.mode("overwrite").parquet(newp)
         state["path"] = newp
         n = spark.read.parquet(newp).count()

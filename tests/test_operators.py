@@ -2487,6 +2487,18 @@ def test_asof_epoch_append_crash_detected_and_recovered(spark, tmp_path, monkeyp
             )
         monkeypatch.undo()
         assert pending_asof_epoch_append(spark, name)["epochs"] == [3]
+        # a second writer must not clobber existing crash evidence
+        from tstables_spark.operators.asof import (
+            _table_fs_root,
+            _write_pending_marker,
+        )
+
+        jvm, fs, _root, loc = _table_fs_root(spark, name)
+        with pytest.raises(RuntimeError, match="concurrent"):
+            _write_pending_marker(jvm, fs, loc, {"epochs": [9]})
+        # an all-drop recovery must be spelled out, never defaulted into
+        with pytest.raises(ValueError, match="spelled out"):
+            recover_asof_epoch_append(spark, name, epoch_of=epoch_of)
         assert recover_asof_epoch_append(
             spark, name, left=bad.limit(0), left_on="ts", left_by="k",
             epoch_of=epoch_of, num_buckets=4,
@@ -2495,6 +2507,14 @@ def test_asof_epoch_append_crash_detected_and_recovered(spark, tmp_path, monkeyp
         parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()}
         assert f"{_EPOCH}=3" not in parts
         assert not os.path.exists(f"{path}/{_EPOCH}=3")
+        # a CORRUPTED marker stays loud (labeled error, never guessed
+        # away): detection must not silently degrade to "no marker"
+        with open(f"{path}/_asof_append_pending.json", "w") as fh:
+            fh.write("{not json")
+        with pytest.raises(RuntimeError, match="UNREADABLE"):
+            pending_asof_epoch_append(spark, name)
+        os.remove(f"{path}/_asof_append_pending.json")
+        assert pending_asof_epoch_append(spark, name) is None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

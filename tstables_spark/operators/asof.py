@@ -434,7 +434,7 @@ def _read_small_file(jvm, fs, jpath) -> bytes:
         inp.close()
 
 
-def pending_asof_epoch_append(spark, table_name: str):
+def pending_asof_epoch_append(spark, table_name: str, _fsroot=None):
     """The commit marker of an epoch append that cannot be proven
     complete, or ``None``. A present marker means an
     ``append_asof_epoch_layout`` wrote it and never reached its
@@ -444,35 +444,76 @@ def pending_asof_epoch_append(spark, table_name: str):
     append would DUPLICATE rows in already-committed epochs, so the
     next append refuses until ``recover_asof_epoch_append`` rebuilds
     the touched epochs from source (or the operator verifies the
-    commit landed and calls ``clear_asof_epoch_append_marker``)."""
+    commit landed and calls ``clear_asof_epoch_append_marker``).
+
+    ``_fsroot``: a precomputed ``_table_fs_root`` tuple — the append
+    path resolves it once per call instead of paying three DESC
+    FORMATTED collects (it sits on the streaming caller's per-batch
+    wall). The marker is written atomically (temp + rename), so an
+    unparseable payload is NOT a crash artifact — it is raised as a
+    labeled error instead of guessed away: auto-clearing a marker we
+    cannot read would waive exactly the duplication guard it exists
+    for (manual remediation: inspect, then delete the file)."""
     import json
 
-    jvm, fs, root, loc = _table_fs_root(spark, table_name)
+    jvm, fs, root, loc = _fsroot or _table_fs_root(spark, table_name)
     jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
     if not fs.exists(jpath):
         return None
-    return json.loads(_read_small_file(jvm, fs, jpath).decode("utf-8"))
+    raw = _read_small_file(jvm, fs, jpath)
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except ValueError as e:
+        raise RuntimeError(
+            f"{loc}/{_PENDING} exists but does not parse ({e}): the "
+            f"table has an UNREADABLE pending-append marker. Refusing "
+            f"to guess its epoch set — inspect the table, rebuild or "
+            f"verify the suspect epochs, then delete the marker file."
+        ) from e
 
 
-def clear_asof_epoch_append_marker(spark, table_name: str) -> None:
+def clear_asof_epoch_append_marker(spark, table_name: str, _fsroot=None) -> None:
     """Remove the append commit marker — the operator's explicit
     declaration that the touched epochs were verified or rebuilt."""
-    jvm, fs, root, loc = _table_fs_root(spark, table_name)
+    jvm, fs, root, loc = _fsroot or _table_fs_root(spark, table_name)
     jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
     if fs.exists(jpath) and not fs.delete(jpath, False):
         raise RuntimeError(f"could not delete {loc}/{_PENDING}")
 
 
 def _write_pending_marker(jvm, fs, loc: str, payload: dict) -> None:
+    """Atomically publish the commit marker: write a uniquely-named
+    temp file, hsync, then RENAME onto the final path. A crash
+    mid-write leaves only an ignored temp orphan and NO marker — safe,
+    because the marker write precedes every destructive byte. The
+    rename also refuses to clobber an existing marker (HDFS-semantics
+    rename onto an existing file returns false): a concurrent append
+    to the same table fails LOUDLY here instead of silently voiding
+    the first writer's crash detection."""
     import json
+    import uuid
 
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{loc}/{_PENDING}.{uuid.uuid4().hex[:8]}.tmp"
+    )
     jpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{_PENDING}")
-    out = fs.create(jpath, True)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode("utf-8")))
         out.hsync()
     finally:
         out.close()
+    # explicit exists-check first: POSIX rename silently REPLACES an
+    # existing destination (RawLocalFileSystem delegates to it), so the
+    # rename-returns-false contract only protects HDFS-class stores
+    if fs.exists(jpath) or not fs.rename(tmp, jpath):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"could not publish {loc}/{_PENDING} (a concurrent append's "
+            f"marker already exists, or the FileSystem refused the "
+            f"rename) — refusing to overwrite another writer's crash "
+            f"evidence; resolve the pending append first"
+        )
 
 
 def append_asof_epoch_layout(
@@ -530,7 +571,11 @@ def append_asof_epoch_layout(
         raise ValueError(
             "append_asof_epoch_layout needs left rows, right rows, or both"
         )
-    stale = pending_asof_epoch_append(spark, table_name)
+    fsroot = _table_fs_root(spark, table_name)  # once per append:
+    # pending-check, marker write and marker clear all reuse it (three
+    # DESC FORMATTED collects per call would sit on the streaming
+    # caller's per-batch wall)
+    stale = pending_asof_epoch_append(spark, table_name, _fsroot=fsroot)
     if stale is not None:
         raise RuntimeError(
             f"append_asof_epoch_layout({table_name}): a prior append's "
@@ -592,7 +637,7 @@ def append_asof_epoch_layout(
     # marker BEFORE the overwrite, removed only after it returns: the
     # keep-pin above is already materialized (eager checkpoint), so
     # everything after the marker is the destructive window
-    jvm, fs, _root, loc = _table_fs_root(spark, table_name)
+    jvm, fs, _root, loc = fsroot
     _write_pending_marker(
         jvm,
         fs,
@@ -610,7 +655,7 @@ def append_asof_epoch_layout(
             .repartition(num_buckets, F.col(_KEY))
             .write.insertInto(table_name, overwrite=True)
         )
-    clear_asof_epoch_append_marker(spark, table_name)
+    clear_asof_epoch_append_marker(spark, table_name, _fsroot=fsroot)
 
 
 def recover_asof_epoch_append(
@@ -647,6 +692,13 @@ def recover_asof_epoch_append(
         raise RuntimeError(
             f"recover_asof_epoch_append({table_name}): no pending-append "
             f"marker — nothing to recover"
+        )
+    if left is None and right is None:
+        raise ValueError(
+            "recover_asof_epoch_append needs the source-of-truth rows "
+            "(left, right, or both); to DROP every marked epoch, pass "
+            "an explicitly empty frame (e.g. source.limit(0)) — an "
+            "all-drop recovery must be spelled out, not defaulted into"
         )
     staged = spark.table(table_name)
     cols_order = staged.columns

@@ -185,18 +185,22 @@ def conf_scoped_session(spark, overrides: dict):
         id(spark),  # two sessions in one app must not share a clone
         tuple(sorted((str(k), str(v)) for k, v in overrides.items())),
     )
-    s = _CONF_SCOPED.get(key)
-    if s is None:
-        s = spark.newSession()
-        for r in spark.sql("SET").collect():
-            k, v = r[0], r[1]
-            if not k.startswith("spark.sql."):
-                continue
-            try:
-                s.conf.set(k, v)
-            except Exception:
-                pass  # static conf (can only be set at builder time)
-        for k, v in overrides.items():
-            s.conf.set(k, str(v))
-        _CONF_SCOPED[key] = s
+    hit = _CONF_SCOPED.get(key)
+    if hit is not None:
+        return hit[1]
+    s = spark.newSession()
+    for r in spark.sql("SET").collect():
+        k, v = r[0], r[1]
+        if not k.startswith("spark.sql."):
+            continue
+        try:
+            s.conf.set(k, v)
+        except Exception:
+            pass  # static conf (can only be set at builder time)
+    for k, v in overrides.items():
+        s.conf.set(k, str(v))
+    # the PARENT rides in the cache entry: id(spark) is only a stable
+    # key while the parent is alive, so pin it — a GC'd session's
+    # reused id must never serve a twin cloned from a dead session
+    _CONF_SCOPED[key] = (spark, s)
     return s
