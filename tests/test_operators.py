@@ -2496,6 +2496,18 @@ def test_asof_epoch_append_crash_detected_and_recovered(spark, tmp_path, monkeyp
         jvm, fs, _root, loc = _table_fs_root(spark, name)
         with pytest.raises(RuntimeError, match="concurrent"):
             _write_pending_marker(jvm, fs, loc, {"epochs": [9]})
+        # byte-rewriting/deleting lifecycle verbs refuse while the
+        # append state is unproven: compact would bake the partial
+        # state into the classic table, expire could delete evidence
+        from tstables_spark.operators.asof import (
+            compact_asof_epoch_layout,
+            expire_asof_epoch_layout,
+        )
+
+        with pytest.raises(RuntimeError, match="UNPROVEN"):
+            compact_asof_epoch_layout(spark, path, "asof_crash_c", path + "_c")
+        with pytest.raises(RuntimeError, match="UNPROVEN"):
+            expire_asof_epoch_layout(spark, name, min_epoch=1)
         # an all-drop recovery must be spelled out, never defaulted into
         with pytest.raises(ValueError, match="spelled out"):
             recover_asof_epoch_append(spark, name, epoch_of=epoch_of)

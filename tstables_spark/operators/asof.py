@@ -767,6 +767,26 @@ def recover_asof_epoch_append(
     return sorted(targets)
 
 
+def _refuse_on_pending_marker(spark, epoch_path: str, verb: str) -> None:
+    """Lifecycle verbs that REWRITE or DELETE epoch bytes must refuse
+    while a pending-append marker is present: compacting an unproven
+    state bakes it into the classic table, and expiring epochs a
+    crashed append touched destroys the evidence recovery needs. The
+    check is path-based (compact only knows the data path)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{epoch_path}/{_PENDING}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        raise RuntimeError(
+            f"{verb}({epoch_path}): a pending-append commit marker is "
+            f"present — the table holds an UNPROVEN append state. "
+            f"Recover first (recover_asof_epoch_append) or verify and "
+            f"clear_asof_epoch_append_marker; refusing to "
+            f"{'rewrite' if verb.startswith('compact') else 'delete'} "
+            f"unproven epochs."
+        )
+
+
 def compact_asof_epoch_layout(
     spark,
     epoch_path: str,
@@ -792,7 +812,12 @@ def compact_asof_epoch_layout(
     silently voids the single-file outputOrdering claim the compaction
     exists to restore (measured r13). The plain-parquet read carries no
     partitioning claim, so the repartition stands and each bucket gets
-    exactly one sorted file."""
+    exactly one sorted file.
+
+    Refuses while a pending-append marker is present: the plain-parquet
+    read would otherwise bake a crashed append's unproven partial state
+    into the compacted table (see _refuse_on_pending_marker)."""
+    _refuse_on_pending_marker(spark, epoch_path, "compact_asof_epoch_layout")
     (
         _write_asof_table(
             spark.read.parquet(epoch_path).drop(_EPOCH),
@@ -834,8 +859,12 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
     NOT best-effort: an unresolvable table location or a delete the
     FileSystem reports failed raises instead of returning the epoch
     as expired while its bytes remain (the 100 TB monthly trim must
-    not silently leak storage)."""
+    not silently leak storage). Refuses while a pending-append
+    marker is present: a crashed append's touched epochs may include
+    expiry victims, and deleting them would destroy the very state
+    recovery needs (see _refuse_on_pending_marker)."""
     jvm, fs, root, loc = _table_fs_root(spark, table_name)
+    _refuse_on_pending_marker(spark, loc, "expire_asof_epoch_layout")
     victims = set()
 
     def _epoch_or_none(v: str):
