@@ -2531,6 +2531,71 @@ def test_asof_epoch_append_crash_detected_and_recovered(spark, tmp_path, monkeyp
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_asof_epoch_append_idempotent_replay(spark, tmp_path):
+    """``idempotent=True`` makes a REPLAYED epoch append a no-op — the
+    streaming foreachBatch contract (at-least-once delivery: a crash
+    after the append completes but before the streaming commit re-runs
+    the same batch): the doubled run must equal the single run exactly,
+    and the DEFAULT append must still preserve legitimate duplicates
+    (it appends the batch again)."""
+    from tstables_spark.operators.asof import (
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 7, (i * 37) % 1200) for i in range(2000)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 7, (i * 89) % 1200, i) for i in range(300)],
+            "k long, t long, val long",
+        )
+        .groupBy("k", F.timestamp_seconds(F.col("t") * 100).alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    epoch_of = lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000))  # noqa: E731
+    day = lambda c: F.floor(F.unix_micros(F.col(c)) / (86400 * 1_000_000))  # noqa: E731
+    name, path = "asof_epoch_replay_test", str(tmp_path / "t")
+    try:
+        stage_asof_epoch_layout(
+            left.where(day("ts") == 0), right,
+            "ts", "rts", "k", "k", ["val"], name, path, epoch_of, num_buckets=4,
+        )
+        batch = left.where(day("ts") == 1)
+        for _ in range(2):  # second run == the replay
+            append_asof_epoch_layout(
+                spark, name, left=batch, left_on="ts", left_by="k",
+                epoch_of=epoch_of, num_buckets=4, idempotent=True,
+            )
+        want = {
+            tuple(r)
+            for r in asof_join(
+                left.where(day("ts") <= 1), right, "ts", "rts", "k", "k", ["val"]
+            ).collect()
+        }
+        rows = asof_join_presorted(
+            spark, name, ["event_id", "k", "ts"], ["val"]
+        ).collect()
+        assert len(rows) == left.where(day("ts") <= 1).count()  # no dupes
+        assert {tuple(r) for r in rows} == want
+        # the default append preserves duplicates (they are data there)
+        n_batch = batch.count()
+        append_asof_epoch_layout(
+            spark, name, left=batch, left_on="ts", left_by="k",
+            epoch_of=epoch_of, num_buckets=4,
+        )
+        assert (
+            asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"]).count()
+            == len(rows) + n_batch
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_asof_epoch_layout_null_epoch_preserved(spark, tmp_path):
     """NULL-time rows land in the hive default partition (NULL epoch);
     an append whose batch also carries a NULL-time row must PRESERVE

@@ -529,6 +529,7 @@ def append_asof_epoch_layout(
     right_values: Sequence[str] = (),
     epoch_of=None,
     num_buckets: int = 8,
+    idempotent: bool = False,
 ) -> None:
     """Append into a ``stage_asof_epoch_layout`` table, rewriting ONLY
     the epochs the new rows land in: new rows are encoded exactly as
@@ -558,6 +559,17 @@ def append_asof_epoch_layout(
     ``recover_asof_epoch_append`` (rebuild the touched epochs from
     source, bounded by their size) or manual verification plus
     ``clear_asof_epoch_append_marker``.
+
+    ``idempotent=True``: drop exact-duplicate ENCODED rows from the
+    rewritten union, making a REPLAYED append a byte-level no-op — the
+    contract the streaming caller needs, because foreachBatch is
+    at-least-once and a crash after this append completes but before
+    the streaming commit re-runs the same batch (the marker only
+    covers crashes DURING the append). Requires the caller's rows to
+    be unique in their encoding (key, time, side, carry, passthrough
+    cols — true for any source with a unique id column); a source
+    whose legitimate duplicates must be preserved keeps the default.
+    Costs one extra all-column exchange over the touched-epoch rows.
 
     Pass ``epoch_of`` and parameter names identical to staging: they
     are physical parameters of the layout."""
@@ -648,9 +660,12 @@ def append_asof_epoch_layout(
             "null_partition": bool((obs.get["nnull"] or 0) > 0),
         },
     )
+    union_out = keep.unionByName(new)
+    if idempotent:
+        union_out = union_out.dropDuplicates()
     with dynamic_partition_overwrite(spark):
         (
-            keep.unionByName(new)
+            union_out
             .select(*cols_order)  # insertInto is positional
             .repartition(num_buckets, F.col(_KEY))
             .write.insertInto(table_name, overwrite=True)

@@ -552,7 +552,14 @@ def stream_asof_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-epoch append is a row-set union of deterministic encodings, so
     batch boundaries cannot change the fixpoint — the same convergence
     contract stream_upsert proves for TimeSeriesTable, here for the
-    staged as-of layout. Hash-checked against the join_asof oracle."""
+    staged as-of layout. Hash-checked against the join_asof oracle.
+
+    Replay safety (r14): the append runs with ``idempotent=True`` —
+    foreachBatch is at-least-once, and a crash AFTER an append
+    completes but BEFORE the streaming commit replays the batch; the
+    duplicate-encoding drop makes that replay a byte-level no-op
+    (event rows are encoding-unique via event_id), while the commit
+    marker covers crashes DURING the append. Exactly-once in effect."""
     from tstables_spark.operators.asof import (
         append_asof_epoch_layout,
         asof_join_presorted,
@@ -603,6 +610,7 @@ def stream_asof_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 left_by="user_id",
                 epoch_of=epoch_of,
                 num_buckets=8,
+                idempotent=True,
             )
         )
         .option("checkpointLocation", f"{base}/ckpt")
