@@ -206,7 +206,9 @@ def soak_kll(spark, ev_src):
         .parquet(ev_src)
     )
     vals = src.select("value").where(F.col("value").isNotNull() & ~F.isnan("value"))
-    state: list[tuple[float, int]] = []
+    # snapshot-per-batch-id fold, matching the PLAN's replay-safe
+    # scheme (streaming_q.stream_kll_gate, r14)
+    snaps: dict[int, list] = {}
     rows: list[dict] = []
 
     def fold(batch, bid: int) -> None:
@@ -215,14 +217,15 @@ def soak_kll(spark, ev_src):
             (r["value"], r["weight"])
             for r in sketch_partitions(batch, "value", 512).collect()
         ]
-        state[:] = merge_pairs(state + pairs, 512)
+        snaps[bid] = merge_pairs(list(snaps.get(bid - 1, [])) + pairs, 512)
+        snaps.pop(bid - 2, None)
         rows.append(
             {
                 "batch": bid,
                 "ms": round((time.perf_counter() - t0) * 1000, 1),
                 "rows_in": None,
-                "state_rows": len(state),
-                "state_bytes": len(state) * 16,
+                "state_rows": len(snaps[bid]),
+                "state_bytes": len(snaps[bid]) * 16,
             }
         )
 

@@ -56,6 +56,11 @@ def _load_all() -> None:
     #       #4) -> dedup_near;
     #     - plans/streaming_q.py: stream_theta state versioned by an
     #       attempt counter (replay-safe, r13 advice) -> stream_theta;
+    #       stream_asof_epochs appends with idempotent=True and
+    #       stream_kll_gate folds from per-batch-id snapshots (the two
+    #       remaining at-least-once replay holes, closed late-r14) ->
+    #       stream_kll_gate takes the slot sql_tpch_q22 held (q22, r7,
+    #       heads the r15 queue — the one TPC-H tail not refreshed);
     #     - plans/filtering.py: lm_kn_score promotes n1f/n1b to
     #       DECIMAL before multiplying (overflow order, r13 advice)
     #       -> lm_kn_score;
@@ -70,9 +75,9 @@ def _load_all() -> None:
     #     join_scd2_pit, token_pmi, the ts_* and win_* tails,
     #     udtf_python) PLUS ts_lttb_gate (r7 — the hash gate grading
     #     the rows-only LTTB must not be the oldest ledger entry);
-    # (e) next-oldest backfill to the 50 cut: the six r7-latest
-    #     sql_tpch entries (q2/q9/q11/q20/q21/q22), completing
-    #     fresh-evidence coverage of ALL 22 TPC-H shapes this round.
+    # (e) next-oldest backfill to the 50 cut: five r7-latest
+    #     sql_tpch entries (q2/q9/q11/q20/q21; q22 displaced by the
+    #     late stream_kll_gate re-check, heads the r15 queue).
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
@@ -88,8 +93,9 @@ def _load_all() -> None:
     # fn_conditional, fn_struct, fn_surrogate_key, fn_url,
     # k_anonymity_check, lm_bigram_score, pipeline_corpus_funnel,
     # sample_weighted, sim_range_search, ts_benford,
-    # ts_calendar_sessions, ts_tick_bars, vocab_oov_rate — the r15
-    # backfill queue head). The 7 permanently rows-only-by-design
+    # ts_calendar_sessions, ts_tick_bars, vocab_oov_rate, plus
+    # sql_tpch_q22 displaced by the late stream_kll_gate re-check —
+    # the r15 backfill queue head). The 7 permanently rows-only-by-design
     # queries are sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, sim_nsw,
     # sim_nsw_staged, sim_ivfpq, ts_downsample_lttb — each indirectly
     # gated by a hash-checked contract query (sim_recall r13 /
@@ -122,9 +128,11 @@ def _load_all() -> None:
             "udtf_python", "win_first_last", "win_minmax_norm",
             "win_rsi", "win_streaks",
             "ts_lttb_gate",
-            # (e) r7 sql_tpch tails — all 22 TPC-H shapes fresh
+            # late-r14 re-check (see (c) note): the KLL fold change
+            "stream_kll_gate",
+            # (e) r7 sql_tpch tails
             "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11",
-            "sql_tpch_q20", "sql_tpch_q21", "sql_tpch_q22",
+            "sql_tpch_q20", "sql_tpch_q21",
         ]
     )
 

@@ -1062,7 +1062,13 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-trigger work is one Arrow-batched pass over the
     new files; the carried state is O(2k * levels) samples regardless
     of stream length — constant-memory quantile monitoring over an
-    unbounded stream, read at any trigger with a weighted rank walk."""
+    unbounded stream, read at any trigger with a weighted rank walk.
+
+    Replay safety (r14): the KLL fold is NOT idempotent (re-folding a
+    replayed batch doubles its weight), so state snapshots per batch
+    id and each batch folds from its PREDECESSOR's snapshot — the
+    stream_heavy_hitters discipline; foreachBatch's at-least-once
+    delivery stays weight-exact in effect."""
     from tstables_spark.operators.kll import merge_pairs, rank_gate, sketch_partitions
 
     k = 512
@@ -1077,14 +1083,15 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(sdir)
     )
-    state: list[tuple[float, int]] = []
+    snaps: dict[int, list] = {}
 
-    def fold(batch: DataFrame, _id: int) -> None:
+    def fold(batch: DataFrame, bid: int) -> None:
         pairs = [
             (r["value"], r["weight"])
             for r in sketch_partitions(batch, "value", k).collect()
         ]
-        state[:] = merge_pairs(state + pairs, k)
+        snaps[bid] = merge_pairs(list(snaps.get(bid - 1, [])) + pairs, k)
+        snaps.pop(bid - 2, None)  # replay window: predecessor only
 
     q = (
         src.writeStream.foreachBatch(fold)
@@ -1093,4 +1100,4 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return rank_gate(ev, state)
+    return rank_gate(ev, snaps[max(snaps)] if snaps else [])
