@@ -59,8 +59,12 @@ def _load_all() -> None:
     #       stream_asof_epochs appends with idempotent=True and
     #       stream_kll_gate folds from per-batch-id snapshots (the two
     #       remaining at-least-once replay holes, closed late-r14) ->
-    #       stream_kll_gate takes the slot sql_tpch_q22 held (q22, r7,
-    #       heads the r15 queue — the one TPC-H tail not refreshed);
+    #       stream_kll_gate takes the slot sql_tpch_q22 held, and
+    #       stream_asof's per-batch writer now overwrites its own
+    #       bid partition instead of appending (the replay-duplication
+    #       hole of mode("append")) -> stream_asof takes sql_tpch_q21's
+    #       slot (q21/q22, r7, head the r15 queue — the two TPC-H
+    #       tails not refreshed);
     #     - plans/filtering.py: lm_kn_score promotes n1f/n1b to
     #       DECIMAL before multiplying (overflow order, r13 advice)
     #       -> lm_kn_score;
@@ -75,9 +79,10 @@ def _load_all() -> None:
     #     join_scd2_pit, token_pmi, the ts_* and win_* tails,
     #     udtf_python) PLUS ts_lttb_gate (r7 — the hash gate grading
     #     the rows-only LTTB must not be the oldest ledger entry);
-    # (e) next-oldest backfill to the 50 cut: five r7-latest
-    #     sql_tpch entries (q2/q9/q11/q20/q21; q22 displaced by the
-    #     late stream_kll_gate re-check, heads the r15 queue).
+    # (e) next-oldest backfill to the 50 cut: four r7-latest
+    #     sql_tpch entries (q2/q9/q11/q20; q21/q22 displaced by the
+    #     late stream_asof / stream_kll_gate re-checks, head the r15
+    #     queue).
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
@@ -94,8 +99,8 @@ def _load_all() -> None:
     # k_anonymity_check, lm_bigram_score, pipeline_corpus_funnel,
     # sample_weighted, sim_range_search, ts_benford,
     # ts_calendar_sessions, ts_tick_bars, vocab_oov_rate, plus
-    # sql_tpch_q22 displaced by the late stream_kll_gate re-check —
-    # the r15 backfill queue head). The 7 permanently rows-only-by-design
+    # sql_tpch_q21/q22 displaced by the late stream_asof and
+    # stream_kll_gate re-checks — the r15 backfill queue head). The 7 permanently rows-only-by-design
     # queries are sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, sim_nsw,
     # sim_nsw_staged, sim_ivfpq, ts_downsample_lttb — each indirectly
     # gated by a hash-checked contract query (sim_recall r13 /
@@ -128,11 +133,12 @@ def _load_all() -> None:
             "udtf_python", "win_first_last", "win_minmax_norm",
             "win_rsi", "win_streaks",
             "ts_lttb_gate",
-            # late-r14 re-check (see (c) note): the KLL fold change
-            "stream_kll_gate",
+            # late-r14 re-checks (see (c) note): the KLL fold and
+            # the stream_asof per-batch writer changes
+            "stream_kll_gate", "stream_asof",
             # (e) r7 sql_tpch tails
             "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11",
-            "sql_tpch_q20", "sql_tpch_q21",
+            "sql_tpch_q20",
         ]
     )
 

@@ -694,7 +694,12 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream watermark bookkeeping) — at 100 TB the staged book
     is the scan side of each per-batch join, never growing state. The
     oracle is the batch twin (DuckDB ASOF): the hash match proves
-    batch boundaries don't leak into results."""
+    batch boundaries don't leak into results.
+
+    Replay safety (r14): each batch's output lands in its own
+    ``bid=<batch id>`` directory with overwrite — an at-least-once
+    replay rewrites its own partition instead of appending a duplicate
+    copy (the mode("append") writer it replaces did exactly that)."""
     from tstables_spark.operators.asof import asof_join_interval
 
     ev = load(spark, sf_dir, "events")
@@ -708,7 +713,7 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir(spark, "asof_out_") + "/enriched"
 
-    def enrich(batch: DataFrame, _id: int) -> None:
+    def enrich(batch: DataFrame, bid: int) -> None:
         (
             asof_join_interval(
                 batch.select("event_id", "user_id", "ts"),
@@ -718,8 +723,8 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 right_values=["o_orderkey", "o_totalprice"],
             )
             .select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
-            .write.mode("append")
-            .parquet(out)
+            .write.mode("overwrite")
+            .parquet(f"{out}/bid={bid}")
         )
 
     q = (
@@ -729,7 +734,10 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # bid is a partition-discovery column, not part of the result
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_totalprice"
+    )
 
 
 @query("stream_cms", oracle=_cms_oracle())
