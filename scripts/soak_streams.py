@@ -219,13 +219,15 @@ def soak_kll(spark, ev_src):
         ]
         snaps[bid] = merge_pairs(list(snaps.get(bid - 1, [])) + pairs, 512)
         snaps.pop(bid - 2, None)
+        # two snapshots retained (replay window) — report the real hold
+        held = len(snaps[bid]) + len(snaps.get(bid - 1, []))
         rows.append(
             {
                 "batch": bid,
                 "ms": round((time.perf_counter() - t0) * 1000, 1),
                 "rows_in": None,
-                "state_rows": len(snaps[bid]),
-                "state_bytes": len(snaps[bid]) * 16,
+                "state_rows": held,
+                "state_bytes": held * 16,
             }
         )
 
@@ -325,12 +327,15 @@ def soak_hh(spark, docs_src):
         ]
         snaps[bid] = mg_merge(chain(snaps.get(bid - 1, {}).items(), summ), k)
         snaps.pop(bid - 2, None)
+        # the fold RETAINS two snapshots (bid and its predecessor, the
+        # replay window) — report what the driver actually holds
+        held = len(snaps[bid]) + len(snaps.get(bid - 1, {}))
         rows.append(
             {
                 "batch": bid,
                 "ms": round((time.perf_counter() - t0) * 1000, 1),
                 "rows_in": None,
-                "state_rows": len(snaps[bid]),
+                "state_rows": held,
                 "state_bytes": None,
             }
         )

@@ -2592,6 +2592,21 @@ def test_asof_epoch_append_idempotent_replay(spark, tmp_path):
             asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"]).count()
             == len(rows) + n_batch
         )
+        # MIX-MODE safety (review r14): a later idempotent append into
+        # the same epoch must pass the table's pre-existing duplicate
+        # rows through untouched (multiset-delta scope, not a
+        # whole-union distinct) while still adding only its fresh row
+        fresh = spark.createDataFrame(
+            [(99999, 3, 1100)], "event_id long, k long, t long"
+        ).select("event_id", "k", F.timestamp_seconds(F.col("t") * 100).alias("ts"))
+        append_asof_epoch_layout(
+            spark, name, left=fresh, left_on="ts", left_by="k",
+            epoch_of=epoch_of, num_buckets=4, idempotent=True,
+        )
+        assert (
+            asof_join_presorted(spark, name, ["event_id", "k", "ts"], ["val"]).count()
+            == len(rows) + n_batch + 1
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

@@ -560,16 +560,21 @@ def append_asof_epoch_layout(
     source, bounded by their size) or manual verification plus
     ``clear_asof_epoch_append_marker``.
 
-    ``idempotent=True``: drop exact-duplicate ENCODED rows from the
-    rewritten union, making a REPLAYED append a byte-level no-op — the
-    contract the streaming caller needs, because foreachBatch is
-    at-least-once and a crash after this append completes but before
-    the streaming commit re-runs the same batch (the marker only
-    covers crashes DURING the append). Requires the caller's rows to
-    be unique in their encoding (key, time, side, carry, passthrough
-    cols — true for any source with a unique id column); a source
-    whose legitimate duplicates must be preserved keeps the default.
-    Costs one extra all-column exchange over the touched-epoch rows.
+    ``idempotent=True``: append only the MULTISET DIFFERENCE of the
+    new rows against the touched epochs' existing rows (``new
+    exceptAll keep``), making a REPLAYED append a no-op — the contract
+    the streaming caller needs, because foreachBatch is at-least-once
+    and a crash after this append completes but before the streaming
+    commit re-runs the same batch (the marker only covers crashes
+    DURING the append). Scoped to the DELTA, not the union (review
+    r14): pre-existing duplicate rows in the table — legitimate data
+    under default appends — are passed through untouched, and a
+    batch's own internal duplicates survive (multiset semantics).
+    The one excluded case is a caller intentionally re-appending a row
+    that already exists identically in its epoch as a NEW occurrence —
+    indistinguishable from a replay without a unique id, so callers
+    with that workload keep the default. Costs one extra all-column
+    exchange over the touched-epoch rows.
 
     Pass ``epoch_of`` and parameter names identical to staging: they
     are physical parameters of the layout."""
@@ -660,9 +665,11 @@ def append_asof_epoch_layout(
             "null_partition": bool((obs.get["nnull"] or 0) > 0),
         },
     )
-    union_out = keep.unionByName(new)
     if idempotent:
-        union_out = union_out.dropDuplicates()
+        # multiset delta: each new row is admitted only for occurrences
+        # beyond those already present in the touched epochs
+        new = new.exceptAll(keep.select(*new.columns))
+    union_out = keep.unionByName(new)
     with dynamic_partition_overwrite(spark):
         (
             union_out
@@ -782,15 +789,16 @@ def recover_asof_epoch_append(
     return sorted(targets)
 
 
-def _refuse_on_pending_marker(spark, epoch_path: str, verb: str) -> None:
+def _refuse_on_pending_marker(spark, epoch_path: str, verb: str, _fs=None) -> None:
     """Lifecycle verbs that REWRITE or DELETE epoch bytes must refuse
     while a pending-append marker is present: compacting an unproven
     state bakes it into the classic table, and expiring epochs a
     crashed append touched destroys the evidence recovery needs. The
-    check is path-based (compact only knows the data path)."""
-    jvm = spark._jvm
+    check is path-based (compact only knows the data path);
+    ``_fs=(jvm, fs)`` reuses a caller's already-resolved FileSystem."""
+    jvm = _fs[0] if _fs else spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{epoch_path}/{_PENDING}")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = _fs[1] if _fs else jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
         raise RuntimeError(
             f"{verb}({epoch_path}): a pending-append commit marker is "
@@ -879,7 +887,7 @@ def expire_asof_epoch_layout(spark, table_name: str, min_epoch: int) -> list:
     expiry victims, and deleting them would destroy the very state
     recovery needs (see _refuse_on_pending_marker)."""
     jvm, fs, root, loc = _table_fs_root(spark, table_name)
-    _refuse_on_pending_marker(spark, loc, "expire_asof_epoch_layout")
+    _refuse_on_pending_marker(spark, loc, "expire_asof_epoch_layout", _fs=(jvm, fs))
     victims = set()
 
     def _epoch_or_none(v: str):

@@ -944,12 +944,26 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps: dict[int, dict] = {}
 
     def merge(batch: DataFrame, bid: int) -> None:
-        toks_b = batch.select(
-            F.explode(F.split(F.lower("text"), " ")).alias("tok")
-        )
+        if bid > 0 and (bid - 1) not in snaps:
+            # a restarted query resumes at bid with EMPTY process-local
+            # state: folding from {} would silently drop every prior
+            # batch's weight — fail loudly instead (review r14); a
+            # driver-merged fold cannot survive a driver restart
+            raise RuntimeError(
+                f"stream_heavy_hitters: batch {bid} has no predecessor "
+                f"snapshot — process restarted mid-stream; driver-held "
+                f"MG state cannot be recovered, restart the query with "
+                f"a fresh checkpoint"
+            )
         summ = [
             (r["item"], r["cnt"])
-            for r in mg_partitions(toks_b, "tok", k).collect()
+            for r in mg_partitions(
+                batch.select(
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok")
+                ),
+                "tok",
+                k,
+            ).collect()
         ]
         prev = snaps.get(bid - 1, {})
         snaps[bid] = mg_merge(chain(prev.items(), summ), k)
@@ -1094,6 +1108,15 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps: dict[int, list] = {}
 
     def fold(batch: DataFrame, bid: int) -> None:
+        if bid > 0 and (bid - 1) not in snaps:
+            # restarted process, empty driver state: loud failure beats
+            # a silently under-weighted sketch (review r14)
+            raise RuntimeError(
+                f"stream_kll_gate: batch {bid} has no predecessor "
+                f"snapshot — process restarted mid-stream; driver-held "
+                f"KLL state cannot be recovered, restart the query "
+                f"with a fresh checkpoint"
+            )
         pairs = [
             (r["value"], r["weight"])
             for r in sketch_partitions(batch, "value", k).collect()
