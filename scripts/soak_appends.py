@@ -353,10 +353,29 @@ def soak_asof_epochs(spark) -> dict:
         got = pre.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+        # r14: the streaming caller's idempotent mode — replay the last
+        # slice (its rows are already committed) and record the wall:
+        # this measures the exceptAll delta's cost at this archive size
+        # AND proves the replay is a row-level no-op
+        n_before = spark.table(tag).count()
+        t0 = time.perf_counter()
+        append_asof_epoch_layout(
+            spark,
+            tag,
+            left=newest.where(F.col("event_id") >= cuts[ROUNDS - 1]),
+            left_on="ts",
+            left_by="user_id",
+            epoch_of=epoch_of,
+            num_buckets=8,
+            idempotent=True,
+        )
+        replay_wall = round(time.perf_counter() - t0, 2)
+        assert spark.table(tag).count() == n_before, "replay added rows"
         out[tag_sz] = {
             "rows_staged": ev.count(),
             "wall_first5": round(sum(walls[:5]) / 5, 2),
             "wall_last5": round(sum(walls[-5:]) / 5, 2),
+            "idempotent_replay_wall": replay_wall,
             "archive_untouched": True,
         }
         spark.sql(f"DROP TABLE IF EXISTS {tag}")
