@@ -79,10 +79,10 @@ def _load_all() -> None:
     #     join_scd2_pit, token_pmi, the ts_* and win_* tails,
     #     udtf_python) PLUS ts_lttb_gate (r7 — the hash gate grading
     #     the rows-only LTTB must not be the oldest ledger entry);
-    # (e) next-oldest backfill to the 50 cut: four r7-latest
-    #     sql_tpch entries (q2/q9/q11/q20; q21/q22 displaced by the
-    #     late stream_asof / stream_kll_gate re-checks, head the r15
-    #     queue).
+    # (e) next-oldest backfill to the 50 cut: three r7-latest
+    #     sql_tpch entries (q2/q9/q11; q20/q21/q22 displaced by the
+    #     late join_asof_tolerance_presorted slot and the stream_asof /
+    #     stream_kll_gate re-checks, head the r15 queue).
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
@@ -99,8 +99,8 @@ def _load_all() -> None:
     # k_anonymity_check, lm_bigram_score, pipeline_corpus_funnel,
     # sample_weighted, sim_range_search, ts_benford,
     # ts_calendar_sessions, ts_tick_bars, vocab_oov_rate, plus
-    # sql_tpch_q21/q22 displaced by the late stream_asof and
-    # stream_kll_gate re-checks — the r15 backfill queue head). The 7 permanently rows-only-by-design
+    # sql_tpch_q20/q21/q22 displaced by the late additions and
+    # re-checks — the r15 backfill queue head). The 7 permanently rows-only-by-design
     # queries are sim_ivf, sim_ivf_centroid, sim_ivf_kmeans, sim_nsw,
     # sim_nsw_staged, sim_ivfpq, ts_downsample_lttb — each indirectly
     # gated by a hash-checked contract query (sim_recall r13 /
@@ -113,8 +113,12 @@ def _load_all() -> None:
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) new this round
+            # (b) new this round (join_asof_tolerance_presorted, a
+            # late-r14 addition completing the presorted variant
+            # family, takes sql_tpch_q20's slot — q20 joins q21/q22 at
+            # the r15 queue head)
             "ts_epoch_lifecycle", "stream_heavy_hitters",
+            "join_asof_tolerance_presorted",
             # (c) r14 behavioral-change re-checks (see policy note)
             "join_asof_epochs", "stream_asof_epochs",
             "graph_kcore", "dedup_near", "stream_theta", "lm_kn_score",
@@ -138,7 +142,6 @@ def _load_all() -> None:
             "stream_kll_gate", "stream_asof",
             # (e) r7 sql_tpch tails
             "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11",
-            "sql_tpch_q20",
         ]
     )
 

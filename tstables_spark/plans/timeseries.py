@@ -2976,6 +2976,49 @@ def join_asof_nearest_presorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+@query(
+    "join_asof_tolerance_presorted",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN e.ts - o.o_orderdate <= INTERVAL 9125 DAYS
+                THEN o.o_orderkey END AS o_orderkey,
+           CASE WHEN e.ts - o.o_orderdate <= INTERVAL 9125 DAYS
+                THEN o.o_totalprice END AS o_totalprice
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_tolerance_presorted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE as-of through the pre-sorted bucket layout — the
+    direction/variant family is now COMPLETE on one staged relation
+    (backward r7, forward/nearest/multi r8-r13, tolerance r14): a
+    backward match older than the tolerance (25 years = 9125 days here,
+    chosen to SPLIT the 1995-2001 order archive against the 2024
+    events — some matches survive, some null out, so the mask is
+    non-vacuous at both fixture scales) reverts to unmatched. The mask
+    is one codegen'd comparison against the carry's ``__rts`` — the
+    plan stays scan -> Window -> filter, ZERO Exchange, ZERO Sort,
+    amortized over the same staging every other direction uses. Oracle
+    = the join_asof_tolerance CASE discipline over DuckDB's ASOF."""
+    t = _asof_staged_table(spark, sf_dir)
+    from tstables_spark.operators.asof import asof_join_presorted
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return asof_join_presorted(
+        spark,
+        t,
+        ["event_id", "user_id", "ts"],
+        ["o_orderkey", "o_totalprice"],
+        tolerance_seconds=9125 * 86400,
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 _ASOF_EPOCH_STAGED: dict = {}
 
 
