@@ -371,6 +371,11 @@ def soak_asof_epochs(spark) -> dict:
         )
         replay_wall = round(time.perf_counter() - t0, 2)
         assert spark.table(tag).count() == n_before, "replay added rows"
+        # the replay must honor the same bounded-I/O contract: archive
+        # epoch files byte-untouched by the idempotent path too
+        assert {
+            d: sorted(os.listdir(f"{root}/t/{d}")) for d in archive_dirs
+        } == archive_sig, "idempotent replay touched archive epochs"
         out[tag_sz] = {
             "rows_staged": ev.count(),
             "wall_first5": round(sum(walls[:5]) / 5, 2),
