@@ -657,3 +657,39 @@ def test_stream_pin_bucketed_zero_exchange(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_stream_pin_lru_eviction_restages(spark, sf_dir, monkeypatch):
+    """The staged-pin registry is LRU-bounded (r14 verdict #5: a
+    long-lived session accumulated one catalog table + one JVM
+    relation-cache entry per pin and OOM'd a 1 GB driver): beyond the
+    cap the oldest pin's table is DROPPED and its scratch dir
+    reclaimed, and a later request for the evicted key RESTAGES it —
+    same rows, no error."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tstables_spark.plans import _staging
+    from tstables_spark.plans.tables import load
+
+    monkeypatch.setattr(_staging, "_STREAM_PINNED_CAP", 2)
+    ev = load(spark, sf_dir, "events").select("user_id").limit(5)
+    t1 = _staging.stream_pin(ev, "lru_a", cache_key=("k1",))
+    key1 = next(k for k in _staging._STREAM_PINNED if k[1] == "lru_a")
+    tag1, dir1 = _staging._STREAM_PINNED[key1]
+    want = t1.count()
+    _staging.stream_pin(ev, "lru_b", cache_key=("k2",))
+    _staging.stream_pin(ev, "lru_c", cache_key=("k3",))
+    # cap=2: the oldest (lru_a) must be gone — catalog and bytes
+    assert key1 not in _staging._STREAM_PINNED
+    assert not spark.catalog.tableExists(tag1)
+    assert not os.path.exists(dir1)
+    # an evicted key restages transparently (pure function of inputs)
+    t1b = _staging.stream_pin(ev, "lru_a", cache_key=("k1",))
+    assert t1b.count() == want
+    # a HIT refreshes recency: touch lru_b, then add one more — the
+    # eviction must take lru_a's restage or lru_c, never the fresh hit
+    _staging.stream_pin(ev, "lru_b", cache_key=("k2",))
+    _staging.stream_pin(ev, "lru_d", cache_key=("k4",))
+    assert any(k[1] == "lru_b" for k in _staging._STREAM_PINNED)

@@ -483,15 +483,25 @@ def clear_asof_epoch_append_marker(spark, table_name: str, _fsroot=None) -> None
 
 def _write_pending_marker(jvm, fs, loc: str, payload: dict) -> None:
     """Atomically publish the commit marker: write a uniquely-named
-    temp file, hsync, then RENAME onto the final path. A crash
+    temp file, sync, then RENAME onto the final path. A crash
     mid-write leaves only an ignored temp orphan and NO marker — safe,
     because the marker write precedes every destructive byte. The
     rename also refuses to clobber an existing marker (HDFS-semantics
     rename onto an existing file returns false): a concurrent append
     to the same table fails LOUDLY here instead of silently voiding
-    the first writer's crash detection."""
+    the first writer's crash detection.
+
+    In-process concurrency (two streaming foreachBatch appends to one
+    table) is serialized by the SAME process-wide lock the dynamic
+    overwrite uses: POSIX rename silently REPLACES an existing
+    destination (RawLocalFileSystem delegates to it), so the explicit
+    exists-check below is check-then-act and only safe under the lock;
+    cross-process publication on local FS stays best-effort, while
+    HDFS-class stores enforce rename-refuses-existing themselves."""
     import json
     import uuid
+
+    from tstables_spark.plans import _staging
 
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{loc}/{_PENDING}.{uuid.uuid4().hex[:8]}.tmp"
@@ -500,20 +510,28 @@ def _write_pending_marker(jvm, fs, loc: str, payload: dict) -> None:
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        out.hsync()
+        try:
+            out.hsync()
+        except Exception:
+            # non-syncable FileSystems (e.g. object stores without the
+            # syncable downgrade) raise UnsupportedOperationException —
+            # fall back to a flush; close() flushes either way, and the
+            # temp+rename pattern is the real atomicity lever
+            try:
+                out.hflush()
+            except Exception:
+                pass
     finally:
         out.close()
-    # explicit exists-check first: POSIX rename silently REPLACES an
-    # existing destination (RawLocalFileSystem delegates to it), so the
-    # rename-returns-false contract only protects HDFS-class stores
-    if fs.exists(jpath) or not fs.rename(tmp, jpath):
-        fs.delete(tmp, False)
-        raise RuntimeError(
-            f"could not publish {loc}/{_PENDING} (a concurrent append's "
-            f"marker already exists, or the FileSystem refused the "
-            f"rename) — refusing to overwrite another writer's crash "
-            f"evidence; resolve the pending append first"
-        )
+    with _staging._OVERWRITE_LOCK:
+        if fs.exists(jpath) or not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)
+            raise RuntimeError(
+                f"could not publish {loc}/{_PENDING} (a concurrent append's "
+                f"marker already exists, or the FileSystem refused the "
+                f"rename) — refusing to overwrite another writer's crash "
+                f"evidence; resolve the pending append first"
+            )
 
 
 def append_asof_epoch_layout(

@@ -309,8 +309,10 @@ def minhash_lsh_pairs(
         from tstables_spark.plans._staging import _STREAM_PINNED
 
         app = docs.sparkSession.sparkContext.applicationId
+        # full _STREAM_PINNED key shape: (app, prefix, cache_key,
+        # bucket_by, num_buckets) — these pins are unbucketed
         big = all(
-            (app, p, cache_key + extra) in _STREAM_PINNED
+            (app, p, cache_key + extra, None, None) in _STREAM_PINNED
             for p, extra in (("mh_sh", (n,)), ("mh_sig", (n, num_hashes)))
         )
     if not big:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 _APP_ROOTS: dict[str, str] = {}
 
@@ -35,7 +36,16 @@ def scratch_dir(spark, prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
-_OVERWRITE_LOCK = None
+# Process-wide writer lock, shared by the two session-conf-adjacent
+# critical sections that a streaming foreachBatch can race in one
+# process: the dynamic-overwrite toggle-and-restore below, and the
+# epoch-append marker check+publish (operators/asof.py) — POSIX rename
+# silently REPLACES an existing destination on RawLocalFileSystem, so
+# without serialization two in-process appends could both pass the
+# exists check and the second would clobber the first writer's crash
+# evidence. Cross-process publication stays best-effort on local FS
+# (HDFS-class stores enforce rename-refuses-existing themselves).
+_OVERWRITE_LOCK = threading.Lock()
 
 
 def dynamic_partition_overwrite(spark):
@@ -52,12 +62,7 @@ def dynamic_partition_overwrite(spark):
     foreachBatch) can interleave so one's restore lands between the
     other's set and write, running that write in STATIC mode and
     truncating every partition of its table."""
-    import threading
     from contextlib import contextmanager
-
-    global _OVERWRITE_LOCK
-    if _OVERWRITE_LOCK is None:
-        _OVERWRITE_LOCK = threading.Lock()
 
     @contextmanager
     def _cm():
@@ -80,7 +85,35 @@ def dynamic_partition_overwrite(spark):
 # best-of-N bench repetition at 100x otherwise re-writes corpus-sized
 # tables every run and exhausts the sweep box's disk (the staging
 # root's rmtree only fires at interpreter exit).
+#
+# LRU-bounded (r14 verdict #5): a long-lived session running the full
+# registry accumulates one catalog table + one JVM filesource-relation
+# cache entry (file listing + schema, heap-resident) per staged pin —
+# the r14 full-registry sf0.1 sweep OOM'd a 1 GB vanilla driver after
+# ~200 queries of exactly this. Evicting drops the catalog entry
+# (which invalidates the JVM relation cache) and reclaims the scratch
+# bytes; an evicted pin that is consulted again is simply restaged —
+# it is a pure function of its inputs by the cache_key contract.
+# Values are (table_tag, scratch_dir). Insertion order == recency
+# (dict preserves order; hits re-insert).
 _STREAM_PINNED: dict = {}
+_STREAM_PINNED_CAP = 48
+_STREAM_PINNED_LOCK = threading.Lock()
+
+
+def _evict_stream_pins(spark, cap: int) -> None:
+    """Drop least-recently-used staged pins beyond ``cap``. Caller
+    holds ``_STREAM_PINNED_LOCK``. Best-effort on the catalog side
+    (the metastore may belong to a finished app); the bytes go with
+    the rmtree regardless."""
+    while len(_STREAM_PINNED) > cap:
+        key = next(iter(_STREAM_PINNED))
+        tag, d = _STREAM_PINNED.pop(key)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tag}")
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def stream_pin(
@@ -118,9 +151,13 @@ def stream_pin(
         full_key = (
             spark.sparkContext.applicationId, prefix, cache_key, bucket_by, nb
         )
-        tag = _STREAM_PINNED.get(full_key)
-        if tag is not None:
-            return spark.table(tag)
+        with _STREAM_PINNED_LOCK:
+            hit = _STREAM_PINNED.get(full_key)
+            if hit is not None:
+                # re-insert to refresh recency (dict order == LRU order)
+                _STREAM_PINNED.pop(full_key)
+                _STREAM_PINNED[full_key] = hit
+                return spark.table(hit[0])
     tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
     if bucket_by is not None:
         # repartition on the bucket key first (the stage_asof_epoch_
@@ -131,14 +168,17 @@ def stream_pin(
     w = df.write
     if bucket_by is not None:
         w = w.bucketBy(nb, bucket_by)
+    d = scratch_dir(spark, prefix + "_")
     (
-        w.option("path", scratch_dir(spark, prefix + "_") + "/d")
+        w.option("path", d + "/d")
         .mode("overwrite")
         .saveAsTable(tag)
     )
     register_staged_table(spark, tag)
     if full_key is not None:
-        _STREAM_PINNED[full_key] = tag
+        with _STREAM_PINNED_LOCK:
+            _STREAM_PINNED[full_key] = (tag, d)
+            _evict_stream_pins(spark, _STREAM_PINNED_CAP)
     return spark.table(tag)
 
 
@@ -160,6 +200,24 @@ def register_staged_table(spark, table: str) -> None:
 
 
 _CONF_SCOPED: dict = {}
+_CONF_SCOPED_LOCK = threading.Lock()
+
+
+def _evict_dead_conf_twins() -> None:
+    """Drop twin-cache entries whose parent's SparkContext has stopped:
+    they pin dead SparkSession/SessionState pairs forever otherwise
+    (the _APP_ROOTS per-app discipline applied to sessions). Caller
+    holds ``_CONF_SCOPED_LOCK``."""
+    dead = []
+    for key, (parent, _twin) in _CONF_SCOPED.items():
+        try:
+            sc = parent.sparkContext
+            if sc is None or sc._jsc is None:
+                dead.append(key)
+        except Exception:
+            dead.append(key)
+    for key in dead:
+        _CONF_SCOPED.pop(key, None)
 
 
 def conf_scoped_session(spark, overrides: dict):
@@ -179,15 +237,25 @@ def conf_scoped_session(spark, overrides: dict):
     sizing — are copied onto the clone first (``SET`` enumerates them;
     static entries that reject runtime set are skipped), then the
     overrides land on top. Cached per (app, overrides): SessionState
-    construction is not free and queries re-run every round."""
+    construction is not free and queries re-run every round.
+
+    Cache semantics (r14 advice): the twin snapshots the parent's
+    runtime confs ONCE, at creation — a parent conf changed AFTER the
+    twin is cached does NOT propagate to it (by design: the twin's
+    whole point is an immutable per-query conf scope; callers that
+    need a different base must pass it in ``overrides``). The cache is
+    lock-guarded (streaming foreachBatch threads reach it) and evicts
+    entries whose parent SparkContext has stopped, so a long-lived
+    process cycling sessions does not pin dead SessionStates."""
     key = (
         spark.sparkContext.applicationId,
         id(spark),  # two sessions in one app must not share a clone
         tuple(sorted((str(k), str(v)) for k, v in overrides.items())),
     )
-    hit = _CONF_SCOPED.get(key)
-    if hit is not None:
-        return hit[1]
+    with _CONF_SCOPED_LOCK:
+        hit = _CONF_SCOPED.get(key)
+        if hit is not None:
+            return hit[1]
     s = spark.newSession()
     for r in spark.sql("SET").collect():
         k, v = r[0], r[1]
@@ -202,5 +270,9 @@ def conf_scoped_session(spark, overrides: dict):
     # the PARENT rides in the cache entry: id(spark) is only a stable
     # key while the parent is alive, so pin it — a GC'd session's
     # reused id must never serve a twin cloned from a dead session
-    _CONF_SCOPED[key] = (spark, s)
-    return s
+    with _CONF_SCOPED_LOCK:
+        _evict_dead_conf_twins()
+        # a racing builder may have landed the same key while we were
+        # cloning — keep the first (both are valid; one clone leaks
+        # nothing beyond its SessionState until app end)
+        return _CONF_SCOPED.setdefault(key, (spark, s))[1]
