@@ -2723,3 +2723,100 @@ def test_asof_epoch_compaction_restores_zero_sort(spark, tmp_path):
     finally:
         for t in (hot, cold):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_epoch_granularity_auto_pick_and_persist(spark, tmp_path):
+    """stage_asof_epoch_layout with epoch_of=None auto-picks the
+    granularity from append_span_seconds (batch ~ one epoch; r14
+    verdict #4), persists it as a table property, and appends called
+    with epoch_of=None resolve the IDENTICAL function — while a
+    custom-callable layout refuses a knob-free append loudly."""
+    import datetime
+
+    from tstables_spark.operators.asof import (
+        _EPOCH,
+        append_asof_epoch_layout,
+        asof_join,
+        asof_join_presorted,
+        auto_epoch_granularity,
+        epoch_floor,
+        stage_asof_epoch_layout,
+    )
+
+    assert auto_epoch_granularity(None) == "month"
+    assert auto_epoch_granularity(3600) == "day"
+    assert auto_epoch_granularity(7 * 86400) == "month"
+    assert auto_epoch_granularity(400 * 86400) == "year"
+    assert epoch_floor("month", datetime.date(1997, 1, 1)) == 199701
+    assert epoch_floor("day", datetime.date(1970, 1, 2)) == 1
+
+    left = spark.createDataFrame(
+        [(i, i % 5, i * 3600) for i in range(500)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = (
+        spark.createDataFrame(
+            [(i % 5, i * 7200, i) for i in range(100)],
+            "k long, t long, val long",
+        )
+        .groupBy("k", F.timestamp_seconds("t").alias("rts"))
+        .agg(F.max("val").alias("val"))
+    )
+    early = F.col("event_id") < 400
+    name, path = "epoch_auto_test", str(tmp_path / "t")
+    try:
+        gran = stage_asof_epoch_layout(
+            left.where(early), right, "ts", "rts", "k", "k", ["val"],
+            name, path, num_buckets=4, append_span_seconds=3600,
+        )
+        assert gran == "day"
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        }
+        assert props.get("tstables.epoch_granularity") == "day"
+        # knob-free append resolves the persisted granularity
+        append_asof_epoch_layout(
+            spark, name, left=left.where(~early),
+            left_on="ts", left_by="k", num_buckets=4,
+        )
+        got = {
+            tuple(r)
+            for r in asof_join_presorted(
+                spark, name, ["event_id", "k", "ts"], ["val"]
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in asof_join(
+                left, right, left_on="ts", right_on="rts",
+                left_by="k", right_by="k", right_values=["val"],
+            ).select("event_id", "k", "ts", "val").collect()
+        }
+        assert got == want
+        # partitions really are day epochs (18 hours of rows -> 1-2 days)
+        eps = [
+            r[0]
+            for r in spark.table(name).select(_EPOCH).distinct().collect()
+        ]
+        assert all(0 <= e <= 21 for e in eps)  # 500h from 1970-01-01
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    # custom callable: persisted as 'custom'; knob-free append refuses
+    name2, path2 = "epoch_custom_test", str(tmp_path / "t2")
+    try:
+        gran2 = stage_asof_epoch_layout(
+            left.where(early), right, "ts", "rts", "k", "k", ["val"],
+            name2, path2,
+            epoch_of=lambda t: F.floor(F.unix_micros(t) / 3_600_000_000),
+            num_buckets=4,
+        )
+        assert gran2 == "custom"
+        with pytest.raises(ValueError, match="custom"):
+            append_asof_epoch_layout(
+                spark, name2, left=left.where(~early),
+                left_on="ts", left_by="k", num_buckets=4,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")

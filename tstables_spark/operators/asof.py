@@ -318,6 +318,78 @@ def _encode_asof_sides(
     return reduce(DataFrame.unionByName, parts)
 
 
+# Named epoch granularities: the auto-pick vocabulary, persisted per
+# table (TBLPROPERTIES) so appends and recovery resolve the SAME epoch
+# function knob-free — a mismatched function between stage and append
+# would silently mis-place rows across partitions.
+_EPOCH_GRANULARITY_PROP = "tstables.epoch_granularity"
+_EPOCH_FNS = {
+    "day": lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000)),
+    "month": lambda t: F.year(t) * 100 + F.month(t),
+    "year": F.year,
+}
+
+
+def auto_epoch_granularity(append_span_seconds: float | None = None) -> str:
+    """Pick the epoch granularity from the expected APPEND-BATCH time
+    span — the measured guidance (SCALE.md 100x granularity curve:
+    year 6.1 s / month 2.1 s / day 1.2 s append vs 0.34 / 1.1 / 17.2 s
+    read at the fixture's epoch counts) distilled to 'one append batch
+    ~ one epoch': a batch much wider than its epoch rewrites many
+    partitions per append; an epoch much wider than the batch rewrites
+    the same big partition every append. ``None`` (cadence unknown)
+    defaults to month — the fixture curve's sweet spot and the common
+    production ingest cadence bracket."""
+    if append_span_seconds is None:
+        return "month"
+    if append_span_seconds <= 2 * 86400:
+        return "day"
+    if append_span_seconds <= 45 * 86400:
+        return "month"
+    return "year"
+
+
+def epoch_floor(granularity: str, d) -> int:
+    """The epoch integer a date/datetime ``d`` lands in under a named
+    granularity — the retention caller's bridge from a calendar horizon
+    to ``expire_asof_epoch_layout(min_epoch=...)``."""
+    import datetime
+
+    if granularity == "year":
+        return d.year
+    if granularity == "month":
+        return d.year * 100 + d.month
+    if granularity == "day":
+        return (
+            datetime.date(d.year, d.month, d.day) - datetime.date(1970, 1, 1)
+        ).days
+    raise ValueError(f"unknown epoch granularity {granularity!r}")
+
+
+def _resolve_epoch_of(spark, table_name: str, epoch_of):
+    """The epoch function an append/recovery must use: a caller-passed
+    callable wins (the custom-function override); a granularity NAME
+    resolves from the vocabulary; ``None`` resolves from the table's
+    persisted granularity property — and raises rather than guessing
+    when the table predates the property or was staged with a custom
+    callable (the caller must re-supply it)."""
+    if callable(epoch_of):
+        return epoch_of
+    if isinstance(epoch_of, str):
+        return _EPOCH_FNS[epoch_of]
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {table_name}('{_EPOCH_GRANULARITY_PROP}')"
+    ).collect()
+    val = rows[0]["value"] if rows else None
+    if val in _EPOCH_FNS:
+        return _EPOCH_FNS[val]
+    raise ValueError(
+        f"{table_name} has no persisted epoch granularity "
+        f"({_EPOCH_GRANULARITY_PROP}={val!r}): it was staged with a custom "
+        f"epoch_of callable (re-supply it) or predates the property"
+    )
+
+
 def stage_asof_epoch_layout(
     left: DataFrame,
     right: DataFrame,
@@ -328,9 +400,10 @@ def stage_asof_epoch_layout(
     right_values: Sequence[str],
     table_name: str,
     path: str,
-    epoch_of,
+    epoch_of=None,
     num_buckets: int = 8,
-) -> None:
+    append_span_seconds: float | None = None,
+) -> str:
     """``stage_asof_layout`` with BOUNDED APPEND I/O — the "per-epoch
     tables" answer its append docstring promises, realized as ONE table
     PARTITIONED BY a coarse time epoch and bucketed by key:
@@ -338,6 +411,16 @@ def stage_asof_epoch_layout(
     - ``epoch_of`` (Column -> Column, e.g. ``lambda t: F.year(t) * 100
       + F.month(t)``) assigns every encoded row an integer epoch from
       its time; rows land in ``{path}/__asof_epoch=<e>/`` partitions.
+      It may also be a granularity NAME (``"day"``/``"month"``/
+      ``"year"``) or ``None`` — None auto-picks from
+      ``append_span_seconds``, the caller's expected append-batch
+      cadence (batch ~ one epoch; ``auto_epoch_granularity``). Named
+      or auto granularities are PERSISTED as a table property, so
+      ``append_asof_epoch_layout`` / ``recover_asof_epoch_append``
+      called with ``epoch_of=None`` resolve the identical function
+      knob-free; a custom callable is the documented override and
+      must be re-supplied on every append. Returns the granularity
+      name used (``"custom"`` for callables).
     - Appends (``append_asof_epoch_layout``) dynamic-overwrite ONLY the
       touched epochs' partitions — at 100 TB an append into the newest
       month rewrites that month, never the archive, vs
@@ -357,6 +440,13 @@ def stage_asof_epoch_layout(
     The row encoding is ``_encode_asof_sides`` — byte-identical to
     ``stage_asof_layout``'s, so the two layouts are interchangeable to
     every reader."""
+    if epoch_of is None:
+        gran = auto_epoch_granularity(append_span_seconds)
+    elif isinstance(epoch_of, str):
+        gran = epoch_of
+    else:
+        gran = "custom"
+    fn = epoch_of if gran == "custom" else _EPOCH_FNS[gran]
     carry_t = right.select(
         F.struct(*right_values, F.col(right_on).alias("__rts")).alias("s")
     ).schema["s"].dataType
@@ -373,7 +463,7 @@ def stage_asof_epoch_layout(
         lambda c: left.schema[c].dataType,
     )
     (
-        union.withColumn(_EPOCH, epoch_of(F.col(_TIME)).cast("int"))
+        union.withColumn(_EPOCH, fn(F.col(_TIME)).cast("int"))
         .repartition(num_buckets, F.col(_KEY))
         .write.partitionBy(_EPOCH)
         .bucketBy(num_buckets, _KEY)
@@ -382,6 +472,12 @@ def stage_asof_epoch_layout(
         .mode("overwrite")
         .saveAsTable(table_name)
     )
+    spark = left.sparkSession
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES"
+        f"('{_EPOCH_GRANULARITY_PROP}'='{gran}')"
+    )
+    return gran
 
 
 def _table_fs_root(spark, table_name: str):
@@ -595,7 +691,11 @@ def append_asof_epoch_layout(
     exchange over the touched-epoch rows.
 
     Pass ``epoch_of`` and parameter names identical to staging: they
-    are physical parameters of the layout."""
+    are physical parameters of the layout — ``None`` (or a granularity
+    name) resolves the staged table's persisted granularity, so
+    named-granularity layouts append knob-free; only custom-callable
+    layouts must re-supply the callable."""
+    epoch_of = _resolve_epoch_of(spark, table_name, epoch_of)
     staged = spark.table(table_name)
     cols_order = staged.columns  # partition column last, per saveAsTable
     left_cols = [
@@ -740,6 +840,7 @@ def recover_asof_epoch_append(
             "an explicitly empty frame (e.g. source.limit(0)) — an "
             "all-drop recovery must be spelled out, not defaulted into"
         )
+    epoch_of = _resolve_epoch_of(spark, table_name, epoch_of)
     staged = spark.table(table_name)
     cols_order = staged.columns
     left_cols = [

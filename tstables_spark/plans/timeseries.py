@@ -3132,14 +3132,22 @@ def _asof_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
     final compacted classic table. Every verb's correctness folds into
     the consumer's driver hash: a duplicating append changes counts, a
     lossy compaction changes rows, a mis-scoped expiry changes which
-    left rows revert to unmatched. Epoch = calendar year, horizon 1997:
-    expiry drops the 1995-96 order archive (catalog + bytes) while the
-    2024 event epochs the appends touched are untouched by it."""
+    left rows revert to unmatched. Epoch granularity is AUTO-PICKED
+    from the append cadence (r14 verdict #4): the appends land a week
+    of events, so ``append_span_seconds=7*86400`` -> month (the
+    measured 100x sweet spot, SCALE.md granularity curve), persisted
+    on the table so the appends themselves run ``epoch_of=None``
+    knob-free. Horizon = calendar 1997 translated into the picked
+    granularity (``epoch_floor``): expiry drops the 1995-96 order
+    epochs (catalog + bytes) while the 2024 event epochs the appends
+    touched are untouched by it."""
+    import datetime
     import uuid
 
     from tstables_spark.operators.asof import (
         append_asof_epoch_layout,
         compact_asof_epoch_layout,
+        epoch_floor,
         expire_asof_epoch_layout,
         pending_asof_epoch_append,
         stage_asof_epoch_layout,
@@ -3165,8 +3173,9 @@ def _asof_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
         # NULL-ts rows route to the stage side (exhaustive split under
         # three-valued logic — the join_asof_epochs discipline)
         late = F.col("ts").cast("date") >= F.lit(cut)
-        epoch_of = F.year
-        stage_asof_epoch_layout(
+        # knob-free: granularity auto-picked from the week-wide append
+        # cadence (-> month) and persisted on the table
+        gran = stage_asof_epoch_layout(
             ev.where(~F.coalesce(late, F.lit(False))),
             od,
             left_on="ts",
@@ -3176,11 +3185,12 @@ def _asof_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
             right_values=["o_orderkey", "o_totalprice"],
             table_name=tag_e,
             path=f"{base}/e",
-            epoch_of=epoch_of,
             num_buckets=8,
+            append_span_seconds=7 * 86400,
         )
         # two sequential appends (deterministic halves) prove repeated
-        # bounded appends, not just one
+        # bounded appends, not just one — epoch_of=None resolves the
+        # persisted granularity
         for keep_even in (True, False):
             half = (F.col("event_id") % 2 == 0) == F.lit(keep_even)
             append_asof_epoch_layout(
@@ -3189,12 +3199,15 @@ def _asof_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
                 left=ev.where(late & half),
                 left_on="ts",
                 left_by="user_id",
-                epoch_of=epoch_of,
                 num_buckets=8,
             )
         assert pending_asof_epoch_append(spark, tag_e) is None
-        # retention horizon 1997: drops the 1995-96 order epochs
-        expire_asof_epoch_layout(spark, tag_e, min_epoch=1997)
+        # retention horizon: calendar 1997 in the picked granularity
+        # (month -> 199701) — drops every 1995-96 order epoch
+        expire_asof_epoch_layout(
+            spark, tag_e,
+            min_epoch=epoch_floor(gran, datetime.date(1997, 1, 1)),
+        )
         # cold now -> compact survivors into the classic zero-Sort layout
         compact_asof_epoch_layout(spark, f"{base}/e", tag_c, f"{base}/c", 8)
         register_staged_table(spark, tag_e)
