@@ -206,21 +206,26 @@ def soak_kll(spark, ev_src):
         .parquet(ev_src)
     )
     vals = src.select("value").where(F.col("value").isNotNull() & ~F.isnan("value"))
-    # snapshot-per-batch-id fold, matching the PLAN's replay-safe
-    # scheme (streaming_q.stream_kll_gate, r14)
-    snaps: dict[int, list] = {}
-    rows: list[dict] = []
+    # THE plan's fold on THE shared replay helper (r15: soaks must run
+    # the exact production scheme — streaming_q.stream_kll_gate)
+    from tstables_spark.streaming.replay import SnapshotFold
 
-    def fold(batch, bid: int) -> None:
-        t0 = time.perf_counter()
+    def kll_fold(prev: list, batch, bid: int) -> list:
         pairs = [
             (r["value"], r["weight"])
             for r in sketch_partitions(batch, "value", 512).collect()
         ]
-        snaps[bid] = merge_pairs(list(snaps.get(bid - 1, [])) + pairs, 512)
-        snaps.pop(bid - 2, None)
-        # two snapshots retained (replay window) — report the real hold
-        held = len(snaps[bid]) + len(snaps.get(bid - 1, []))
+        return merge_pairs(list(prev) + pairs, 512)
+
+    sf = SnapshotFold(kll_fold, name="soak_kll", initial=[])
+    rows: list[dict] = []
+
+    def fold(batch, bid: int) -> None:
+        t0 = time.perf_counter()
+        sf(batch, bid)
+        # the helper retains two snapshots (bid + predecessor, the
+        # replay window) — report what the driver actually holds
+        held = sum(len(s) for s in sf._snaps.values())
         rows.append(
             {
                 "batch": bid,
@@ -258,25 +263,27 @@ def soak_theta(spark, ev_src):
         .parquet(ev_src)
     )
     base = f"{SRC_ROOT}/theta_state_{uuid.uuid4().hex[:8]}"
-    # attempt-counter versioning, matching the PLAN's replay-safe write
-    # scheme (streaming_q.stream_theta, r13 advice) — the soak must
-    # measure the write pattern production actually runs
-    state: dict = {"path": None, "attempt": 0}
+    # THE plan's merge on THE shared replay helper (attempt-versioned
+    # paths; streaming_q.stream_theta) — the soak measures the write
+    # pattern production actually runs
+    from tstables_spark.streaming.replay import VersionedPathFold
+
+    def kmv_fold(prev_path, batch, new_path) -> None:
+        m = kmv_batch_hashes(batch)
+        allr = (
+            m
+            if prev_path is None
+            else spark.read.parquet(prev_path).unionByName(m)
+        )
+        kmv_truncate(allr).write.mode("overwrite").parquet(new_path)
+
+    vf = VersionedPathFold(base, kmv_fold)
     rows: list[dict] = []
 
     def fold(batch, bid: int) -> None:
         t0 = time.perf_counter()
-        m = kmv_batch_hashes(batch)
-        allr = (
-            m
-            if state["path"] is None
-            else spark.read.parquet(state["path"]).unionByName(m)
-        )
-        state["attempt"] += 1
-        newp = f"{base}/v{state['attempt']}"
-        kmv_truncate(allr).write.mode("overwrite").parquet(newp)
-        state["path"] = newp
-        n = spark.read.parquet(newp).count()
+        vf(batch, bid)
+        n = spark.read.parquet(vf.path).count()
         rows.append(
             {
                 "batch": bid,
@@ -313,11 +320,11 @@ def soak_hh(spark, docs_src):
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_src)
     )
-    snaps: dict[int, dict] = {}
-    rows: list[dict] = []
+    # THE plan's fold on THE shared replay helper
+    # (streaming_q.stream_heavy_hitters)
+    from tstables_spark.streaming.replay import SnapshotFold
 
-    def fold(batch, bid: int) -> None:
-        t0 = time.perf_counter()
+    def mg_fold(prev: dict, batch, bid: int) -> dict:
         toks = batch.select(
             F.explode(F.split(F.lower("text"), " ")).alias("tok")
         )
@@ -325,11 +332,17 @@ def soak_hh(spark, docs_src):
             (r["item"], r["cnt"])
             for r in mg_partitions(toks, "tok", k).collect()
         ]
-        snaps[bid] = mg_merge(chain(snaps.get(bid - 1, {}).items(), summ), k)
-        snaps.pop(bid - 2, None)
-        # the fold RETAINS two snapshots (bid and its predecessor, the
+        return mg_merge(chain(prev.items(), summ), k)
+
+    sf = SnapshotFold(mg_fold, name="soak_hh", initial={})
+    rows: list[dict] = []
+
+    def fold(batch, bid: int) -> None:
+        t0 = time.perf_counter()
+        sf(batch, bid)
+        # the helper retains two snapshots (bid + predecessor, the
         # replay window) — report what the driver actually holds
-        held = len(snaps[bid]) + len(snaps.get(bid - 1, {}))
+        held = sum(len(s) for s in sf._snaps.values())
         rows.append(
             {
                 "batch": bid,

@@ -432,3 +432,61 @@ def test_v_pattern_multi_batch_exactly_once():
     for splits in ([], [30], [5, 10, 15, 20], [1, 2, 3, 4, 5, 6], list(range(1, 60))):
         got = run(splits)
         assert got == want, (splits, got[:5], want[:5])
+
+
+def test_snapshot_fold_replay_contract():
+    """The shared replay helper (streaming/replay.py): batch b folds
+    from snapshot b-1 so a replayed bid lands on the identical
+    snapshot; only the predecessor is retained; a fold arriving after
+    a process restart (missing predecessor) fails LOUDLY instead of
+    silently folding from empty."""
+    import pytest as _pytest
+
+    from tstables_spark.streaming.replay import SnapshotFold
+
+    calls = []
+
+    def fold(prev, batch, bid):
+        calls.append(bid)
+        return prev + [batch]
+
+    f = SnapshotFold(fold, name="t", initial=[])
+    f("a", 0)
+    f("b", 1)
+    assert f.result() == ["a", "b"]
+    # replay of the LAST batch: recomputed from its predecessor, same result
+    f("b", 1)
+    assert f.result() == ["a", "b"]
+    f("c", 2)
+    assert f.result() == ["a", "b", "c"]
+    # GC: snapshot 0 is gone, so a (never-legal) replay of batch 1 now
+    # surfaces as the loud missing-predecessor failure, as does a
+    # restarted process resuming at any bid > 0 with fresh state
+    with _pytest.raises(RuntimeError, match="no predecessor"):
+        f("b", 1)
+    g = SnapshotFold(fold, name="t2", initial=[])
+    with _pytest.raises(RuntimeError, match="no predecessor"):
+        g("z", 5)
+
+
+def test_versioned_path_fold_fresh_path_per_attempt(tmp_path):
+    """VersionedPathFold hands the merge a FRESH path every attempt —
+    a replayed batch id must never read and overwrite the same path
+    (Spark rejects that), and the previous path is passed as the
+    read-side state."""
+    from tstables_spark.streaming.replay import VersionedPathFold
+
+    seen = []
+
+    def merge(prev, batch, newp):
+        seen.append((prev, newp))
+
+    v = VersionedPathFold(str(tmp_path), merge)
+    assert v.path is None
+    v("b0", 0)
+    v("b1", 1)
+    v("b1", 1)  # replay: same bid, NEW path
+    paths = [p for _, p in seen]
+    assert len(set(paths)) == 3  # all distinct
+    assert [p for p, _ in seen] == [None, paths[0], paths[1]]
+    assert v.path == paths[2]

@@ -833,6 +833,8 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the same pay-per-batch-not-per-history discipline as the
     epoch as-of ingest. Versioned state dirs keep each rewrite
     atomic-by-rename semantics simple (read v{i-1}, write v{i})."""
+    from tstables_spark.streaming.replay import VersionedPathFold
+
     ev = load(spark, sf_dir, "events")
     sdir = scratch_dir(spark, "theta_src_") + "/events"
     ev.repartition(4).write.mode("overwrite").parquet(sdir)
@@ -842,27 +844,20 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sdir)
     )
     base = scratch_dir(spark, "theta_state_")
-    state: dict = {"path": None, "attempt": 0}
 
-    def merge(batch: DataFrame, bid: int) -> None:
+    # replay discipline (2): attempt-versioned state paths — the KMV
+    # merge is naturally idempotent, the helper supplies the fresh-
+    # path-per-attempt bookkeeping (streaming/replay.py; r13 advice)
+    def kmv_fold(prev_path: str | None, batch: DataFrame, new_path: str) -> None:
         m = kmv_batch_hashes(batch)
         allr = (
             m
-            if state["path"] is None
-            else spark.read.parquet(state["path"]).unionByName(m)
+            if prev_path is None
+            else spark.read.parquet(prev_path).unionByName(m)
         )
-        # version by a monotone ATTEMPT counter, not the batch id: if
-        # an attempt writes v{bid} but dies before the streaming
-        # commit, the replayed batch id would read AND overwrite the
-        # same path — which Spark rejects, stalling the query. A fresh
-        # path per attempt keeps the KMV fold's natural idempotence
-        # usable on replay (re-merging already-folded rows dedups to
-        # the same k-smallest set). (r13 advice)
-        state["attempt"] += 1
-        newp = f"{base}/v{state['attempt']}"
-        kmv_truncate(allr).write.mode("overwrite").parquet(newp)
-        state["path"] = newp
+        kmv_truncate(allr).write.mode("overwrite").parquet(new_path)
 
+    merge = VersionedPathFold(base, kmv_fold)
     q = (
         src.writeStream.foreachBatch(merge)
         .option("checkpointLocation", base + "/ckpt")
@@ -870,7 +865,7 @@ def stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state["path"]).select(
+    return spark.read.parquet(merge.path).select(
         "event_type", F.col("day").cast("string").alias("day"), "h"
     )
 
@@ -933,6 +928,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itertools import chain
 
     from tstables_spark.operators.heavyhitters import mg_merge, mg_partitions
+    from tstables_spark.streaming.replay import SnapshotFold
 
     k = 64
     path, schema = _staged_doc_stream(spark, sf_dir)
@@ -941,20 +937,12 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    snaps: dict[int, dict] = {}
 
-    def merge(batch: DataFrame, bid: int) -> None:
-        if bid > 0 and (bid - 1) not in snaps:
-            # a restarted query resumes at bid with EMPTY process-local
-            # state: folding from {} would silently drop every prior
-            # batch's weight — fail loudly instead (review r14); a
-            # driver-merged fold cannot survive a driver restart
-            raise RuntimeError(
-                f"stream_heavy_hitters: batch {bid} has no predecessor "
-                f"snapshot — process restarted mid-stream; driver-held "
-                f"MG state cannot be recovered, restart the query with "
-                f"a fresh checkpoint"
-            )
+    # replay discipline (1): snapshot-per-batch-id fold — the MG
+    # subtract-merge is NOT idempotent; predecessor lookup, loud
+    # missing-predecessor failure and snapshot GC live in the shared
+    # helper (streaming/replay.py)
+    def mg_fold(prev: dict, batch: DataFrame, bid: int) -> dict:
         summ = [
             (r["item"], r["cnt"])
             for r in mg_partitions(
@@ -965,10 +953,9 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k,
             ).collect()
         ]
-        prev = snaps.get(bid - 1, {})
-        snaps[bid] = mg_merge(chain(prev.items(), summ), k)
-        snaps.pop(bid - 2, None)  # replay window: predecessor only
+        return mg_merge(chain(prev.items(), summ), k)
 
+    merge = SnapshotFold(mg_fold, name="stream_heavy_hitters", initial={})
     base = scratch_dir(spark, "hh_state_")
     q = (
         src.writeStream.foreachBatch(merge)
@@ -977,7 +964,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    merged = snaps[max(snaps)] if snaps else {}
+    merged = merge.result()
     # The exact-count audit (identical to agg_heavy_hitters): bounded —
     # <= k+1 tokens can exceed n/(k+1) by counting.
     toks = load(spark, sf_dir, "documents").select(
@@ -1092,6 +1079,7 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_heavy_hitters discipline; foreachBatch's at-least-once
     delivery stays weight-exact in effect."""
     from tstables_spark.operators.kll import merge_pairs, rank_gate, sketch_partitions
+    from tstables_spark.streaming.replay import SnapshotFold
 
     k = 512
     ev = (
@@ -1105,25 +1093,17 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(sdir)
     )
-    snaps: dict[int, list] = {}
 
-    def fold(batch: DataFrame, bid: int) -> None:
-        if bid > 0 and (bid - 1) not in snaps:
-            # restarted process, empty driver state: loud failure beats
-            # a silently under-weighted sketch (review r14)
-            raise RuntimeError(
-                f"stream_kll_gate: batch {bid} has no predecessor "
-                f"snapshot — process restarted mid-stream; driver-held "
-                f"KLL state cannot be recovered, restart the query "
-                f"with a fresh checkpoint"
-            )
+    # replay discipline (1): snapshot-per-batch-id fold — the KLL
+    # weight fold is NOT idempotent (streaming/replay.py)
+    def kll_fold(prev: list, batch: DataFrame, bid: int) -> list:
         pairs = [
             (r["value"], r["weight"])
             for r in sketch_partitions(batch, "value", k).collect()
         ]
-        snaps[bid] = merge_pairs(list(snaps.get(bid - 1, [])) + pairs, k)
-        snaps.pop(bid - 2, None)  # replay window: predecessor only
+        return merge_pairs(list(prev) + pairs, k)
 
+    fold = SnapshotFold(kll_fold, name="stream_kll_gate", initial=[])
     q = (
         src.writeStream.foreachBatch(fold)
         .option("checkpointLocation", scratch_dir(spark, "kll_ckpt_"))
@@ -1131,4 +1111,4 @@ def stream_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return rank_gate(ev, snaps[max(snaps)] if snaps else [])
+    return rank_gate(ev, fold.result())
