@@ -142,6 +142,32 @@ def main() -> None:
             run()
             res[tag] = round(min(run() for _ in range(2)), 2)
         print(json.dumps({name: res}), flush=True)
+        _record(name, res)
+
+
+def _record(name: str, res: dict) -> None:
+    """Merge one query's {1x, 100x} walls into the per-round artifact
+    (r14 verdict #8: the 100x-envelope claims must be judge-checkable
+    round over round, the way bench.py emits BENCH_r{N}). The file is
+    merged incrementally so a partial sweep still records; loadavg
+    rides along for the same box-noise attribution the bench carries."""
+    out = os.environ.get("SWEEP100X_OUT", os.path.join(REPO, "SWEEP100X.json"))
+    data: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                data = json.load(f)
+        except ValueError:
+            data = {}
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        loadavg = None
+    data.setdefault("queries", {})[name] = {**res, "loadavg": loadavg}
+    with open(out, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":
