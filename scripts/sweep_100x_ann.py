@@ -109,6 +109,12 @@ def main() -> None:
         results[reps]["nsw_append_100v_s"] = round(time.perf_counter() - t0, 2)
         results[reps]["nsw_walk_after_append_s"] = round(run_walk(), 2)
         print(json.dumps({reps: results[reps]}), flush=True)
+        # per-round judge-checkable artifact, shared with
+        # sweep_100x_families.py (r14 verdict #8)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from sweep_100x_families import _record
+
+        _record(f"ann_nsw_{reps}x", results[reps])
         for part in ("edges", "base", "entries"):
             spark.sql(f"DROP TABLE IF EXISTS {tag}_{part}")
     print("FINAL " + json.dumps(results), flush=True)
