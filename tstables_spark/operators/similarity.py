@@ -484,6 +484,15 @@ def ivf_topk_kmeans(
     return _ivf_probe_topk(emb, cells, cents, query_pred, k, n_probe, id_col, dim)
 
 
+# Trained IVF-PQ codebooks (coarse centroids + per-block PQ book),
+# cached per (app, caller identity, knobs): training is deterministic
+# (id-ordered seeds, order-independent decimal means, argmin ties by
+# code id), so cached == retrained bit-for-bit — and the production
+# lifecycle is train-once-query-many, not retrain-per-query. The
+# entries are O(n_cells*dim + m*pq_k*w) doubles — KB, driver-side.
+_PQ_TRAINED: dict = {}
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -496,6 +505,7 @@ def ivfpq_topk(
     rerank: int = 128,
     id_col: str = "vec_id",
     dim: int = DIM,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank — the production FAISS composition:
     a Lloyd-refined coarse quantizer routes each query to ``n_probe``
@@ -547,7 +557,21 @@ def ivfpq_topk(
 
     spark = emb.sparkSession
     w = dim // m
-    _, cvs = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col, vec_col="embedding")
+    full_key = None
+    if cache_key is not None:
+        full_key = (
+            spark.sparkContext.applicationId, cache_key,
+            n_cells, iters, m, pq_k, id_col, dim,
+        )
+    hit = _PQ_TRAINED.get(full_key) if full_key is not None else None
+    if hit is not None:
+        cvs, book_list = hit
+        book = np.asarray(book_list, dtype=np.float64)
+        pq_k = book.shape[1]  # effective size (tiny-corpus clamp)
+    else:
+        _, cvs = kmeans_fit(
+            emb, k=n_cells, iters=iters, id_col=id_col, vec_col="embedding"
+        )
     cn2s = []
     for cv in cvs:
         acc = 0.0
@@ -557,71 +581,76 @@ def ivfpq_topk(
     cells, cents = _cells_from_codebook(emb, cvs, cn2s, dim, id_col)
     C = np.asarray(cvs, dtype=np.float64)  # (n_cells, dim), cell is 1-based
 
-    # PQ codebook seed: per-block sub-slices of the lowest-pq_k ids'
-    # RESIDUALS. A TakeOrdered over the id column — no assumption about
-    # the id space (the r10 form required ids 0..pq_k-1 to exist);
-    # deterministic and contract-small (pq_k rows cross the driver).
-    seed = cells.select(id_col, "v", "cell").orderBy(id_col).limit(pq_k).collect()
-    # Tiny-corpus clamp (ADVICE r11): with fewer than pq_k vectors the
-    # seed book would be (m, n<pq_k, w) while the refinement partials
-    # are sized (m, pq_k, ...) — an opaque numpy broadcast error. The
-    # effective codebook size is the seed size; every downstream shape
-    # (partials, LUT, ADC offsets) derives from it.
-    pq_k = min(pq_k, len(seed))
-    if pq_k == 0:
-        raise ValueError("ivfpq_topk: empty corpus (no vectors to index)")
-    R = np.asarray([np.asarray(r["v"], dtype=np.float64) - C[r["cell"] - 1] for r in seed])
-    book = np.asarray([R[:, b * w : (b + 1) * w] for b in range(m)])  # (m, pq_k, w)
+    if hit is None:
+        # PQ codebook seed: per-block sub-slices of the lowest-pq_k ids'
+        # RESIDUALS. A TakeOrdered over the id column — no assumption about
+        # the id space (the r10 form required ids 0..pq_k-1 to exist);
+        # deterministic and contract-small (pq_k rows cross the driver).
+        seed = cells.select(id_col, "v", "cell").orderBy(id_col).limit(pq_k).collect()
+        # Tiny-corpus clamp (ADVICE r11): with fewer than pq_k vectors the
+        # seed book would be (m, n<pq_k, w) while the refinement partials
+        # are sized (m, pq_k, ...) — an opaque numpy broadcast error. The
+        # effective codebook size is the seed size; every downstream shape
+        # (partials, LUT, ADC offsets) derives from it.
+        pq_k = min(pq_k, len(seed))
+        if pq_k == 0:
+            raise ValueError("ivfpq_topk: empty corpus (no vectors to index)")
+        R = np.asarray([np.asarray(r["v"], dtype=np.float64) - C[r["cell"] - 1] for r in seed])
+        book = np.asarray([R[:, b * w : (b + 1) * w] for b in range(m)])  # (m, pq_k, w)
 
-    # One distributed Lloyd refinement per block — the per-block k-means
-    # update the coarse quantizer already gets (and the docstring
-    # promises): assign every residual block to its nearest seed entry,
-    # then replace each entry with the mean of its members. Map-side
-    # partial sums keep it one narrow scan: each partition emits at most
-    # m*pq_k (block, code, sum, count) rows (KB), combined driver-side.
-    # Empty codes keep their seed entry (the standard Lloyd fallback).
-    def _pq_partials(batches):
-        sums = np.zeros((m, pq_k, w))
-        cnts = np.zeros((m, pq_k), dtype=np.int64)
-        seen = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            seen = True
-            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            res = M - C[pdf["cell"].to_numpy() - 1]
-            for b in range(m):
-                blk = res[:, b * w : (b + 1) * w]
-                d2 = (
-                    (blk * blk).sum(axis=1)[:, None]
-                    - 2.0 * blk @ book[b].T
-                    + (book[b] * book[b]).sum(axis=1)[None, :]
+        # One distributed Lloyd refinement per block — the per-block k-means
+        # update the coarse quantizer already gets (and the docstring
+        # promises): assign every residual block to its nearest seed entry,
+        # then replace each entry with the mean of its members. Map-side
+        # partial sums keep it one narrow scan: each partition emits at most
+        # m*pq_k (block, code, sum, count) rows (KB), combined driver-side.
+        # Empty codes keep their seed entry (the standard Lloyd fallback).
+        def _pq_partials(batches):
+            sums = np.zeros((m, pq_k, w))
+            cnts = np.zeros((m, pq_k), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                res = M - C[pdf["cell"].to_numpy() - 1]
+                for b in range(m):
+                    blk = res[:, b * w : (b + 1) * w]
+                    d2 = (
+                        (blk * blk).sum(axis=1)[:, None]
+                        - 2.0 * blk @ book[b].T
+                        + (book[b] * book[b]).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    np.add.at(sums[b], code, blk)
+                    cnts[b] += np.bincount(code, minlength=pq_k)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "b": np.repeat(np.arange(m), pq_k),
+                        "code": np.tile(np.arange(pq_k), m),
+                        "s": [list(map(float, sums[b, c])) for b in range(m) for c in range(pq_k)],
+                        "n": cnts.reshape(-1),
+                    }
                 )
-                code = np.argmin(d2, axis=1)
-                np.add.at(sums[b], code, blk)
-                cnts[b] += np.bincount(code, minlength=pq_k)
-        if seen:
-            yield pd.DataFrame(
-                {
-                    "b": np.repeat(np.arange(m), pq_k),
-                    "code": np.tile(np.arange(pq_k), m),
-                    "s": [list(map(float, sums[b, c])) for b in range(m) for c in range(pq_k)],
-                    "n": cnts.reshape(-1),
-                }
-            )
 
-    partials = (
-        cells.select("v", "cell")
-        .mapInPandas(_pq_partials, "b int, code int, s array<double>, n long")
-        .collect()
-    )
-    tot = np.zeros((m, pq_k, w))
-    tot_n = np.zeros((m, pq_k), dtype=np.int64)
-    for r in partials:
-        tot[r["b"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
-        tot_n[r["b"], r["code"]] += r["n"]
-    nz = tot_n > 0
-    book = np.where(nz[:, :, None], tot / np.maximum(tot_n, 1)[:, :, None], book)
+        partials = (
+            cells.select("v", "cell")
+            .mapInPandas(_pq_partials, "b int, code int, s array<double>, n long")
+            .collect()
+        )
+        tot = np.zeros((m, pq_k, w))
+        tot_n = np.zeros((m, pq_k), dtype=np.int64)
+        for r in partials:
+            tot[r["b"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+            tot_n[r["b"], r["code"]] += r["n"]
+        nz = tot_n > 0
+        book = np.where(nz[:, :, None], tot / np.maximum(tot_n, 1)[:, :, None], book)
+        if full_key is not None:
+            _PQ_TRAINED[full_key] = (
+                cvs, [[list(map(float, book[b, c])) for c in range(pq_k)] for b in range(m)]
+            )
 
     def encode(batches):
         # residual -> per-block nearest codebook entry (ties: lowest
