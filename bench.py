@@ -157,7 +157,9 @@ def _group_task_times(spark, groups_of: dict) -> dict:
 
         out: dict = {}
         for name, groups in groups_of.items():
-            best_run, best_cpu = float("inf"), float("inf")
+            best = None  # (task_ms, cpu_ns) of the min-task REP — one
+            # rep's coherent pair, not a min stitched across reps
+            # (review r15: a stitched pair misstates the task-cpu gap)
             for g in groups:
                 run_ms = cpu_ns = 0
                 sids = set()
@@ -167,12 +169,12 @@ def _group_task_times(spark, groups_of: dict) -> dict:
                     r, c = stage_ms(sid)
                     run_ms += r
                     cpu_ns += c
-                best_run = min(best_run, run_ms)
-                best_cpu = min(best_cpu, cpu_ns)
-            if best_run < float("inf"):
+                if best is None or run_ms < best[0]:
+                    best = (run_ms, cpu_ns)
+            if best is not None:
                 out[name] = {
-                    "task": round(best_run / 1e3, 3),
-                    "cpu": round(best_cpu / 1e9, 3),
+                    "task": round(best[0] / 1e3, 3),
+                    "cpu": round(best[1] / 1e9, 3),
                 }
         return out
     except Exception:

@@ -2748,7 +2748,9 @@ def test_epoch_granularity_auto_pick_and_persist(spark, tmp_path):
     assert auto_epoch_granularity(7 * 86400) == "month"
     assert auto_epoch_granularity(400 * 86400) == "year"
     assert epoch_floor("month", datetime.date(1997, 1, 1)) == 199701
-    assert epoch_floor("day", datetime.date(1970, 1, 2)) == 1
+    assert epoch_floor("day", datetime.date(1970, 1, 2)) == 19700102
+    with pytest.raises(ValueError, match="unknown epoch granularity"):
+        epoch_floor("week", datetime.date(1997, 1, 1))
 
     left = spark.createDataFrame(
         [(i, i % 5, i * 3600) for i in range(500)],
@@ -2799,7 +2801,12 @@ def test_epoch_granularity_auto_pick_and_persist(spark, tmp_path):
             r[0]
             for r in spark.table(name).select(_EPOCH).distinct().collect()
         ]
-        assert all(0 <= e <= 21 for e in eps)  # 500h from 1970-01-01
+        # day epochs are yyyymmdd (session-calendar, matching
+        # epoch_floor): 500h from 1970-01-01 spans Jan 1-21, 1970
+        assert all(19700101 <= e <= 19700121 for e in eps)
+        import datetime as _dt
+
+        assert min(eps) == epoch_floor("day", _dt.date(1970, 1, 1))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

@@ -323,8 +323,15 @@ def _encode_asof_sides(
 # function knob-free — a mismatched function between stage and append
 # would silently mis-place rows across partitions.
 _EPOCH_GRANULARITY_PROP = "tstables.epoch_granularity"
+# All three granularities read SESSION-CALENDAR fields (year/month/
+# dayofmonth), so they agree on bucket membership with each other and
+# with epoch_floor()'s calendar dates in ANY session timezone — a
+# unix-day floor for "day" would bucket by UTC day while month/year
+# bucket by session calendar, shifting retention boundaries by up to a
+# day on non-UTC sessions (review r15). Day epochs are yyyymmdd ints:
+# ordering matches time ordering, which is all expire/compact need.
 _EPOCH_FNS = {
-    "day": lambda t: F.floor(F.unix_micros(t) / (86400 * 1_000_000)),
+    "day": lambda t: F.year(t) * 10000 + F.month(t) * 100 + F.dayofmonth(t),
     "month": lambda t: F.year(t) * 100 + F.month(t),
     "year": F.year,
 }
@@ -353,16 +360,12 @@ def epoch_floor(granularity: str, d) -> int:
     """The epoch integer a date/datetime ``d`` lands in under a named
     granularity — the retention caller's bridge from a calendar horizon
     to ``expire_asof_epoch_layout(min_epoch=...)``."""
-    import datetime
-
     if granularity == "year":
         return d.year
     if granularity == "month":
         return d.year * 100 + d.month
     if granularity == "day":
-        return (
-            datetime.date(d.year, d.month, d.day) - datetime.date(1970, 1, 1)
-        ).days
+        return d.year * 10000 + d.month * 100 + d.day
     raise ValueError(f"unknown epoch granularity {granularity!r}")
 
 
@@ -376,6 +379,11 @@ def _resolve_epoch_of(spark, table_name: str, epoch_of):
     if callable(epoch_of):
         return epoch_of
     if isinstance(epoch_of, str):
+        if epoch_of not in _EPOCH_FNS:
+            raise ValueError(
+                f"unknown epoch granularity {epoch_of!r} "
+                f"(valid: {sorted(_EPOCH_FNS)})"
+            )
         return _EPOCH_FNS[epoch_of]
     rows = spark.sql(
         f"SHOW TBLPROPERTIES {table_name}('{_EPOCH_GRANULARITY_PROP}')"
@@ -443,6 +451,11 @@ def stage_asof_epoch_layout(
     if epoch_of is None:
         gran = auto_epoch_granularity(append_span_seconds)
     elif isinstance(epoch_of, str):
+        if epoch_of not in _EPOCH_FNS:
+            raise ValueError(
+                f"unknown epoch granularity {epoch_of!r} "
+                f"(valid: {sorted(_EPOCH_FNS)})"
+            )
         gran = epoch_of
     else:
         gran = "custom"

@@ -563,6 +563,12 @@ def ivfpq_topk(
             spark.sparkContext.applicationId, cache_key,
             n_cells, iters, m, pq_k, id_col, dim,
         )
+    if full_key is not None:
+        # dead-app eviction (the _CONF_SCOPED discipline): a long-lived
+        # process cycling Spark apps must not pin dead apps' codebooks
+        app = full_key[0]
+        for dead in [ck for ck in _PQ_TRAINED if ck[0] != app]:
+            _PQ_TRAINED.pop(dead, None)
     hit = _PQ_TRAINED.get(full_key) if full_key is not None else None
     if hit is not None:
         cvs, book_list = hit

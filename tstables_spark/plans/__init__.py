@@ -79,12 +79,15 @@ def _load_all() -> None:
     # including helper modules like _staging/_staged_interchange, the
     # r10 blind spot), then backfill with oldest-evidence queries.
     # After this window the oldest remaining oracle-backed evidence is
-    # r8 (the rest of the r8 cohort: doc_bm25, doc_dup_inflation,
-    # drift_ks_test, embed_pca_power, embed_spectral_outlier, fn_date,
-    # fn_math, fn_string, mix_temperature, pack_sequences,
-    # stream_bloom, ts_pattern_match, ts_robust_zscore,
-    # ts_rollup_hier, vocab_coverage_curve, win_distribution —
-    # the r16 backfill queue head). The 7 permanently
+    # r8 — verified against the CORRECTNESS_r* ledger this round, NOT
+    # copied from a prior comment (the removed r14 note misfiled
+    # sim_range_search as r7; the ledger says r9). The 17-query r8
+    # cohort heading the r16 backfill queue: dedup_containment,
+    # doc_bm25, doc_dup_inflation, drift_ks_test, embed_pca_power,
+    # embed_spectral_outlier, fn_date, fn_math, fn_string,
+    # mix_temperature, pack_sequences, stream_bloom, ts_pattern_match,
+    # ts_robust_zscore, ts_rollup_hier, vocab_coverage_curve,
+    # win_distribution. The 7 permanently
     # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
     # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
     # ts_downsample_lttb — each indirectly gated by a hash-checked

@@ -105,7 +105,16 @@ def _evict_stream_pins(spark, cap: int) -> None:
     """Drop least-recently-used staged pins beyond ``cap``. Caller
     holds ``_STREAM_PINNED_LOCK``. Best-effort on the catalog side
     (the metastore may belong to a finished app); the bytes go with
-    the rmtree regardless."""
+    the rmtree regardless.
+
+    Known trade (review r15): eviction has no in-use tracking — a
+    DataFrame still scanning the 49th-least-recently-used pin while
+    another thread inserts would fail with a missing-file error. The
+    registry's consumers read their pins within the query that staged
+    them, so a live scan of the LRU tail requires >cap pins staged
+    between a plan's construction and its execution; if a workload
+    ever hits that, raise _STREAM_PINNED_CAP (the bound exists to cap
+    the JVM relation-cache heap, not to be tight)."""
     while len(_STREAM_PINNED) > cap:
         key = next(iter(_STREAM_PINNED))
         tag, d = _STREAM_PINNED.pop(key)

@@ -3372,9 +3372,14 @@ def _asof_recovery_table(spark: SparkSession, sf_dir: str) -> str:
             epoch_of=epoch_of,
             num_buckets=8,
         )
-        if rebuilt != touched:  # pragma: no cover - gate invariant
+        # observed-state gate, not an echo of the marker (review r15:
+        # recover returns the marker's epoch set by contract, so
+        # comparing it to `touched` is vacuous): the dropped epoch's
+        # partition must exist again on disk with data files
+        del rebuilt
+        if not fs.exists(jpath):
             raise AssertionError(
-                f"recovery rebuilt {rebuilt}, marker claimed {touched}"
+                f"recovery did not restore the dropped epoch {gone}"
             )
         if pending_asof_epoch_append(spark, tag) is not None:
             raise AssertionError("marker survived a completed recovery")
