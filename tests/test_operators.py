@@ -2827,3 +2827,36 @@ def test_epoch_granularity_auto_pick_and_persist(spark, tmp_path):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name2}")
+
+
+def test_ivfpq_codebook_cache_identical_to_retrained(spark):
+    """The per-corpus IVF-PQ codebook cache (r15): a cached invocation
+    must return BIT-IDENTICAL rows to the uncached path — training is
+    deterministic, so the cache may only skip work, never change it.
+    Three invocations: uncached baseline, cache-miss (trains + stores),
+    cache-hit (reuses; also exercises the dead-app eviction loop over
+    a NON-EMPTY dict — the k-shadowing regression fired exactly
+    there). The sim_recall gate grades the UNCACHED path, so this pin
+    is what extends its verdict to the cached one the registered
+    query runs."""
+    from tstables_spark.operators.similarity import _PQ_TRAINED, ivfpq_topk
+    from tstables_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 10
+    base = {
+        (r.qid, r.nid, r.rank, r.cosine)
+        for r in ivfpq_topk(emb, pred, k=5).collect()
+    }
+    ck = ("cache_pin_test",)
+    miss = {
+        (r.qid, r.nid, r.rank, r.cosine)
+        for r in ivfpq_topk(emb, pred, k=5, cache_key=ck).collect()
+    }
+    app = spark.sparkContext.applicationId
+    assert any(k[0] == app and k[1] == ck for k in _PQ_TRAINED)
+    hit = {
+        (r.qid, r.nid, r.rank, r.cosine)
+        for r in ivfpq_topk(emb, pred, k=5, cache_key=ck).collect()
+    }
+    assert miss == base and hit == base
