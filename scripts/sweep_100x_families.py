@@ -44,6 +44,12 @@ EVENT_QUERIES = [
 ]
 DOC_QUERIES = ["dedup_near", "dedup_minhash", "doc_bm25", "token_pmi",
                "lang_id", "token_count", "dedup_substring"]
+# pipeline family (r11 one-off numbers, a per-round family since r15):
+# runs on the docs fixture — CC over 100x cluster mass, the one-scan
+# funnel, and the vocab/packing passes
+PIPELINE_QUERIES = ["dedup_clusters", "pipeline_corpus_funnel",
+                    "vocab_topk", "bpe_pair_counts", "pack_sequences",
+                    "vocab_coverage_curve"]
 GRAPH_QUERIES = ["graph_degree_dist", "graph_jaccard", "graph_pagerank",
                  "graph_triangles"]
 
@@ -118,7 +124,7 @@ def main() -> None:
         base = "/tmp/docs100x_fixture"
         if not os.path.exists(f"{base}/documents.parquet"):
             build_docs_fixture(spark, load, base)
-        names = DOC_QUERIES
+        names = PIPELINE_QUERIES if which == "pipeline" else DOC_QUERIES
     if len(sys.argv) > 2:
         names = sys.argv[2].split(",")
     for name in names:
