@@ -284,6 +284,11 @@ def soak_theta(spark, ev_src):
         t0 = time.perf_counter()
         vf(batch, bid)
         n = spark.read.parquet(vf.path).count()
+        # r15 verdict #3: superseded attempt dirs are GC'd on merge —
+        # the on-disk dir count must stay O(1) across the whole soak
+        n_dirs = sum(
+            1 for d in os.listdir(base) if d.startswith("v")
+        ) if os.path.isdir(base) else 0
         rows.append(
             {
                 "batch": bid,
@@ -291,8 +296,10 @@ def soak_theta(spark, ev_src):
                 "rows_in": None,
                 "state_rows": n,
                 "state_bytes": None,
+                "state_dirs": n_dirs,
             }
         )
+        assert n_dirs <= 1, f"VersionedPathFold leaked state dirs: {n_dirs}"
 
     q = (
         src.writeStream.foreachBatch(fold)

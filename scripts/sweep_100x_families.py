@@ -158,22 +158,33 @@ def _record(name: str, res: dict) -> None:
     merged incrementally so a partial sweep still records; loadavg
     rides along for the same box-noise attribution the bench carries."""
     out = os.environ.get("SWEEP100X_OUT", os.path.join(REPO, "SWEEP100X.json"))
-    data: dict = {}
-    if os.path.exists(out):
+    # The ANN sweep and the families sweep share this artifact: the
+    # read-modify-write is guarded by an flock on a sidecar lockfile and
+    # the final write is tmp + os.replace, so two concurrently running
+    # sweeps can neither interleave load/dump (dropping one writer's
+    # rows) nor leave a torn file for a reader (r15 advice).
+    import fcntl
+
+    with open(out + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        data: dict = {}
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    data = json.load(f)
+            except ValueError:
+                data = {}
         try:
-            with open(out) as f:
-                data = json.load(f)
-        except ValueError:
-            data = {}
-    try:
-        with open("/proc/loadavg") as f:
-            loadavg = [float(x) for x in f.read().split()[:3]]
-    except OSError:
-        loadavg = None
-    data.setdefault("queries", {})[name] = {**res, "loadavg": loadavg}
-    with open(out, "w") as f:
-        json.dump(data, f, indent=1, sort_keys=True)
-        f.write("\n")
+            with open("/proc/loadavg") as f:
+                loadavg = [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            loadavg = None
+        data.setdefault("queries", {})[name] = {**res, "loadavg": loadavg}
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, out)
 
 
 if __name__ == "__main__":

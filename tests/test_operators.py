@@ -2860,3 +2860,83 @@ def test_ivfpq_codebook_cache_identical_to_retrained(spark):
         for r in ivfpq_topk(emb, pred, k=5, cache_key=ck).collect()
     }
     assert miss == base and hit == base
+
+
+def test_epoch_granularity_name_mismatch_raises(spark, tmp_path):
+    """r15 advice: a granularity NAME passed at append/recover time
+    must agree with the table's persisted granularity — appending
+    epoch_of='year' to a month-staged table silently mixes epoch
+    integer spaces (2024 vs 202401), and a later month-space expire
+    would drop live year-space partitions. None resolves the persisted
+    name; the matching name passes; a mismatched name raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tstables_spark.operators.asof import (
+        _EPOCH_FNS,
+        _resolve_epoch_of,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 3, i * 1000) for i in range(50)], "event_id long, k long, t long"
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(i % 3, i * 900, i) for i in range(20)], "k long, t long, val long"
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "val")
+    name, path = "epoch_gran_guard_test", str(tmp_path / "t")
+    try:
+        gran = stage_asof_epoch_layout(
+            left, right, "ts", "rts", "k", "k", ["val"],
+            name, path, epoch_of="month", num_buckets=2,
+        )
+        assert gran == "month"
+        # None resolves the persisted granularity; matching name passes
+        assert _resolve_epoch_of(spark, name, None) is _EPOCH_FNS["month"]
+        assert _resolve_epoch_of(spark, name, "month") is _EPOCH_FNS["month"]
+        # a mismatched name is the mis-placement the persistence exists
+        # to prevent — loud, with the remedy in the message
+        with _pytest.raises(ValueError, match="staged with epoch granularity"):
+            _resolve_epoch_of(spark, name, "year")
+        # a custom callable still wins unconditionally (the documented
+        # override), and unknown names fail the vocabulary check first
+        fn = lambda t: F.year(t)  # noqa: E731
+        assert _resolve_epoch_of(spark, name, fn) is fn
+        with _pytest.raises(ValueError, match="unknown epoch granularity"):
+            _resolve_epoch_of(spark, name, "week")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_epoch_granularity_custom_table_rejects_names(spark, tmp_path):
+    """A table staged with a custom epoch_of callable persists
+    'custom': appends must re-supply the callable — a NAME would mix
+    integer spaces just as silently as a wrong name on a named table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tstables_spark.operators.asof import (
+        _resolve_epoch_of,
+        stage_asof_epoch_layout,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 3, i * 1000) for i in range(50)], "event_id long, k long, t long"
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(i % 3, i * 900, i) for i in range(20)], "k long, t long, val long"
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "val")
+    name, path = "epoch_gran_custom_test", str(tmp_path / "t")
+    custom = lambda t: F.floor(F.unix_micros(t) / (7 * 86400 * 1_000_000))  # noqa: E731
+    try:
+        assert stage_asof_epoch_layout(
+            left, right, "ts", "rts", "k", "k", ["val"],
+            name, path, epoch_of=custom, num_buckets=2,
+        ) == "custom"
+        with _pytest.raises(ValueError, match="re-supply"):
+            _resolve_epoch_of(spark, name, "month")
+        with _pytest.raises(ValueError, match="custom"):
+            _resolve_epoch_of(spark, name, None)
+        assert _resolve_epoch_of(spark, name, custom) is custom
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

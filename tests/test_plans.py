@@ -693,3 +693,73 @@ def test_stream_pin_lru_eviction_restages(spark, sf_dir, monkeypatch):
     _staging.stream_pin(ev, "lru_b", cache_key=("k2",))
     _staging.stream_pin(ev, "lru_d", cache_key=("k4",))
     assert any(k[1] == "lru_b" for k in _staging._STREAM_PINNED)
+
+
+def test_stream_pin_lru_skips_in_use_pins(spark, sf_dir, monkeypatch):
+    """r15 verdict #7: eviction must skip pins held by an open
+    hold_stream_pins scope — staging cap+1 pins inside one query's
+    plan construction can never evict a table that plan still scans.
+    Held pins transiently exceed the cap and are reclaimed on the
+    first insert after the scope closes."""
+    from tstables_spark.plans import _staging
+    from tstables_spark.plans.tables import load
+
+    monkeypatch.setattr(_staging, "_STREAM_PINNED_CAP", 1)
+    ev = load(spark, sf_dir, "events").select("user_id").limit(5)
+    with _staging.hold_stream_pins():
+        ta = _staging.stream_pin(ev, "inuse_a", cache_key=("ka",))
+        tb = _staging.stream_pin(ev, "inuse_b", cache_key=("kb",))
+        keys = [k for k in _staging._STREAM_PINNED if k[1].startswith("inuse_")]
+        # both pins survive despite cap=1: in-use refcounts block eviction
+        assert len(keys) == 2
+        assert ta.count() == 5 and tb.count() == 5
+    # scope closed: the next insert reclaims down to cap (oldest first)
+    _staging.stream_pin(ev, "inuse_c", cache_key=("kc",))
+    left = {k[1] for k in _staging._STREAM_PINNED if k[1].startswith("inuse_")}
+    assert left == {"inuse_c"}
+
+
+def test_stream_pin_concurrent_stage_keeps_winner(spark, sf_dir, monkeypatch):
+    """r15 advice: the miss path is check-then-stage with the lock
+    released during the corpus-sized write — when another thread lands
+    the same key mid-write, the second stager must DROP its fresh
+    table/dir and return the winner's (a blind overwrite would orphan
+    the winner's catalog table from the LRU forever). Simulated by
+    injecting the winner between this thread's write and its re-check
+    (register_staged_table runs exactly there)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tstables_spark.plans import _staging
+    from tstables_spark.plans.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id").limit(5)
+    # stage the eventual WINNER normally, then pop its entry so the
+    # next call takes the miss path
+    _staging.stream_pin(ev, "race_pin", cache_key=("rk",))
+    key = next(k for k in _staging._STREAM_PINNED if k[1] == "race_pin")
+    winner = _staging._STREAM_PINNED.pop(key)
+    assert spark.catalog.tableExists(winner[0])
+
+    real_register = _staging.register_staged_table
+    captured = {}
+
+    def inject(sp, tag):
+        real_register(sp, tag)
+        if tag != winner[0] and "loser_tag" not in captured:
+            captured["loser_tag"] = tag
+            with _staging._STREAM_PINNED_LOCK:
+                _staging._STREAM_PINNED[key] = winner  # the racing thread lands
+
+    monkeypatch.setattr(_staging, "register_staged_table", inject)
+    got = _staging.stream_pin(ev, "race_pin", cache_key=("rk",))
+    # winner's entry is the tracked one; loser's table and dir are gone
+    assert _staging._STREAM_PINNED[key] == winner
+    assert got.count() == 5
+    loser = captured["loser_tag"]
+    assert loser != winner[0]
+    assert not spark.catalog.tableExists(loser)
+    assert spark.catalog.tableExists(winner[0])
+    # loser's scratch dir was reclaimed (winner's still on disk)
+    assert os.path.exists(winner[1])

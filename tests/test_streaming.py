@@ -490,3 +490,48 @@ def test_versioned_path_fold_fresh_path_per_attempt(tmp_path):
     assert len(set(paths)) == 3  # all distinct
     assert [p for p, _ in seen] == [None, paths[0], paths[1]]
     assert v.path == paths[2]
+
+
+def test_versioned_path_fold_gc_and_restart_guard(tmp_path):
+    """r15 verdict #3 + advice: (1) a successful merge GCs the
+    SUPERSEDED attempt dir, so a long-lived stream holds O(1) state
+    dirs; (2) a FAILED attempt never deletes the last good path (it
+    never advanced ``path``); (3) a fresh fold resuming at bid > 0
+    (process restart) fails loudly instead of silently merging from
+    empty state."""
+    import os
+
+    import pytest as _pytest
+
+    from tstables_spark.streaming.replay import VersionedPathFold
+
+    def merge(prev, batch, newp):
+        if batch == "boom":
+            raise RuntimeError("merge failed")
+        os.makedirs(newp)
+        with open(newp + "/state", "w") as f:
+            f.write(str(batch))
+
+    v = VersionedPathFold(str(tmp_path), merge)
+    v("b0", 0)
+    p0 = v.path
+    v("b1", 1)
+    # superseded attempt GC'd, current retained
+    assert not os.path.exists(p0)
+    assert os.path.exists(v.path)
+    good = v.path
+    # failed attempt: path does not advance, last good state survives
+    with _pytest.raises(RuntimeError, match="merge failed"):
+        v("boom", 2)
+    assert v.path == good
+    assert os.path.exists(good)
+    # the replayed batch then merges FROM the last good path
+    v("b2", 2)
+    assert not os.path.exists(good)
+    assert os.path.exists(v.path)
+    dirs = [d for d in os.listdir(tmp_path) if d.startswith("v")]
+    assert len(dirs) == 1  # O(1) state dirs regardless of trigger count
+    # restart guard: fresh fold, checkpointed query resumes at bid > 0
+    w = VersionedPathFold(str(tmp_path / "w"), merge)
+    with _pytest.raises(RuntimeError, match="process restarted"):
+        w("b5", 5)

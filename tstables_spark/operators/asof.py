@@ -369,12 +369,29 @@ def epoch_floor(granularity: str, d) -> int:
     raise ValueError(f"unknown epoch granularity {granularity!r}")
 
 
+def _persisted_epoch_granularity(spark, table_name: str) -> str | None:
+    """The table's persisted granularity property value, or None when
+    the table predates the property (SHOW TBLPROPERTIES returns a
+    does-not-have-property sentinel string for missing keys — anything
+    outside the vocabulary + 'custom' maps to None)."""
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {table_name}('{_EPOCH_GRANULARITY_PROP}')"
+    ).collect()
+    val = rows[0]["value"] if rows else None
+    return val if val == "custom" or val in _EPOCH_FNS else None
+
+
 def _resolve_epoch_of(spark, table_name: str, epoch_of):
     """The epoch function an append/recovery must use: a caller-passed
     callable wins (the custom-function override); a granularity NAME
-    resolves from the vocabulary; ``None`` resolves from the table's
-    persisted granularity property — and raises rather than guessing
-    when the table predates the property or was staged with a custom
+    resolves from the vocabulary AND must agree with the table's
+    persisted granularity — appending epoch_of='year' to a month-staged
+    table would silently mix epoch integer spaces, and a later expire
+    with a month-space min_epoch (e.g. 199701) would drop live
+    year-space partitions (2024 < 199701) — exactly the mis-placement
+    the persistence exists to prevent (r15 advice). ``None`` resolves
+    from the persisted property — and raises rather than guessing when
+    the table predates the property or was staged with a custom
     callable (the caller must re-supply it)."""
     if callable(epoch_of):
         return epoch_of
@@ -384,11 +401,23 @@ def _resolve_epoch_of(spark, table_name: str, epoch_of):
                 f"unknown epoch granularity {epoch_of!r} "
                 f"(valid: {sorted(_EPOCH_FNS)})"
             )
+        persisted = _persisted_epoch_granularity(spark, table_name)
+        if persisted is not None and persisted != epoch_of:
+            raise ValueError(
+                f"{table_name} was staged with epoch granularity "
+                f"{persisted!r} but this append/recovery passed "
+                f"epoch_of={epoch_of!r}: mixing epoch integer spaces "
+                f"would mis-place rows and break expire/compact epoch "
+                f"arithmetic — pass epoch_of=None to resolve the "
+                f"persisted granularity"
+                + (
+                    " (custom-callable tables must re-supply the callable)"
+                    if persisted == "custom"
+                    else ""
+                )
+            )
         return _EPOCH_FNS[epoch_of]
-    rows = spark.sql(
-        f"SHOW TBLPROPERTIES {table_name}('{_EPOCH_GRANULARITY_PROP}')"
-    ).collect()
-    val = rows[0]["value"] if rows else None
+    val = _persisted_epoch_granularity(spark, table_name)
     if val in _EPOCH_FNS:
         return _EPOCH_FNS[val]
     raise ValueError(

@@ -99,25 +99,78 @@ def dynamic_partition_overwrite(spark):
 _STREAM_PINNED: dict = {}
 _STREAM_PINNED_CAP = 48
 _STREAM_PINNED_LOCK = threading.Lock()
+# In-use refcounts (r15 verdict #7): full_key -> count of live
+# hold_stream_pins scopes that touched the pin. Guarded by
+# _STREAM_PINNED_LOCK. Eviction skips keys with refs > 0, so a plan
+# constructed over the LRU tail cannot lose its files to a concurrent
+# insert while its query scope is open.
+_STREAM_PINNED_REFS: dict = {}
+_PIN_SCOPES = threading.local()
+
+
+def _note_pin_use(full_key) -> None:
+    """Record that the current thread's innermost hold_stream_pins
+    scope (if any) touched ``full_key``. Caller holds
+    ``_STREAM_PINNED_LOCK``."""
+    stack = getattr(_PIN_SCOPES, "stack", None)
+    if stack:
+        _STREAM_PINNED_REFS[full_key] = _STREAM_PINNED_REFS.get(full_key, 0) + 1
+        stack[-1].append(full_key)
+
+
+def hold_stream_pins():
+    """Context manager: every staged pin touched by THIS THREAD inside
+    the scope is refcounted and immune to LRU eviction until the scope
+    exits. The registry wrapper brackets each query's plan construction
+    with it, so staging cap+1 pins inside one query can never evict a
+    pin that query still scans (the r15 in-use-tracking trade, closed).
+    Reentrant (nested scopes each hold their own touches)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        stack = getattr(_PIN_SCOPES, "stack", None)
+        if stack is None:
+            stack = _PIN_SCOPES.stack = []
+        held: list = []
+        stack.append(held)
+        try:
+            yield
+        finally:
+            stack.pop()
+            with _STREAM_PINNED_LOCK:
+                for k in held:
+                    n = _STREAM_PINNED_REFS.get(k, 0) - 1
+                    if n <= 0:
+                        _STREAM_PINNED_REFS.pop(k, None)
+                    else:
+                        _STREAM_PINNED_REFS[k] = n
+
+    return _cm()
 
 
 def _evict_stream_pins(spark, cap: int) -> None:
-    """Drop least-recently-used staged pins beyond ``cap``. Caller
-    holds ``_STREAM_PINNED_LOCK``. Best-effort on the catalog side
-    (the metastore may belong to a finished app); the bytes go with
-    the rmtree regardless.
-
-    Known trade (review r15): eviction has no in-use tracking — a
-    DataFrame still scanning the 49th-least-recently-used pin while
-    another thread inserts would fail with a missing-file error. The
-    registry's consumers read their pins within the query that staged
-    them, so a live scan of the LRU tail requires >cap pins staged
-    between a plan's construction and its execution; if a workload
-    ever hits that, raise _STREAM_PINNED_CAP (the bound exists to cap
-    the JVM relation-cache heap, not to be tight)."""
-    while len(_STREAM_PINNED) > cap:
-        key = next(iter(_STREAM_PINNED))
-        tag, d = _STREAM_PINNED.pop(key)
+    """Drop least-recently-used staged pins beyond ``cap``, skipping
+    in-use pins (refcount > 0 — a held pin may transiently push the
+    registry over cap; it is reclaimed on the next insert after its
+    scope closes). Caller must NOT hold ``_STREAM_PINNED_LOCK``: the
+    victims are popped under the lock, but the catalog DROP and the
+    rmtree run AFTER release so concurrent pin lookups never stall
+    behind metastore calls (r15 advice). Best-effort on the catalog
+    side (the metastore may belong to a finished app); the bytes go
+    with the rmtree regardless."""
+    victims: list = []
+    with _STREAM_PINNED_LOCK:
+        overflow = len(_STREAM_PINNED) - cap
+        if overflow > 0:
+            for key in list(_STREAM_PINNED):
+                if overflow <= 0:
+                    break
+                if _STREAM_PINNED_REFS.get(key, 0) > 0:
+                    continue
+                victims.append(_STREAM_PINNED.pop(key))
+                overflow -= 1
+    for tag, d in victims:
         try:
             spark.sql(f"DROP TABLE IF EXISTS {tag}")
         except Exception:
@@ -166,6 +219,7 @@ def stream_pin(
                 # re-insert to refresh recency (dict order == LRU order)
                 _STREAM_PINNED.pop(full_key)
                 _STREAM_PINNED[full_key] = hit
+                _note_pin_use(full_key)
                 return spark.table(hit[0])
     tag = f"{prefix}_{uuid.uuid4().hex[:8]}"
     if bucket_by is not None:
@@ -185,9 +239,29 @@ def stream_pin(
     )
     register_staged_table(spark, tag)
     if full_key is not None:
+        # The miss path is check-then-stage with the lock released
+        # during the corpus-sized write, so two foreachBatch threads
+        # can stage the same full_key concurrently. Re-check under the
+        # lock: if another thread already landed the key, ITS entry
+        # stays tracked and this thread's freshly staged table/dir is
+        # dropped (outside the lock) — a blind overwrite would orphan
+        # the winner's catalog table from the LRU forever (r15 advice).
         with _STREAM_PINNED_LOCK:
-            _STREAM_PINNED[full_key] = (tag, d)
-            _evict_stream_pins(spark, _STREAM_PINNED_CAP)
+            winner = _STREAM_PINNED.get(full_key)
+            if winner is not None:
+                _STREAM_PINNED.pop(full_key)
+                _STREAM_PINNED[full_key] = winner  # refresh recency
+            else:
+                _STREAM_PINNED[full_key] = (tag, d)
+            _note_pin_use(full_key)
+        if winner is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tag}")
+            except Exception:
+                pass
+            shutil.rmtree(d, ignore_errors=True)
+            return spark.table(winner[0])
+        _evict_stream_pins(spark, _STREAM_PINNED_CAP)
     return spark.table(tag)
 
 

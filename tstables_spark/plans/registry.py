@@ -102,7 +102,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # Extra kwargs pass through to plans that expose physical
             # knobs (e.g. graph_triangles_approx's sampling cut); the
             # driver always calls with the bare (spark, sf_dir) pair.
-            return fn(spark, sf_dir, **kwargs)
+            # Pins staged or consulted during plan construction are
+            # refcount-held for the scope, so the staged-pin LRU can
+            # never evict a table this plan still scans (_staging.py).
+            from tstables_spark.plans._staging import hold_stream_pins
+
+            with hold_stream_pins():
+                return fn(spark, sf_dir, **kwargs)
 
         QUERIES[name] = wrapped
         if oracle is not None:

@@ -100,10 +100,36 @@ class VersionedPathFold:
         self._path: str | None = None
 
     def __call__(self, batch, bid: int) -> None:
+        if bid > 0 and self._path is None:
+            # a checkpointed query resuming in a NEW process re-enters
+            # at bid>0 with this object freshly constructed: merging
+            # from prev=None would silently fold from EMPTY state,
+            # dropping every prior batch's rows — the same silent
+            # underweight SnapshotFold raises loudly for (r15 advice).
+            # The state path is process-local bookkeeping, so it cannot
+            # be recovered from the checkpoint; restart fresh.
+            raise RuntimeError(
+                f"VersionedPathFold({self._base}): batch {bid} arrived "
+                f"with no in-process state path — process restarted "
+                f"mid-stream; restart the query with a fresh checkpoint "
+                f"(the attempt-path bookkeeping is process-local)"
+            )
         self._attempt += 1
         newp = f"{self._base}/v{self._attempt}"
-        self._merge(self._path, batch, newp)
+        prev = self._path
+        self._merge(prev, batch, newp)
         self._path = newp
+        # GC the superseded attempt (r15 verdict #3): the replay window
+        # only ever needs the CURRENT path — a failed attempt never
+        # advanced self._path, so `prev` is provably the last GOOD state
+        # and is superseded the moment newp lands. Without this a
+        # long-lived stream leaves one state dir per trigger, unbounded.
+        # Best-effort and local-FS only (these dirs come from
+        # scratch_dir); a missed delete is reclaimed at interpreter exit.
+        if prev is not None:
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)
 
     @property
     def path(self) -> str | None:
