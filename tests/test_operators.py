@@ -2940,3 +2940,27 @@ def test_epoch_granularity_custom_table_rejects_names(spark, tmp_path):
         assert _resolve_epoch_of(spark, name, custom) is custom
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pair_overlap_packing_guard_raises(spark):
+    """The packed posting-list encoding (r16: (doc_id, n_sh) in one
+    long — the measured 1.7x pair-expansion win) must FAIL LOUDLY on
+    ids outside [0, 2^43): a silent wrap would corrupt pair identities
+    at exactly the scale the packing exists for."""
+    import pytest as _pytest
+
+    from tstables_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1 << 50, "a b c d e f g"), (7, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="packing out of range"):
+        jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    # in-range ids still pair normally
+    ok = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    got = jaccard_pairs(ok, n=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]

@@ -227,6 +227,42 @@ def substring_dup_pairs(
     )
 
 
+# (doc_id, n_sh) packing for _pair_overlap's posting lists: doc_id in
+# the high 43 bits, n_sh in the low 20. Bounds enforced LOUDLY per row
+# (a silent wrap would corrupt pair identities); ordering by packed
+# value == ordering by doc_id (doc_id leads and is unique per list),
+# which is what the upper-triangle generation sorts on.
+_PACK_BITS = 20
+_PACK_SHIFT = 1 << _PACK_BITS
+_PACK_MAX_DOC = (1 << 43) - 1
+
+
+def _pack_doc_nsh() -> Column:
+    """``doc_id * 2^20 + n_sh`` with a codegen'd range guard: raises
+    (never wraps) on doc_id outside [0, 2^43) or n_sh >= 2^20 — a
+    >1M-distinct-shingle document or a hashed id space must be remapped
+    by the caller, not silently mis-paired."""
+    ok = (
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") <= _PACK_MAX_DOC)
+        & (F.col("n_sh") < _PACK_SHIFT)
+    )
+    return F.when(ok, F.col("doc_id") * _PACK_SHIFT + F.col("n_sh")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dedup pair packing out of range (need 0 <= doc_id < 2^43"
+                    ", n_sh < 2^20): doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(" n_sh="),
+                F.col("n_sh").cast("string"),
+                F.lit(" — remap doc ids to a dense range or split the doc"),
+            )
+        ).cast("long")
+    )
+
+
 def _pair_overlap(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
     """Shared inverted-index core of jaccard_pairs/containment_pairs:
     (doc_a, doc_b, shared, na, nb) for every pair sharing >= 1
@@ -237,32 +273,45 @@ def _pair_overlap(docs: DataFrame, n: int, max_df: int | None) -> DataFrame:
     # so the oracle reproduces collisions identically) — the inverted
     # index then shuffles 8-byte longs instead of ~25-byte strings,
     # through BOTH shuffles (shingle-keyed agg + pair agg feed).
+    #
+    # (doc_id, n_sh) rides the posting lists PACKED into one long
+    # (_pack_doc_nsh) instead of a 2-long struct: the pair expansion —
+    # the measured CPU center of the whole dedup family at the 100x
+    # envelope (SCALE.md r15: 871 s of dedup_clusters' 1376 s task
+    # time) — then sorts, explodes, shuffles and aggregates single
+    # longs, and the pair aggregate's key IS the (doc, n_sh) pair, so
+    # the min(na)/min(nb) carry aggregates disappear entirely. Measured
+    # at 100x docs (500k): full jaccard_pairs 42.0 -> 24.5 s (1.7x);
+    # output bit-identical (packing is invisible to every consumer —
+    # the fingerprint family is untouched, so oracles need no change).
     sh = shingles(docs, n, with_size=True).select(
-        "doc_id", "n_sh", portable_hash60("shingle").alias("h")
+        _pack_doc_nsh().alias("pk"), portable_hash60("shingle").alias("h")
     )
     # sort_array at agg time: posting lists are sorted by doc_id (the
-    # struct's leading field; unique within a list), so the strict
+    # packed long's high bits; unique within a list), so the strict
     # upper triangle can be GENERATED (posexplode + suffix slice from
     # i+2, 1-based) instead of generated-square-then-filtered — the
     # slice carries only the suffixes (Σ df²/2 elements through the
     # Generate) and emits no filtered rows. Half the bytes through the
     # expansion — the half that matters at 100 TB.
     counted = sh.groupBy("h").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"),
+        F.sort_array(F.collect_list("pk")).alias("ds"),
         F.count("*").alias("df"),
     )
     inv = counted if max_df is None else counted.where(F.col("df") <= max_df)
     pairs = (
         inv.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.n_sh").alias("na"),
-            F.explode(F.expr("slice(ds, i+2, size(ds))")).alias("b"),
-        )
-        .select("doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n_sh").alias("nb"))
+        .select("a", F.explode(F.expr("slice(ds, i+2, size(ds))")).alias("b"))
     )
-    return pairs.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb")
+    shared = pairs.groupBy("a", "b").agg(F.count("*").alias("shared"))
+    # exact bitwise decode (NOT division: a double quotient loses
+    # mantissa bits above 2^53, silently corrupting large doc ids)
+    return shared.select(
+        F.shiftright("a", _PACK_BITS).alias("doc_a"),
+        F.shiftright("b", _PACK_BITS).alias("doc_b"),
+        "shared",
+        F.col("a").bitwiseAND(F.lit(_PACK_SHIFT - 1)).alias("na"),
+        F.col("b").bitwiseAND(F.lit(_PACK_SHIFT - 1)).alias("nb"),
     )
 
 
