@@ -621,7 +621,28 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics-invisible there; at production scale the truncation is
     the documented contract (degree distribution of a capped
     co-occurrence graph), bounded by a property test with a synthetic
-    10k-user bucket."""
+    10k-user bucket.
+
+    Runs on a CONF-SCOPED session twin with AQE's initialPartitionNum
+    flattened to the shuffle floor — the dedup_near r13 remedy applied
+    to the query it turned out to also tax: the r15 'unattributed
+    ~1.6x 100x residual vs r11' bisected THIS round to exactly the
+    engine-global x8 setting (same box, same fixture — 10M rows /
+    9,920,100 memberships re-verified — same bytes of plan code:
+    flat-32 79.5 s ≈ the r11 76 s, +initialPartitionNum x8 112.5 s,
+    +pageSize/G1-only 85.7 s; SCALE.md r16). The x8 stays load-bearing
+    for the wedge census's 8g completion; this twin scopes the flat
+    setting to this frame, results identical (partition count only)."""
+    from tstables_spark.plans._staging import conf_scoped_session
+
+    spark = conf_scoped_session(
+        spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        },
+    )
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
