@@ -237,6 +237,33 @@ def main() -> None:
     except OSError:
         loadavg = None
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Round-over-round task-time diff (r15 verdict #6): the committed
+    # BENCH_TASKTIME.json is the PREVIOUS round's artifact until this
+    # run overwrites it — read it first and flag queries whose summed
+    # task runtime moved >1.3x in either direction (task moved = plan
+    # or kernel changed; wall alone moving = box). Sub-second noise is
+    # exempted (|delta| must exceed 0.5 s). The flag list rides the
+    # one-line metric (compact "name:xR.RR" strings, capped at 8 so
+    # the 2000-char tail rule holds); full prev/cur detail lands in
+    # the rewritten BENCH_TASKTIME.json.
+    prev_tasks: dict = {}
+    try:
+        with open(TASKTIME_OUT) as f:
+            prev_tasks = {
+                n: v.get("task")
+                for n, v in json.load(f).get("queries", {}).items()
+                if isinstance(v, dict) and v.get("task") is not None
+            }
+    except (OSError, ValueError):
+        prev_tasks = {}
+    task_flags = []
+    for n, cur in sorted(tasktimes.items()):
+        prev = prev_tasks.get(n)
+        if not prev or "task" not in cur:
+            continue
+        ratio = cur["task"] / prev
+        if abs(cur["task"] - prev) > 0.5 and (ratio > 1.3 or ratio < 1 / 1.3):
+            task_flags.append(f"{n}:x{ratio:.2f}")
     # Per-query task/cpu detail: committed file, referenced from the
     # one-line metric (it cannot ride the line — see TASKTIME_OUT).
     try:
@@ -246,6 +273,10 @@ def main() -> None:
                     "sf": sf_val,
                     "reps": BENCH_REPS,
                     "loadavg": loadavg,
+                    "task_flags": task_flags,
+                    "prev_task_sec": {
+                        n: prev_tasks.get(n) for n in sorted(tasktimes)
+                    },
                     "queries": {
                         n: {"wall": timings[n], **tasktimes.get(n, {})}
                         for n in timings
@@ -278,6 +309,14 @@ def main() -> None:
                     sum(v["cpu"] for v in tasktimes.values()), 3
                 ),
                 "task_queries": len(tasktimes),
+                # >1.3x task movers vs the previously committed
+                # BENCH_TASKTIME.json (r15 verdict #6) — task time is
+                # the load-immune signal, so a non-empty list here
+                # means a PLAN/KERNEL change, not box noise. Capped at
+                # 8 entries for the 2000-char tail rule; the full list
+                # is in BENCH_TASKTIME.json.
+                "task_flags": task_flags[:8],
+                "task_flags_n": len(task_flags),
                 "reps": BENCH_REPS,
                 "sf": sf_val,
                 "loadavg": loadavg,

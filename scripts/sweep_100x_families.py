@@ -51,7 +51,44 @@ PIPELINE_QUERIES = ["dedup_clusters", "pipeline_corpus_funnel",
                     "vocab_topk", "bpe_pair_counts", "pack_sequences",
                     "vocab_coverage_curve"]
 GRAPH_QUERIES = ["graph_degree_dist", "graph_jaccard", "graph_pagerank",
-                 "graph_triangles"]
+                 "graph_triangles_doulion_p16"]
+# The triangles family's standing 100x representative (r15 verdict #4):
+# the EXACT census's uncapped wedge spill exceeds this box's free disk
+# (r12: ~100 GB; the r15 attempt died of ENOSPC), so the artifact row
+# is the documented disk-budgeted device — DOULION at p=1/16
+# (cut='10'), whose wedge volume is p^2 = 1/256 of exact. Its estimate
+# is cross-checked against the r12/r13 three-rate consensus (~30.3e9
+# triangles at p=1/16 / 3/32 / 1/32, all within 0.3%), so the row
+# carries both throughput AND accuracy evidence. Single rep at 100x:
+# the estimate is deterministic (md5-coin sample), and 3 reps of a
+# ~350 s census would dominate the whole sweep's budget.
+_TRIANGLES_P16_CONSENSUS = 30_315_626_496  # r12 p=1/16 run, SCALE.md
+
+
+def _run_triangles_p16(spark, QUERIES, base: str) -> dict:
+    res = {}
+    q = QUERIES["graph_triangles_approx"]
+    for tag, d, reps in (("1x", SRC, 2), ("100x", base, 1)):
+        best, est = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = q(spark, d, cut="10").collect()  # 3-column, 1-row
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            est = rows[0]["est_triangles"]
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(5)
+        res[tag] = round(best, 2)
+        res[f"{tag}_est_triangles"] = est
+    res["sampling"] = "DOULION p=1/16 (cut='10'); exact census exceeds box disk"
+    res["consensus_dev"] = round(
+        abs(res["100x_est_triangles"] - _TRIANGLES_P16_CONSENSUS)
+        / _TRIANGLES_P16_CONSENSUS,
+        6,
+    )
+    print(json.dumps({"graph_triangles_doulion_p16": res}), flush=True)
+    _record("graph_triangles_doulion_p16", res)
+    return res
 
 
 def build_events_fixture(spark, load, base: str, reps: int = 100) -> None:
@@ -128,6 +165,9 @@ def main() -> None:
     if len(sys.argv) > 2:
         names = sys.argv[2].split(",")
     for name in names:
+        if name == "graph_triangles_doulion_p16":
+            _run_triangles_p16(spark, QUERIES, base)
+            continue
         q = QUERIES[name]
         res = {}
         for tag, d in (("1x", SRC), ("100x", base)):

@@ -14,8 +14,12 @@ the driver windows and test_parity; THIS sweep is a memory-bound
 proof). A done-list makes a JVM death resumable instead of restarted.
 
 Usage: python scripts/sweep_registry_1g.py [sf_dir] [done_list_path]
-Prints one line per query; a final JSON summary line on completion.
-"""
+Prints one line per query; a final JSON summary line on completion,
+also written to $SWEEP1G_OUT (default SWEEP1G.json at the repo root —
+the standing per-round artifact, r15 verdict #8: driver-side state
+regressions should show up as a number in review, not as an OOM two
+rounds later). The summary carries peak driver heap from the JVM's
+memory-pool MXBeans."""
 
 from __future__ import annotations
 
@@ -66,20 +70,42 @@ def main() -> None:
             # the whole envelope; one failure must not hide the rest
             failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"{name}: FAILED {failed[name]}", flush=True)
-    print(
-        json.dumps(
-            {
-                "sweep": "registry_1g",
-                "sf_dir": SF_DIR,
-                "total": len(Q),
-                "ran": len(Q) - len(done),
-                "resumed_past": len(done),
-                "failed": failed,
-                "wall_s": round(time.time() - t_start, 1),
-            }
-        ),
-        flush=True,
-    )
+    # Peak driver heap across the sweep (sum of heap-pool peak usage —
+    # the number the 1 GB bound is about). Best-effort: a py4j hiccup
+    # must not void the pass/fail evidence.
+    peak_heap_mb = None
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        it = mf.getMemoryPoolMXBeans().iterator()
+        total = 0
+        while it.hasNext():
+            b = it.next()
+            if "HEAP" in b.getType().name().upper():
+                total += b.getPeakUsage().getUsed()
+        peak_heap_mb = round(total / (1024 * 1024), 1)
+    except Exception:
+        pass
+    summary = {
+        "sweep": "registry_1g",
+        "sf_dir": SF_DIR,
+        "total": len(Q),
+        "ran": len(Q) - len(done),
+        "resumed_past": len(done),
+        "passed": len(Q) - len(failed),
+        "failed": failed,
+        "wall_s": round(time.time() - t_start, 1),
+        "peak_driver_heap_mb": peak_heap_mb,
+    }
+    out = os.environ.get("SWEEP1G_OUT", os.path.join(REPO, "SWEEP1G.json"))
+    try:
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, out)
+    except OSError:
+        pass
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,47 +30,42 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-15 verification window (first 50 = the harness's
+    # ROUND-16 verification window (first 50 = the harness's
     # correctness window). Priority per the STANDING ROTATION POLICY
     # (below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) NEW queries, never driver-checked: ts_epoch_recovery (the
-    #     epoch-append crash path promoted from the pytest
-    #     crash-injection fixture to one driver hash — stage -> append
-    #     -> simulated mid-append kill (marker + missing touched
-    #     epoch) -> detection (next append refuses) -> recovery ->
-    #     read; r14 verdict #3);
-    # (c) re-check slots for r15 behavioral changes, per module:
-    #     - operators/asof.py: epoch granularity is auto-picked from
-    #       append cadence and persisted per table (r14 verdict #4),
-    #       the commit-marker publish is lock-serialized with an
-    #       hsync fallback (r14 advice) -> ts_epoch_lifecycle (now
-    #       runs knob-free at MONTH granularity — behavior-changed),
-    #       join_asof_epochs, stream_asof_epochs (their staging
-    #       drives stage/append);
-    #     - plans/streaming_q.py: the three driver-held maintainers
-    #       moved onto the shared replay helper
-    #       (streaming/replay.py, r14 verdict #6) -> stream_theta,
-    #       stream_heavy_hitters, stream_kll_gate;
-    #     - plans/_staging.py: the staged-pin registry is LRU-bounded
-    #       and the conf-twin cache lock-guarded/evicted (r14 verdict
-    #       #5 + advice) — consumed by every stream_pin/conf-twin
-    #       query; representatives spanning the consumer shapes ->
-    #       dedup_near (conf twin), dedup_minhash (big-path pins,
-    #       also the operators/dedup.py 5-tuple cache-key fix),
-    #       graph_kcore (bucketed pin), graph_triangles_approx and
-    #       graph_pagerank (edge pins);
-    # (d) the ENTIRE r7-latest backfill queue named by r14 verdict #2
-    #     (30 queries: the fn_* battery, the r7 agg tails,
-    #     sql_tpch_q20/21/22, cluster_kmeans, pipeline_corpus_funnel,
-    #     embed_pq/whiten, lm_bigram_score, sample_weighted,
-    #     domain_quota_sample, doc_chunk_overlap, k_anonymity_check,
-    #     vocab_oov_rate, ts_benford/calendar_sessions/tick_bars);
-    # (e) next-oldest backfill to the 50 cut: six r8-latest entries
-    #     (alphabetical head of the r8 cohort: agg_bloom_sketch,
-    #     agg_cms_point, agg_cms_sketch, bpe_encode, bpe_train_merges,
-    #     dedup_bloom_probe; the rest of the r8 cohort heads the r16
-    #     queue).
+    # (b) NEW queries: none this round (coverage is complete; r16 is
+    #     the two perf threads + machinery wear-in);
+    # (c) re-check slots for r16 behavioral changes, per module:
+    #     - operators/dedup.py: _pair_overlap's posting lists now
+    #       carry (doc_id, n_sh) PACKED into one long (the measured
+    #       1.7x pair-expansion win; output bit-identical by design,
+    #       so these re-checks are the proof) -> dedup_near,
+    #       dedup_near_maxdf, dedup_substring, dedup_clusters,
+    #       dedup_cluster_sizes (+ dedup_containment, already in the
+    #       r8 cohort below);
+    #     - plans/analytics.py: graph_degree_dist runs on a
+    #       conf-scoped twin with flat initialPartitionNum (the r15
+    #       'unattributed residual', bisected to the r13 global AQE
+    #       x8 and fixed) -> graph_degree_dist;
+    #     - plans/_staging.py: stream_pin gained the concurrent-stage
+    #       winner re-check and in-use refcounts (hold_stream_pins,
+    #       bracketing every registry query) -> dedup_minhash
+    #       (big-path pins), graph_pagerank (bucketed pin),
+    #       graph_triangles_approx (edge pins);
+    #     - streaming/replay.py: VersionedPathFold gained the
+    #       restart guard + superseded-attempt GC -> stream_theta;
+    #     - operators/asof.py: _resolve_epoch_of validates named
+    #       granularities against the persisted property ->
+    #       ts_epoch_lifecycle, ts_epoch_recovery;
+    # (d) the ENTIRE 17-query r8 cohort named by the r15 verdict
+    #     (oldest evidence; list in the policy note below);
+    # (e) next-oldest backfill to the 50 cut: nineteen r9-latest
+    #     entries (alphabetical head of the r9 cohort); the r9
+    #     remainder (join_semi, multimodal_frames, pareto_frontier,
+    #     set_intersect, set_union, sim_matryoshka, sim_range_search,
+    #     sort_limit, token_ngram_novelty, topk_per_group,
+    #     vocab_growth) heads the r17 queue.
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
@@ -79,11 +74,9 @@ def _load_all() -> None:
     # including helper modules like _staging/_staged_interchange, the
     # r10 blind spot), then backfill with oldest-evidence queries.
     # After this window the oldest remaining oracle-backed evidence is
-    # r8 — verified against the CORRECTNESS_r* ledger this round, NOT
-    # copied from a prior comment (the removed r14 note misfiled
-    # sim_range_search as r7; the ledger says r9). The 17-query r8
-    # cohort heading the r16 backfill queue: dedup_containment,
-    # doc_bm25, doc_dup_inflation, drift_ks_test, embed_pca_power,
+    # r9 (11 queries) — verified against the CORRECTNESS_r* ledger
+    # this round. The r8 cohort in (d): dedup_containment, doc_bm25,
+    # doc_dup_inflation, drift_ks_test, embed_pca_power,
     # embed_spectral_outlier, fn_date, fn_math, fn_string,
     # mix_temperature, pack_sequences, stream_bloom, ts_pattern_match,
     # ts_robust_zscore, ts_rollup_hier, vocab_coverage_curve,
@@ -100,30 +93,29 @@ def _load_all() -> None:
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (b) new this round
-            "ts_epoch_recovery",
-            # (c) r15 behavioral-change re-checks (see policy note)
-            "ts_epoch_lifecycle", "join_asof_epochs", "stream_asof_epochs",
-            "stream_theta", "stream_heavy_hitters", "stream_kll_gate",
-            "dedup_near", "dedup_minhash", "graph_kcore",
-            "graph_triangles_approx", "graph_pagerank",
-            # (d) the full r14-named backfill queue (r7-latest x30)
-            "agg_approx_percentile", "agg_entropy", "agg_gini",
-            "agg_hll_sketch_union", "agg_markov_transitions", "agg_mode",
-            "agg_skew_kurt", "agg_string_agg", "agg_unpivot",
-            "cluster_kmeans", "doc_chunk_overlap", "domain_quota_sample",
-            "embed_pq", "embed_whiten", "fn_bitwise", "fn_conditional",
-            "fn_struct", "fn_surrogate_key", "fn_url",
-            "k_anonymity_check", "lm_bigram_score",
-            "pipeline_corpus_funnel", "sample_weighted",
-            "sql_tpch_q20", "sql_tpch_q21", "sql_tpch_q22",
-            "ts_benford", "ts_calendar_sessions", "ts_tick_bars",
-            "vocab_oov_rate",
-            # (e) r8 backfill to the cut
-            "agg_bloom_sketch", "agg_cms_point", "agg_cms_sketch",
-            "bpe_encode", "bpe_train_merges", "dedup_bloom_probe",
+            # (c) r16 behavioral-change re-checks (see policy note)
+            "dedup_near", "dedup_near_maxdf", "dedup_substring",
+            "dedup_clusters", "dedup_cluster_sizes", "dedup_minhash",
+            "graph_degree_dist", "graph_pagerank",
+            "graph_triangles_approx", "stream_theta",
+            "ts_epoch_lifecycle", "ts_epoch_recovery",
+            # (d) the full r8 cohort (oldest evidence, x17)
+            "dedup_containment", "doc_bm25", "doc_dup_inflation",
+            "drift_ks_test", "embed_pca_power", "embed_spectral_outlier",
+            "fn_date", "fn_math", "fn_string", "mix_temperature",
+            "pack_sequences", "stream_bloom", "ts_pattern_match",
+            "ts_robust_zscore", "ts_rollup_hier", "vocab_coverage_curve",
+            "win_distribution",
+            # (e) r9 backfill to the cut
+            "agg_cube", "agg_distinct", "agg_grouping_sets",
+            "agg_kll_gate", "agg_percentiles", "agg_pivot",
+            "agg_pricing_summary", "agg_rollup", "agg_winsorize",
+            "dedup_embed", "join_anti", "join_asof", "join_asof_forward",
+            "join_asof_multi", "join_asof_nearest", "join_asof_tolerance",
+            "join_full", "join_left", "join_multi",
         ]
     )
+
 
 
 _load_all()
