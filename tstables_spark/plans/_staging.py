@@ -359,3 +359,23 @@ def conf_scoped_session(spark, overrides: dict):
         # cloning — keep the first (both are valid; one clone leaks
         # nothing beyond its SessionState until app end)
         return _CONF_SCOPED.setdefault(key, (spark, s))[1]
+
+
+def flat_initial_partitions(spark):
+    """The conf-scoped twin with AQE's initialPartitionNum flattened to
+    the shuffle floor — the r13 dedup_near remedy, shared (r16): the
+    engine-global x8 initial setting is load-bearing for the wedge
+    census's 8g completion but taxes medium-cardinality shuffle chains
+    (posting-list aggs, co-occurrence joins) ~1.4-1.6x at the 100x
+    envelope in pure reduce-task overhead (bisections: SCALE.md r13
+    dedup_near, r16 graph_degree_dist/graph_jaccard/dedup_clusters).
+    Results are identical (partition count only); the twin scopes the
+    flat setting to the frames built on it."""
+    return conf_scoped_session(
+        spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        },
+    )

@@ -633,16 +633,9 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     +pageSize/G1-only 85.7 s; SCALE.md r16). The x8 stays load-bearing
     for the wedge census's 8g completion; this twin scopes the flat
     setting to this frame, results identical (partition count only)."""
-    from tstables_spark.plans._staging import conf_scoped_session
+    from tstables_spark.plans._staging import flat_initial_partitions
 
-    spark = conf_scoped_session(
-        spark,
-        {
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            )
-        },
-    )
+    spark = flat_initial_partitions(spark)
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
@@ -2310,9 +2303,19 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out over; an in-degree-based variant would be unbounded on
     low-id hubs — rejected for exactly that reason). Top-50 via
     TakeOrdered (jac_ppm DESC, u, v) — per-partition heads reduced on
-    the driver, never a global sort."""
+    the driver, never a global sort.
+
+    Runs on the same CONF-SCOPED flat-initialPartitionNum twin as
+    graph_degree_dist: the r16 bisection that attributed degree_dist's
+    100x residual to the engine-global AQE x8 reproduces here on the
+    shared co-occurrence join shape (same box, fresh JVMs: 132.7 s
+    current vs 96.9 s flat = 1.37x; SCALE.md r16), and the twin
+    scopes the flat setting to this frame with results identical."""
     from pyspark.sql import Window
 
+    from tstables_spark.plans._staging import flat_initial_partitions
+
+    spark = flat_initial_partitions(spark)
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")

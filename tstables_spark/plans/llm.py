@@ -236,17 +236,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce-task overhead (SCALE.md r13 six-row bisection; r13 verdict
     #4). The clone scopes the flat setting to exactly this frame — the
     census keeps its OOM protection, dedup_near gets its 12.7 s back,
-    results byte-identical (partition count only)."""
-    from tstables_spark.plans._staging import conf_scoped_session
+    results byte-identical (partition count only). Shared helper since
+    r16 (flat_initial_partitions): every _pair_overlap consumer rides
+    the same twin now — the r16 dedup_clusters bisection measured the
+    same 1.4x on the identical posting-shuffle chain."""
+    from tstables_spark.plans._staging import flat_initial_partitions
 
-    s = conf_scoped_session(
-        spark,
-        {
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            )
-        },
-    )
+    s = flat_initial_partitions(spark)
     return jaccard_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.6)
 
 
@@ -278,8 +274,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries real copy-paste duplicates (21/20/189 pairs at
     sf0.001/0.01/0.1) — r7's suffix-granularity attempt found zero
     because true SUFFIX duplicates don't exist; window granularity is
-    the right detector for this corpus, no planted fixture needed."""
-    return substring_dup_pairs(load(spark, sf_dir, "documents"), w=30, max_df=32)
+    the right detector for this corpus, no planted fixture needed.
+    Runs on the shared flat-initialPartitionNum twin like every
+    _pair_overlap consumer (see dedup_near; r16)."""
+    from tstables_spark.plans._staging import flat_initial_partitions
+
+    s = flat_initial_partitions(spark)
+    return substring_dup_pairs(load(s, sf_dir, "documents"), w=30, max_df=32)
 
 
 @query(
@@ -309,8 +310,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated re-crawls). Same two-shuffle inverted index as
     dedup_near (operators/dedup.py::containment_pairs shares the
     _pair_overlap core), so the 100-TB shape is already proven; only
-    the threshold expression differs."""
-    return containment_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    the threshold expression differs. Shared flat-initialPartitionNum
+    twin like every _pair_overlap consumer (see dedup_near; r16)."""
+    from tstables_spark.plans._staging import flat_initial_partitions
+
+    s = flat_initial_partitions(spark)
+    return containment_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.8)
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
