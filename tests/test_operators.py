@@ -2964,3 +2964,19 @@ def test_pair_overlap_packing_guard_raises(spark):
     )
     got = jaccard_pairs(ok, n=3, threshold=0.9).collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_pair_overlap_packing_boundary_exact(spark):
+    """Packing boundary values survive the round trip exactly: the
+    largest in-range doc_id (2^43-1) decodes bit-exactly through the
+    shift/mask path (a double-division decode would corrupt it — the
+    mantissa holds 53 bits, the packed value needs 63)."""
+    from tstables_spark.operators.dedup import jaccard_pairs
+
+    big = (1 << 43) - 1
+    docs = spark.createDataFrame(
+        [(big, "a b c d e f g"), (big - 1, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    got = jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(big - 1, big, 1.0)]

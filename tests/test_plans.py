@@ -763,3 +763,33 @@ def test_stream_pin_concurrent_stage_keeps_winner(spark, sf_dir, monkeypatch):
     assert spark.catalog.tableExists(winner[0])
     # loser's scratch dir was reclaimed (winner's still on disk)
     assert os.path.exists(winner[1])
+
+
+def test_flat_twin_family_wide(spark, sf_dir):
+    """Every _pair_overlap consumer and both co-occurrence analytics
+    bind their frames to the shared flat-initialPartitionNum twin
+    (r16: _staging.flat_initial_partitions — the r13 dedup_near remedy
+    generalized after the degree_dist/jaccard/clusters bisections),
+    while the parent session keeps the engine-global x8."""
+    from tstables_spark.plans._staging import flat_initial_partitions
+
+    flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    twin = flat_initial_partitions(spark)
+    assert twin is not spark
+    # cached: same twin instance per (app, parent, overrides)
+    assert flat_initial_partitions(spark) is twin
+    for name in (
+        "dedup_near", "dedup_near_maxdf", "dedup_containment",
+        "dedup_substring", "dedup_clusters", "dedup_cluster_sizes",
+        "graph_degree_dist", "graph_jaccard",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        s = df.sparkSession
+        assert s is not spark, name
+        assert int(
+            s.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        ) == flat, name
+    # the global trade stays intact for every other query
+    assert int(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    ) == flat * 8
