@@ -103,6 +103,28 @@ HEADLINE = [
 # already amortized staging, so the min is the steady-state plan cost).
 BENCH_REPS = 3
 
+# Load gate (r16 verdict #6): r16's +9% wall drift on untouched plans
+# cost a re-adjudication that only the task-time metric could settle —
+# make the wall number quiet-box BY CONSTRUCTION instead. Before the
+# timed loop the bench polls 1-min loadavg until it drops under the
+# gate (or the wait budget runs out); if the loop still STARTED or
+# ENDED loaded, the whole timed loop re-runs once (per-query min
+# across both passes) and the artifact says so. The gate must sit
+# above the bench's own JVM settling tail (~1-2 on this box right
+# after the warm pass) but below the co-tenant smear r16 measured
+# (loadavg 3.2-4.2 = 1.25-1.44x wall on sub-second queries).
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2.5"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "240"))
+
+
+def _load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 # Executor task-time metric (r14 verdict #1): wall clock rides the
 # box's co-tenant load (r13->r14's 1.19x drift was indistinguishable
 # from noise in-artifact), so each rep also records the SUM OF TASK
@@ -209,21 +231,46 @@ def main() -> None:
     sc = spark.sparkContext
     timings: dict[str, float] = {}
     groups_of: dict = {}
-    for name in names:
-        t = float("inf")
-        for rep in range(BENCH_REPS):
-            group = f"bench:{name}:{rep}"
-            sc.setJobGroup(group, name)
-            try:
-                t0 = time.perf_counter()
-                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                t = min(t, time.perf_counter() - t0)
-            finally:
-                sc.setLocalProperty("spark.jobGroup.id", None)
-            groups_of.setdefault(name, []).append(group)
-        timings[name] = round(t, 3)
+
+    def timed_pass(tag: int) -> tuple:
+        """One best-of-BENCH_REPS pass over the headline set; merges
+        per-query minima into ``timings`` and returns the 1-min
+        loadavg observed at (start, end)."""
+        start_load = _load1()
+        for name in names:
+            t = timings.get(name, float("inf"))
+            for rep in range(BENCH_REPS):
+                group = f"bench:{tag}:{name}:{rep}"
+                sc.setJobGroup(group, name)
+                try:
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    t = min(t, time.perf_counter() - t0)
+                finally:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                groups_of.setdefault(name, []).append(group)
+            timings[name] = round(t, 3)
+        return start_load, _load1()
+
+    # Load gate (see LOAD_GATE): wait for a quiet box, bounded.
+    waited = 0
+    while (
+        waited < LOAD_WAIT_SEC
+        and (l := _load1()) is not None
+        and l >= LOAD_GATE
+    ):
+        time.sleep(10)
+        waited += 10
+    loads = list(timed_pass(0))
+    retried = False
+    if any(l is not None and l >= LOAD_GATE for l in loads):
+        # the pass ran on a loaded box: one retry, per-query min across
+        # both passes — the floor-of-noise estimator extended across a
+        # load episode instead of through it
+        retried = True
+        loads += list(timed_pass(1))
 
     tasktimes = _group_task_times(spark, groups_of)
 

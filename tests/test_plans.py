@@ -606,35 +606,20 @@ def test_r13_kcore_big_paths_identical(spark, sf_dir, monkeypatch):
     } == staged  # reused, not re-staged
 
 
-def test_dedup_near_conf_scoped_session(spark, sf_dir):
-    """dedup_near's frame must be bound to a conf-scoped session twin
-    (AQE initialPartitionNum flattened to the shuffle floor) while the
-    PARENT keeps the engine-global x8 — the r13 bisection's named
-    global trade (census OOM protection vs dedup_near's 1.6x), scoped
-    per-query instead of globalized (r14). The clone must inherit the
-    parent's runtime confs (UTC is load-bearing for every oracle) and
-    be reused across invocations; row parity is covered by the full
-    sf0.01 differential in test_parity.py."""
+def test_dedup_near_plain_session_flat_global(spark, sf_dir):
+    """r17 inverted the r13 AQE trade: the engine global is FLAT
+    (session.py no longer sets initialPartitionNum, so AQE starts at
+    the shuffle floor), and dedup_near — like every former flat-twin
+    rider — runs on the PLAIN session with no conf clone at all."""
     df = QUERIES["dedup_near"](spark, sf_dir)
-    s = df.sparkSession
-    assert s is not spark
-    flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.sparkSession is spark
+    # the global default IS the flat setting now: nothing set it
     assert (
-        int(s.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
-        == flat
-    )
-    assert (
-        int(
-            spark.conf.get(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-            )
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
         )
-        == flat * 8
-    )  # the global trade stays intact for every other query
-    assert s.conf.get("spark.sql.session.timeZone") == spark.conf.get(
-        "spark.sql.session.timeZone"
+        is None
     )
-    assert QUERIES["dedup_near"](spark, sf_dir).sparkSession is s  # cached
 
 
 def test_stream_pin_bucketed_zero_exchange(spark, sf_dir):
@@ -719,6 +704,44 @@ def test_stream_pin_lru_skips_in_use_pins(spark, sf_dir, monkeypatch):
     assert left == {"inuse_c"}
 
 
+def test_stream_pin_refs_survive_to_execution(spark, sf_dir, monkeypatch):
+    """r16 advice (medium): refcounts released at scope exit left a
+    construction-to-execution window where a concurrent thread staging
+    >cap pins could evict a table the constructed plan still scans.
+    ``scope.transfer_to(df)`` moves the refs onto the frame's lifetime
+    (weakref finalizer), so the pin stays eviction-immune until the
+    caller drops the frame — which is after execution by definition."""
+    import gc
+
+    from tstables_spark.plans import _staging
+    from tstables_spark.plans.tables import load
+
+    monkeypatch.setattr(_staging, "_STREAM_PINNED_CAP", 1)
+    ev = load(spark, sf_dir, "events").select("user_id").limit(5)
+    with _staging.hold_stream_pins() as scope:
+        df = _staging.stream_pin(ev, "xfer_a", cache_key=("xa",))
+        scope.transfer_to(df)
+    key = next(k for k in _staging._STREAM_PINNED if k[1] == "xfer_a")
+    # scope exited but the frame is alive: refs still held, so a
+    # concurrent over-cap insert must NOT evict xfer_a
+    assert _staging._STREAM_PINNED_REFS.get(key, 0) > 0
+    # the concurrent thread stages over-cap inside its OWN scope (as
+    # every registry query does) — xfer_a must survive the insert
+    with _staging.hold_stream_pins():
+        _staging.stream_pin(ev, "xfer_b", cache_key=("xb",))
+        assert key in _staging._STREAM_PINNED
+    assert df.count() == 5  # executes over the still-pinned table
+    del df
+    gc.collect()
+    # frame dropped: the finalizer released the refs; the next insert
+    # may now reclaim the pin
+    assert _staging._STREAM_PINNED_REFS.get(key, 0) == 0
+    with _staging.hold_stream_pins():
+        _staging.stream_pin(ev, "xfer_c", cache_key=("xc",))
+    left = {k[1] for k in _staging._STREAM_PINNED if k[1].startswith("xfer_")}
+    assert "xfer_a" not in left
+
+
 def test_stream_pin_concurrent_stage_keeps_winner(spark, sf_dir, monkeypatch):
     """r15 advice: the miss path is check-then-stage with the lock
     released during the corpus-sized write — when another thread lands
@@ -765,31 +788,91 @@ def test_stream_pin_concurrent_stage_keeps_winner(spark, sf_dir, monkeypatch):
     assert os.path.exists(winner[1])
 
 
-def test_flat_twin_family_wide(spark, sf_dir):
-    """Every _pair_overlap consumer and both co-occurrence analytics
-    bind their frames to the shared flat-initialPartitionNum twin
-    (r16: _staging.flat_initial_partitions — the r13 dedup_near remedy
-    generalized after the degree_dist/jaccard/clusters bisections),
-    while the parent session keeps the engine-global x8."""
-    from tstables_spark.plans._staging import flat_initial_partitions
+def test_aqe_trade_inverted(spark, sf_dir):
+    """r17 verdict #1: the AQE initialPartitionNum trade is INVERTED —
+    the engine global is flat (nothing sets the conf; AQE defaults to
+    the shuffle floor), the ten former flat-twin riders run on the
+    plain session, and the wedge-census family is the ONLY consumer of
+    a conf clone, now the x8 twin (_staging.wide_initial_partitions —
+    its 100x shuffle needs >32 initial reduce partitions for the 8g
+    heap envelope, the r12 OOM)."""
+    from tstables_spark.plans._staging import wide_initial_partitions
 
     flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    twin = flat_initial_partitions(spark)
-    assert twin is not spark
-    # cached: same twin instance per (app, parent, overrides)
-    assert flat_initial_partitions(spark) is twin
+    # former flat-twin riders: plain session, no clone
     for name in (
         "dedup_near", "dedup_near_maxdf", "dedup_containment",
         "dedup_substring", "dedup_clusters", "dedup_cluster_sizes",
         "graph_degree_dist", "graph_jaccard",
     ):
-        df = QUERIES[name](spark, sf_dir)
-        s = df.sparkSession
-        assert s is not spark, name
-        assert int(
-            s.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-        ) == flat, name
-    # the global trade stays intact for every other query
+        assert QUERIES[name](spark, sf_dir).sparkSession is spark, name
+    # the census family binds to the x8 twin
+    twin = wide_initial_partitions(spark)
+    assert twin is not spark
+    # cached: same twin instance per (app, parent, overrides)
+    assert wide_initial_partitions(spark) is twin
     assert int(
-        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        twin.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     ) == flat * 8
+    # the twin inherits the parent's runtime confs (UTC is load-bearing)
+    assert twin.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
+    for name in ("graph_triangles", "graph_triangles_approx",
+                 "graph_triangles_gate"):
+        assert QUERIES[name](spark, sf_dir).sparkSession is twin, name
+    # the global stays unset — flat by default for every other query
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
+        )
+        is None
+    )
+
+
+def test_cc_round_join_zero_exchange_zero_sort_on_edges(spark):
+    """r17 verdict #3: connected_components' per-round neighbor join
+    must stream the O(E) symmetric edge relation straight out of its
+    partitioned columnar cache — ONE ENSURE_REQUIREMENTS Exchange (the
+    O(V) labels side), ZERO Sorts (SHUFFLE_HASH build on labels), so a
+    round never re-shuffles or re-sorts the edge list. Replicates the
+    exact sym/labels/join shape components.py builds."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(20000).select(
+        (F.col("id") % 500).alias("a"), ((F.col("id") + 3) % 499).alias("b")
+    )
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .repartition(P, "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        sym.count()
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        j = sym.join(
+            labels.hint("shuffle_hash"), sym.a == labels.node
+        ).select(F.col("b").alias("node"), "component")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+        assert not re.findall(r"\bSort\b", plan), plan
+        assert "ShuffledHashJoin" in plan, plan
+    finally:
+        sym.unpersist()

@@ -13,7 +13,17 @@ but sf0.1 produced a chain deeper than 20 hops and diameter-bound
 propagation timed out. Each round is ONE job (r13: the joins, the min
 aggregate AND the O(1) convergence sum all ride the round's checkpoint
 materialization via observe()); the driver only sees the single
-label-sum per round, never data.
+label-sum per round, never data. Since r17 the per-round EDGE cost is a
+pure columnar-cache scan: the symmetric edge list persists once,
+hash-partitioned on the join key (InMemoryRelation preserves
+outputPartitioning; localCheckpoint's LogicalRDD does not — probed),
+and the neighbor join builds on the O(V) labels side via SHUFFLE_HASH,
+so no round shuffles OR sorts the O(E) relation — the term that
+dominates per-round cost when the pair list is billions of rows.
+(Measured honestly at the 100x fixture the rounds were NEVER the
+dedup_clusters floor: pairs 36.7 s vs CC 3.7 s even before this change
+— SCALE.md r17; the change buys the asymptotic shape and a ~1-2 s
+fixed-cost tail.)
 
 Determinism: min() over labels is order-independent, so the fixpoint is
 unique regardless of partitioning — safe for exact oracle comparison
@@ -48,14 +58,31 @@ def connected_components(
     O(log n) scheme.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # undirected: propagate both ways. Materialize ONCE — the edge list
-    # is re-joined every round, and without the checkpoint each round
-    # would recompute the (possibly expensive) upstream pair generation.
-    # SERIALIZED pin (r12, the r11 minhash/pagerank discipline): this
-    # relation scales with the pair count — serialized rows cost ~4x
-    # less heap than the deserialized default and spill cleanly.
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    # undirected: propagate both ways — both orientations explode from
+    # ONE scan of the upstream (r17: the former union's two legs each
+    # evaluated the possibly-expensive pair derivation inside the
+    # materialization job). Materialize ONCE, HASH-PARTITIONED on the
+    # join key and PERSISTED (not localCheckpoint): InMemoryRelation
+    # preserves outputPartitioning where LogicalRDD does not (probed
+    # r17), so every round's neighbor join streams the edge relation
+    # straight out of the columnar cache with ZERO per-round Exchange
+    # or Sort on it — the O(E)-per-round shuffle term is gone; only
+    # the O(V) labels relation moves each round. Columnar cache blocks
+    # are compressed (the serialized-pin discipline by construction)
+    # and spill cleanly.
+    P = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .repartition(P, "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -86,9 +113,15 @@ def connected_components(
     # legs, and the pin doubles as the free initial-sum probe.
     labels, prev_sum = _pin_with_sum(labels)
     for i in range(max_iter):
-        # each node's candidate = min(own label, neighbors' labels)
+        # each node's candidate = min(own label, neighbors' labels).
+        # SHUFFLE_HASH hint on the labels side (r17): labels is the
+        # O(V) build side; without the hint SMJ would SORT the cached
+        # O(E) stream side every round — the hint keeps the per-round
+        # edge cost to a pure cache scan (no Exchange: sym's persisted
+        # HashPartitioning(a) satisfies the join; no Sort: SHJ needs
+        # none).
         nbr = (
-            sym.join(labels, sym.a == labels.node)
+            sym.join(labels.hint("shuffle_hash"), sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
         cand = labels.select("node", "component").union(nbr)
@@ -126,8 +159,10 @@ def connected_components(
         # consistency; the convergence sum rides the same job.
         labels, s = _pin_with_sum(new_labels)
         if s == prev_sum:
+            sym.unpersist()
             return labels
         prev_sum = s
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(label sum still decreasing): graph diameter exceeds "

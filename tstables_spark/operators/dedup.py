@@ -241,13 +241,16 @@ def _pack_doc_nsh() -> Column:
     """``doc_id * 2^20 + n_sh`` with a codegen'd range guard: raises
     (never wraps) on doc_id outside [0, 2^43) or n_sh >= 2^20 — a
     >1M-distinct-shingle document or a hashed id space must be remapped
-    by the caller, not silently mis-paired."""
-    ok = (
-        (F.col("doc_id") >= 0)
-        & (F.col("doc_id") <= _PACK_MAX_DOC)
-        & (F.col("n_sh") < _PACK_SHIFT)
-    )
-    return F.when(ok, F.col("doc_id") * _PACK_SHIFT + F.col("n_sh")).otherwise(
+    by the caller, not silently mis-paired. The arithmetic is forced to
+    LONG regardless of the input schema (r16 advice): with an
+    IntegerType doc_id (jaccard_pairs/containment_pairs are public
+    operators) and ANSI off, the multiply would otherwise run in int32
+    and wrap for doc_id >= 2048 even though the guard (which compares
+    against long literals) passes."""
+    doc = F.col("doc_id").cast("long")
+    nsh = F.col("n_sh").cast("long")
+    ok = (doc >= 0) & (doc <= _PACK_MAX_DOC) & (nsh < _PACK_SHIFT)
+    return F.when(ok, doc * _PACK_SHIFT + nsh).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(

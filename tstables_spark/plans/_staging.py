@@ -118,13 +118,52 @@ def _note_pin_use(full_key) -> None:
         stack[-1].append(full_key)
 
 
+def _release_pin_refs(held: list) -> None:
+    with _STREAM_PINNED_LOCK:
+        for k in held:
+            n = _STREAM_PINNED_REFS.get(k, 0) - 1
+            if n <= 0:
+                _STREAM_PINNED_REFS.pop(k, None)
+            else:
+                _STREAM_PINNED_REFS[k] = n
+
+
+class _PinScope:
+    """Handle yielded by ``hold_stream_pins``: ``transfer_to(df)`` moves
+    the scope's refcounts onto ``df``'s LIFETIME (released by a weakref
+    finalizer when the frame is garbage-collected) instead of at scope
+    exit. This is what extends the eviction immunity past plan
+    CONSTRUCTION to the frame's later EXECUTION (r16 advice: a
+    concurrent foreachBatch thread staging >cap pins between the query
+    fn returning and the driver's collect could otherwise evict a pin
+    the plan still scans)."""
+
+    def __init__(self, held: list):
+        self.held = held
+        self.transferred = False
+
+    def transfer_to(self, obj) -> None:
+        import weakref
+
+        try:
+            weakref.finalize(obj, _release_pin_refs, self.held)
+        except TypeError:
+            return  # not weakref-able: refs release at scope exit
+        self.transferred = True
+
+
 def hold_stream_pins():
     """Context manager: every staged pin touched by THIS THREAD inside
     the scope is refcounted and immune to LRU eviction until the scope
-    exits. The registry wrapper brackets each query's plan construction
-    with it, so staging cap+1 pins inside one query can never evict a
-    pin that query still scans (the r15 in-use-tracking trade, closed).
-    Reentrant (nested scopes each hold their own touches)."""
+    exits — or, when the yielded scope's ``transfer_to(df)`` is called,
+    until ``df`` is garbage-collected. The registry wrapper brackets
+    each query's plan construction with it AND transfers the refs to
+    the returned frame, so a pin a plan scans stays eviction-immune
+    through the driver's execution of that frame for as long as the
+    caller holds it (it must, to execute it). A frame held forever
+    holds its pins' refs forever — bounded by live DataFrames, the
+    caller's working set. Reentrant (nested scopes each hold their own
+    touches)."""
     from contextlib import contextmanager
 
     @contextmanager
@@ -133,18 +172,14 @@ def hold_stream_pins():
         if stack is None:
             stack = _PIN_SCOPES.stack = []
         held: list = []
+        scope = _PinScope(held)
         stack.append(held)
         try:
-            yield
+            yield scope
         finally:
             stack.pop()
-            with _STREAM_PINNED_LOCK:
-                for k in held:
-                    n = _STREAM_PINNED_REFS.get(k, 0) - 1
-                    if n <= 0:
-                        _STREAM_PINNED_REFS.pop(k, None)
-                    else:
-                        _STREAM_PINNED_REFS[k] = n
+            if not scope.transferred:
+                _release_pin_refs(held)
 
     return _cm()
 
@@ -312,7 +347,8 @@ def conf_scoped_session(spark, overrides: dict):
     the named global trade this helper exists to avoid (SCALE.md r13
     bisection: AQE initialPartitionNum x8 buys the wedge census its 8g
     completion and costs dedup_near 1.6x at the 100x envelope — two
-    right answers, one conf slot).
+    right answers, one conf slot; r17 inverted the default so the
+    census is the twin rider, see wide_initial_partitions).
 
     ``newSession()`` inherits only BUILDER-time confs (they live in the
     SparkContext conf), so the parent's explicitly-set runtime confs —
@@ -361,21 +397,22 @@ def conf_scoped_session(spark, overrides: dict):
         return _CONF_SCOPED.setdefault(key, (spark, s))[1]
 
 
-def flat_initial_partitions(spark):
-    """The conf-scoped twin with AQE's initialPartitionNum flattened to
-    the shuffle floor — the r13 dedup_near remedy, shared (r16): the
-    engine-global x8 initial setting is load-bearing for the wedge
-    census's 8g completion but taxes medium-cardinality shuffle chains
-    (posting-list aggs, co-occurrence joins) ~1.4-1.6x at the 100x
-    envelope in pure reduce-task overhead (bisections: SCALE.md r13
-    dedup_near, r16 graph_degree_dist/graph_jaccard/dedup_clusters).
-    Results are identical (partition count only); the twin scopes the
-    flat setting to the frames built on it."""
+def wide_initial_partitions(spark):
+    """The conf-scoped twin with AQE's initialPartitionNum raised to 8x
+    the shuffle floor — the INVERSE of r16's flat twin (r17 verdict #1):
+    the engine global is now flat (session.py), because the x8 setting
+    taxed every medium-cardinality shuffle chain ~1.4-1.6x at the 100x
+    envelope (SCALE.md r13/r16 bisections) and had exactly ONE
+    load-bearing consumer — the wedge census, whose uniformly-huge 100x
+    shuffle needs >32 initial reduce partitions to keep per-task
+    join/sort state under the 8g heap envelope (the r12 OOM). The
+    census family binds its frames to this twin; results are identical
+    (partition count only — AQE coalesces small stages back down)."""
     return conf_scoped_session(
         spark,
         {
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": spark.conf.get(
-                "spark.sql.shuffle.partitions"
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+                int(spark.conf.get("spark.sql.shuffle.partitions")) * 8
             )
         },
     )

@@ -623,64 +623,70 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph), bounded by a property test with a synthetic
     10k-user bucket.
 
-    Runs on a CONF-SCOPED session twin with AQE's initialPartitionNum
-    flattened to the shuffle floor — the dedup_near r13 remedy applied
-    to the query it turned out to also tax: the r15 'unattributed
-    ~1.6x 100x residual vs r11' bisected THIS round to exactly the
+    The engine-global AQE initialPartitionNum is FLAT since r17
+    (session.py inverted the r13 trade): the r15 'unattributed ~1.6x
+    100x residual vs r11' was bisected in r16 to exactly the old
     engine-global x8 setting (same box, same fixture — 10M rows /
     9,920,100 memberships re-verified — same bytes of plan code:
     flat-32 79.5 s ≈ the r11 76 s, +initialPartitionNum x8 112.5 s,
-    +pageSize/G1-only 85.7 s; SCALE.md r16). The x8 stays load-bearing
-    for the wedge census's 8g completion; this twin scopes the flat
-    setting to this frame, results identical (partition count only)."""
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    spark = flat_initial_partitions(spark)
+    +pageSize/G1-only 85.7 s; SCALE.md r16). The x8 now lives in a
+    conf twin scoped to its one consumer, the wedge census; this plan
+    runs on the plain session."""
     ev = load(spark, sf_dir, "events")
+    # raw memberships: cooccurrence_edges' collect_set dedups repeat
+    # activity inside its one aggregate (r17) — the former separate
+    # DISTINCT shuffle is gone
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 600000000)).alias("bucket")
-    ).distinct()
+    )
     return cooccurrence_degree_dist(b0, cap=256)
 
 
-def cooccurrence_edges(b0: DataFrame, cap: int = 256) -> DataFrame:
+def cooccurrence_edges(
+    b0: DataFrame, cap: int = 256, distinct: bool = True
+) -> DataFrame:
     """Undirected edge list (u < v) of the bucket-co-occurrence graph
-    over DISTINCT (user_id, bucket) memberships, per-bucket occupancy
-    capped at ``cap`` lowest user_ids (the hot-bucket guard — see
+    over (user_id, bucket) memberships, per-bucket occupancy capped at
+    ``cap`` lowest user_ids (the hot-bucket guard — see
     graph_degree_dist). Shared by the degree distribution, pagerank's
-    edge derivation and the triangle census."""
-    from pyspark.sql import Window
+    edge derivation and the triangle census.
 
-    w = Window.partitionBy("bucket").orderBy("user_id")
-    # Pinned (serialized — membership-sized, scales with the corpus):
-    # the pair self-join consumes this on both sides, and unpinned each
-    # side re-runs the upstream DISTINCT plus this per-bucket window —
-    # the duplicated-derivation bug class found in minhash (SCALE.md
-    # r11); measured OOM at 100x events without the pin.
-    b = (
-        b0.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cap)
-        .drop("rn")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    r17 (the _pair_overlap discipline applied to the wedge expansion,
+    verdict #5): ONE groupBy-bucket aggregate collects each bucket's
+    member list (collect_set dedups repeat activity in the same
+    aggregate, sort_array + slice IS the lowest-``cap`` guard — byte-
+    identical to the former row_number cap), and the strict upper
+    triangle is GENERATED from the sorted list (posexplode + suffix
+    slice), exactly like the dedup posting lists. That replaces the
+    former DISTINCT shuffle + per-bucket row_number window (a second
+    full shuffle + sort) + membership-pinned SELF-JOIN (a third) with
+    a single membership-sized shuffle and a narrow Generate — and the
+    corpus-sized localCheckpoint pin disappears because nothing is
+    consumed twice anymore. Callers may pass raw (non-distinct)
+    memberships when ``b0`` feeds nothing else.
+
+    ``distinct=False`` skips the final edge dedup for consumers whose
+    next step is itself set-collecting (graph_jaccard's adjacency
+    aggregate) — one less pair-sized shuffle, identical semantics."""
+    members = b0.groupBy("bucket").agg(
+        F.slice(F.sort_array(F.collect_set("user_id")), 1, cap).alias("us")
     )
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-               & (F.col("l.user_id") < F.col("r.user_id")))
-        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
-        .distinct()
-    )
+    pairs = members.select(
+        F.posexplode("us").alias("i", "u"), F.col("us")
+    ).select("u", F.explode(F.expr("slice(us, i+2, size(us))")).alias("v"))
+    return pairs.distinct() if distinct else pairs
 
 
 def cooccurrence_degree_dist(b0: DataFrame, cap: int = 256) -> DataFrame:
     """Degree distribution of the bucket-co-occurrence graph (see
     cooccurrence_edges). Factored out so the hot-bucket guard is
     property-testable against a synthetic hot bucket without parquet
-    fixtures."""
+    fixtures. Both endpoints explode from ONE scan of the edge
+    relation (r17: the former unionAll of two selects consumed — and
+    on an unpinned frame re-derived — the edges twice)."""
     edges = cooccurrence_edges(b0, cap)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
@@ -1655,7 +1661,14 @@ def graph_triangles_approx(
     p=3/4 sampled wedge spill measurably exceeds the box's 80 GB disk
     (SCALE.md r12), and two independent low-p runs cross-check each
     other's estimates there. The estimate t_s * 256^3 div keep^3 is
-    exact integer arithmetic — no float enters either engine."""
+    exact integer arithmetic — no float enters either engine.
+
+    Census family: rides the x8-initialPartitionNum conf twin like
+    graph_triangles (r17 — the sampled wedge shuffle at 100x/low p is
+    still the biggest shuffle in the engine; see graph_triangles)."""
+    from tstables_spark.plans._staging import wide_initial_partitions
+
+    spark = wide_initial_partitions(spark)
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
@@ -1718,11 +1731,15 @@ def graph_triangles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0696 at sf0.01 (574 exact triangles), 0.0059-scale at sf0.1
     (613k) — the 1/sqrt(t p^3) concentration in action. Runs at
     fixture scale where the exact census is cheap; at 100x only the
-    estimator runs (the point of having it)."""
+    estimator runs (the point of having it). Census family: rides the
+    x8-initialPartitionNum conf twin (r17; see graph_triangles)."""
+    from tstables_spark.plans._staging import wide_initial_partitions
+
+    spark = wide_initial_partitions(spark)
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
-    ).distinct()
+    )  # raw memberships: the edge aggregate dedups (r17)
     e = cooccurrence_edges(b0, cap=256).localCheckpoint(
         eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
@@ -1822,11 +1839,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once with an eager localCheckpoint (three join legs);
     wedges = sum deg*(deg-1)/2 exactly in BIGINT; clustering
     3T/wedges is one double multiply + divide rounded at 6dp —
-    identical in both engines."""
+    identical in both engines.
+
+    Runs on the CONF-SCOPED x8-initialPartitionNum twin (r17: the
+    engine global is flat now — session.py inverted the r13 trade —
+    and the census is the ONE consumer the x8 existed for: its
+    uniformly-huge 100x wedge shuffle needs >32 initial reduce
+    partitions to keep per-task join/sort state inside the 8g heap
+    envelope, the r12 measured OOM). Results identical (partition
+    count only)."""
+    from tstables_spark.plans._staging import wide_initial_partitions
+
+    spark = wide_initial_partitions(spark)
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
-    ).distinct()
+    )  # raw memberships: the edge aggregate dedups (r17)
     # Edge-sized pins are serialized (the graph_pagerank 100x lesson,
     # SCALE.md r11): this relation scales with the corpus.
     e = cooccurrence_edges(b0, cap=256).localCheckpoint(
@@ -2305,39 +2333,50 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (jac_ppm DESC, u, v) — per-partition heads reduced on
     the driver, never a global sort.
 
-    Runs on the same CONF-SCOPED flat-initialPartitionNum twin as
-    graph_degree_dist: the r16 bisection that attributed degree_dist's
-    100x residual to the engine-global AQE x8 reproduces here on the
-    shared co-occurrence join shape (same box, fresh JVMs: 132.7 s
-    current vs 96.9 s flat = 1.37x; SCALE.md r16), and the twin
-    scopes the flat setting to this frame with results identical."""
-    from pyspark.sql import Window
+    The engine-global AQE initialPartitionNum is flat since r17 (see
+    graph_degree_dist — the r16 bisection reproduced on this query's
+    shared co-occurrence join shape: 132.7 s under the old global x8
+    vs 96.9 s flat, fresh JVMs; SCALE.md r16), so this plan runs on
+    the plain session.
 
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    spark = flat_initial_partitions(spark)
+    r17 (verdict #5, the _pair_overlap discipline end-to-end): the
+    capped citer lists are collected by ONE groupBy-w aggregate
+    (collect_set dedups, sort_array + slice IS the 32-lowest cap) over
+    the NON-distinct symmetric pair stream — collect_set makes the
+    former pair-DISTINCT shuffle redundant, so the biggest relation in
+    the query crosses the wire once, not twice — and the co-membership
+    pairs are GENERATED from each sorted list (posexplode + suffix
+    slice) instead of the former row_number window + adjacency
+    self-join. Both endpoint roles explode from one scan of the pair
+    stream (no unionAll re-derivation)."""
     ev = load(spark, sf_dir, "events")
     b0 = ev.select(
         "user_id", F.expr(epoch_floor_div("unix_micros(ts)", 60000000)).alias("bucket")
-    ).distinct()
-    edges = cooccurrence_edges(b0, cap=256)
-    adj0 = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
-        edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
     )
-    wrn = Window.partitionBy("w").orderBy("x")
+    pairs = cooccurrence_edges(b0, cap=256, distinct=False)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("w"), F.col("v").alias("x")),
+                F.struct(F.col("v").alias("w"), F.col("u").alias("x")),
+            )
+        ).alias("e")
+    ).select("e.w", "e.x")
     adj = (
-        adj0.withColumn("rn", F.row_number().over(wrn))
-        .where(F.col("rn") <= 32)
-        .drop("rn")
-        # node-count-sized (32-capped adjacency): serialized per the
-        # edge-pin discipline (SCALE.md r11)
+        sym.groupBy("w")
+        .agg(F.slice(F.sort_array(F.collect_set("x")), 1, 32).alias("xs"))
+        # node-count-sized (32-capped adjacency arrays), consumed by
+        # both the degree and the co-membership branches: serialized
+        # pin per the edge-pin discipline (SCALE.md r11)
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    cdeg = adj.groupBy("x").agg(F.count("*").alias("d"))
-    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    cdeg = adj.select(F.explode("xs").alias("x")).groupBy("x").agg(
+        F.count("*").alias("d")
+    )
     cn = (
-        a1.join(a2, (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.x") < F.col("a2.x")))
-        .groupBy(F.col("a1.x").alias("u"), F.col("a2.x").alias("v"))
+        adj.select(F.posexplode("xs").alias("i", "u"), F.col("xs"))
+        .select("u", F.explode(F.expr("slice(xs, i+2, size(xs))")).alias("v"))
+        .groupBy("u", "v")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= 2)
     )

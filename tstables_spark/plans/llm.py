@@ -229,21 +229,15 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (operators/dedup.py — the exact baseline the LSH variant
     approximates).
 
-    Runs on a CONF-SCOPED session twin with AQE's initialPartitionNum
-    flattened to the shuffle floor: the engine-global x8 setting is
-    load-bearing for the wedge census's 8g completion but costs this
-    query's two posting shuffles 1.6x at the 100x envelope in pure
-    reduce-task overhead (SCALE.md r13 six-row bisection; r13 verdict
-    #4). The clone scopes the flat setting to exactly this frame — the
-    census keeps its OOM protection, dedup_near gets its 12.7 s back,
-    results byte-identical (partition count only). Shared helper since
-    r16 (flat_initial_partitions): every _pair_overlap consumer rides
-    the same twin now — the r16 dedup_clusters bisection measured the
-    same 1.4x on the identical posting-shuffle chain."""
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    s = flat_initial_partitions(spark)
-    return jaccard_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.6)
+    AQE's initialPartitionNum is FLAT at the engine global since r17
+    (session.py): the r13-r16 rounds proved the old global x8 cost
+    this query's two posting shuffles 1.6x at the 100x envelope in
+    pure reduce-task overhead (SCALE.md r13 six-row bisection) and ten
+    queries ended up riding a conf-scoped flat twin to undo it — the
+    trade is now inverted, the wedge census (the one x8 consumer)
+    rides _staging.wide_initial_partitions, and this plan runs on the
+    plain session."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
 
 
 @query(
@@ -275,12 +269,9 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1) — r7's suffix-granularity attempt found zero
     because true SUFFIX duplicates don't exist; window granularity is
     the right detector for this corpus, no planted fixture needed.
-    Runs on the shared flat-initialPartitionNum twin like every
-    _pair_overlap consumer (see dedup_near; r16)."""
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    s = flat_initial_partitions(spark)
-    return substring_dup_pairs(load(s, sf_dir, "documents"), w=30, max_df=32)
+    The engine-global AQE initialPartitionNum is flat since r17 (see
+    dedup_near), so no conf twin is needed here anymore."""
+    return substring_dup_pairs(load(spark, sf_dir, "documents"), w=30, max_df=32)
 
 
 @query(
@@ -310,12 +301,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated re-crawls). Same two-shuffle inverted index as
     dedup_near (operators/dedup.py::containment_pairs shares the
     _pair_overlap core), so the 100-TB shape is already proven; only
-    the threshold expression differs. Shared flat-initialPartitionNum
-    twin like every _pair_overlap consumer (see dedup_near; r16)."""
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    s = flat_initial_partitions(spark)
-    return containment_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.8)
+    the threshold expression differs. The engine-global AQE
+    initialPartitionNum is flat since r17 (see dedup_near), so no conf
+    twin is needed here anymore."""
+    return containment_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.6) -> str:

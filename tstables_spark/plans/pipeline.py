@@ -193,13 +193,11 @@ def dedup_near_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. The oracle pins the fixed semantics: per-doc set sizes (the
     denominator) come from the UNFILTERED shingle sets, so max_df only
     removes shared-shingle evidence and can only lower recall, never
-    create pairs (ADVICE r1 finding). Shared flat-initialPartitionNum
-    twin like every _pair_overlap consumer (llm.py dedup_near; r16)."""
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    s = flat_initial_partitions(spark)
+    create pairs (ADVICE r1 finding). The engine-global AQE
+    initialPartitionNum is flat since r17 (llm.py dedup_near), so no
+    conf twin is needed here anymore."""
     return jaccard_pairs(
-        load(s, sf_dir, "documents"), n=3, threshold=0.5, max_df=15
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=15
     )
 
 
@@ -298,14 +296,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure, which is exact but quadratic in
     cluster size — fine for an oracle, wrong for 100 TB; min
     propagation ships labels, never closures."""
-    # Shared flat-initialPartitionNum twin (r16 bisection: the global
-    # AQE x8 taxed THIS query's posting shuffles 1.4x at 100x — fresh
-    # JVMs, 33.6 current vs 24.0 flat; SCALE.md r16, same root cause
-    # as dedup_near r13 / graph_degree_dist r16).
-    from tstables_spark.plans._staging import flat_initial_partitions
-
-    s = flat_initial_partitions(spark)
-    pairs = jaccard_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.6)
+    # The engine-global AQE initialPartitionNum is flat since r17
+    # (the r16 bisection measured the old global x8 taxing THIS
+    # query's posting shuffles 1.4x at 100x; session.py inverted the
+    # trade), so the plain session is already the fast path.
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
@@ -442,13 +437,12 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components labels; all the heavy lifting is the same
     pair+CC pipeline dedup_clusters runs, so this query also
     regression-pins the component STRUCTURE (size distribution), not
-    just per-node labels. Shared flat-initialPartitionNum twin like
-    every _pair_overlap consumer (see dedup_clusters; r16)."""
+    just per-node labels. The engine-global AQE initialPartitionNum
+    is flat since r17 (see dedup_clusters), so no conf twin is needed
+    here anymore."""
     from tstables_spark.operators.components import connected_components
-    from tstables_spark.plans._staging import flat_initial_partitions
 
-    s = flat_initial_partitions(spark)
-    pairs = jaccard_pairs(load(s, sf_dir, "documents"), n=3, threshold=0.6)
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.6)
     comp = connected_components(pairs.select("doc_a", "doc_b"))
     csz = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return csz.groupBy("cluster_size").agg(

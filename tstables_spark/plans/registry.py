@@ -103,12 +103,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # knobs (e.g. graph_triangles_approx's sampling cut); the
             # driver always calls with the bare (spark, sf_dir) pair.
             # Pins staged or consulted during plan construction are
-            # refcount-held for the scope, so the staged-pin LRU can
-            # never evict a table this plan still scans (_staging.py).
+            # refcount-held, and the refs are TRANSFERRED to the
+            # returned frame's lifetime (weakref finalizer), so the
+            # staged-pin LRU cannot evict a table this plan scans while
+            # the caller still holds the frame it will execute — the
+            # construction-to-execution window included (r16 advice).
             from tstables_spark.plans._staging import hold_stream_pins
 
-            with hold_stream_pins():
-                return fn(spark, sf_dir, **kwargs)
+            with hold_stream_pins() as scope:
+                df = fn(spark, sf_dir, **kwargs)
+                scope.transfer_to(df)
+                return df
 
         QUERIES[name] = wrapped
         if oracle is not None:

@@ -44,20 +44,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Start every AQE shuffle at 8x the partition floor and let
-        # coalescing right-size DOWN: with a flat 32, a uniformly-huge
-        # shuffle (the 100x wedge census: hundreds of millions of rows)
-        # hands each of 32 concurrent tasks 1/32nd of the relation as
-        # join/sort state — ~250 MB/task of an 8g heap, the r12
-        # measured OOM — and AQE's skew splitting never fires because
-        # nothing is SKEWED, just big. 8x initial cuts per-task state
-        # 8x on big shuffles while small queries coalesce back to the
-        # floor (the canonical production setting; plan shapes and
-        # results are unchanged).
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str((shuffle_partitions or cpus) * 8),
-        )
+        # AQE's initialPartitionNum is left at the shuffle floor
+        # GLOBALLY (r17, inverting the r13 trade): the x8 initial
+        # setting existed for ONE consumer — the 100x wedge census,
+        # whose uniformly-huge shuffle hands each of 32 tasks ~250 MB
+        # of join/sort state on an 8g heap (the r12 measured OOM; AQE
+        # skew splitting never fires because nothing is SKEWED, just
+        # big) — while taxing every medium-cardinality shuffle chain
+        # (posting-list aggs, co-occurrence joins) ~1.4-1.6x at the
+        # 100x envelope in pure reduce-task overhead (bisections:
+        # SCALE.md r13 dedup_near, r16 degree_dist/jaccard/clusters).
+        # Ten queries ended up riding a conf-scoped FLAT twin to undo
+        # it. Inverted: flat is the default for everyone, and the
+        # census family rides the x8 twin
+        # (_staging.wide_initial_partitions).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Fixture parquet stores ts as timestamp[us] with no timezone;

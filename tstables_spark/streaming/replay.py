@@ -38,6 +38,7 @@ storage verbs it rides on:
 
 from __future__ import annotations
 
+import shutil
 from typing import Callable
 
 
@@ -117,6 +118,16 @@ class VersionedPathFold:
         self._attempt += 1
         newp = f"{self._base}/v{self._attempt}"
         prev = self._path
+        # A FAILED prior attempt may have partially written its dir
+        # before raising: its path never advanced self._path, so the
+        # last-good GC below never sees it and it would leak forever —
+        # and the soak's O(1)-dirs assertion would then fail on the
+        # next healthy batch (r16 advice). The previous attempt's path
+        # is an orphan exactly when it differs from the published one.
+        if self._attempt > 1:
+            stale = f"{self._base}/v{self._attempt - 1}"
+            if stale != prev:
+                shutil.rmtree(stale, ignore_errors=True)
         self._merge(prev, batch, newp)
         self._path = newp
         # GC the superseded attempt (r15 verdict #3): the replay window
@@ -127,8 +138,6 @@ class VersionedPathFold:
         # Best-effort and local-FS only (these dirs come from
         # scratch_dir); a missed delete is reclaimed at interpreter exit.
         if prev is not None:
-            import shutil
-
             shutil.rmtree(prev, ignore_errors=True)
 
     @property
