@@ -320,6 +320,12 @@ def main() -> None:
                     "sf": sf_val,
                     "reps": BENCH_REPS,
                     "loadavg": loadavg,
+                    "load_gate": {
+                        "gate": LOAD_GATE,
+                        "waited_sec": waited,
+                        "retried": retried,
+                        "load_at_loop": loads,
+                    },
                     "task_flags": task_flags,
                     "prev_task_sec": {
                         n: prev_tasks.get(n) for n in sorted(tasktimes)
@@ -367,6 +373,10 @@ def main() -> None:
                 "reps": BENCH_REPS,
                 "sf": sf_val,
                 "loadavg": loadavg,
+                # load gate (r16 verdict #6): [gate, sec waited for a
+                # quiet box, 1 if the timed loop re-ran after running
+                # loaded]. Per-pass start/end loads: BENCH_TASKTIME.json
+                "load_gate": [LOAD_GATE, waited, 1 if retried else 0],
             }
         )
     )

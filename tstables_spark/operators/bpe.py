@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tstables_spark._local import local_df
+
 
 def bpe_pair_table(state: DataFrame) -> DataFrame:
     """(pair, cnt): adjacent-symbol pair frequencies of the delimited
@@ -102,6 +104,6 @@ def bpe_train_with_state(
             "freq",
         ).localCheckpoint(eager=True)
     return (
-        spark.createDataFrame(merges, "merge_rank int, pair string, cnt long"),
+        local_df(spark, merges, "merge_rank int, pair string, cnt long"),
         state,
     )

@@ -162,4 +162,6 @@ def rank_gate(ev: DataFrame, merged: list[tuple[float, int]], col: str = "value"
             row[f"le_{bp}"] * 10000 >= (bp - EPS_BP) * n
         )
         out.append((bp, n, bool(ok)))
-    return ev.sparkSession.createDataFrame(out, "q_bp int, n long, within_bound boolean")
+    from tstables_spark._local import local_df
+
+    return local_df(ev.sparkSession, out, "q_bp int, n long, within_bound boolean")

@@ -103,13 +103,29 @@ def distributed_cumsum(
 def _apply_offsets(
     out: DataFrame, offsets: dict[int, dict[str, int]], value_cols: list[str]
 ) -> DataFrame:
-    """Join the per-partition offset relation onto ``out`` as
-    ``__off_<col>`` columns (broadcast, O(P) rows). Offsets are summed
-    driver-side in Python, so a column's offsets are all int unless some
-    partition total was float or Decimal (a decimal-typed sum column) —
-    normalize per column so createDataFrame infers one type (LongType,
-    DoubleType, or DecimalType; the first partition's offset is always
-    the Python int 0, which would otherwise mis-infer a mixed column)."""
+    """Attach the per-partition offsets as ``__off_<col>`` columns.
+
+    Fast path (r17, the ts_robust_zscore profile): a pid-indexed ARRAY
+    LITERAL read by ``element_at(lit(arr), __pid + 1)`` — ONE constant
+    object embedded in codegen, O(1) per row, no join, no broadcast,
+    and critically no local relation at all. The former O(P)-row
+    ``createDataFrame(rows)`` was a PYTHON-RDD-backed scan: every
+    broadcast build over it ran defaultParallelism tasks that each
+    paid a Python-worker roundtrip (~300 ms of non-CPU runtime), which
+    jstack attributed as 36.7 of ts_robust_zscore's 41.7 s summed task
+    time — pure plumbing for 32 rows of offsets (SCALE.md r17). The
+    array stays a single JVM constant at cluster parallelism too
+    (thousands of longs — unlike the P-branch CASE chain this operator
+    already rejected for the 64 KB codegen limit).
+
+    Decimal-typed offsets (a decimal sum column) keep the broadcast
+    relation, built via Arrow from pandas when possible — a typed
+    LocalRelation, still no Python at scan time.
+
+    Offsets are summed driver-side in Python, so ints can exceed
+    int64 only if the column itself would have overflowed its Spark
+    type; such columns are decimal-typed upstream and take the
+    relation path."""
     import decimal
 
     if not offsets:
@@ -118,20 +134,53 @@ def _apply_offsets(
         return out
     pids = sorted(offsets)
     per_col: dict[str, list] = {}
+    simple = True
     for c in value_cols:
         vals = [offsets[pid][c] for pid in pids]
         if any(isinstance(v, decimal.Decimal) for v in vals):
-            vals = [v if isinstance(v, decimal.Decimal) else decimal.Decimal(v) for v in vals]
+            vals = [
+                v if isinstance(v, decimal.Decimal) else decimal.Decimal(v)
+                for v in vals
+            ]
+            simple = False
         elif any(isinstance(v, float) for v in vals):
             vals = [float(v) for v in vals]
+        else:
+            if any(abs(v) > 0x7FFFFFFFFFFFFFFF for v in vals):
+                simple = False  # beyond int64: keep the typed relation
         per_col[c] = vals
+    if simple:
+        # dense pid->offset arrays (empty partitions produced no totals
+        # row and no output rows — their slots just hold 0)
+        by_pid = {pid: i for i, pid in enumerate(pids)}
+        for c in value_cols:
+            is_f = any(isinstance(v, float) for v in per_col[c])
+            dense = [
+                (per_col[c][by_pid[i]] if i in by_pid else (0.0 if is_f else 0))
+                for i in range(pids[-1] + 1)
+            ]
+            # floats stay float so lit() infers one array element type
+            if is_f:
+                dense = [float(v) for v in dense]
+            out = out.withColumn(
+                f"__off_{c}",
+                F.element_at(F.lit(dense), F.col("__pid") + 1),
+            )
+        return out
     rows = [
         tuple([pid] + [per_col[c][i] for c in value_cols])
         for i, pid in enumerate(pids)
     ]
-    off_df = out.sparkSession.createDataFrame(
-        rows, ["__pid"] + [f"__off_{c}" for c in value_cols]
-    )
+    cols = ["__pid"] + [f"__off_{c}" for c in value_cols]
+    spark = out.sparkSession
+    try:
+        import pandas as pd
+
+        off_df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols)
+        )
+    except Exception:
+        off_df = spark.createDataFrame(rows, cols)
     # Every row's __pid appears in the offset relation (it came from a
     # groupBy over the same materialized partitions), so inner join is
     # exact — and keeps the null-safety question out of the sum.

@@ -390,7 +390,10 @@ def _cells_from_codebook(
     cells = emb.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} long, v array<double>, n2 double, cell int"
     )
-    cents = emb.sparkSession.createDataFrame(
+    from tstables_spark._local import local_df
+
+    cents = local_df(
+        emb.sparkSession,
         [(ci + 1, cvs[ci], cn2s[ci]) for ci in range(n)],
         "cell int, cv array<double>, cn2 double",
     )
@@ -699,7 +702,9 @@ def ivfpq_topk(
             diff = rq[b * w : (b + 1) * w][None, :] - book[b]
             lut[b * pq_k : (b + 1) * pq_k] = (diff * diff).sum(axis=1)
         luts.append((int(r["qid"]), int(r["cell"]), [float(x) for x in lut]))
-    lut_df = spark.createDataFrame(luts, "qid long, cell int, lut array<double>")
+    from tstables_spark._local import local_df
+
+    lut_df = local_df(spark, luts, "qid long, cell int, lut array<double>")
 
     adc = reduce(
         lambda a, b: a + b,
@@ -860,7 +865,10 @@ def _lsh_pairs(
     # growing with the probe config instead of staying O(1). A
     # cross-join against <= a few hundred constant rows is the same
     # row expansion with a constant-size plan.
-    probes = emb.sparkSession.createDataFrame(
+    from tstables_spark._local import local_df
+
+    probes = local_df(
+        emb.sparkSession,
         [(t, m) for t in range(n_tables) for m in masks], "tbl INT, mask INT"
     )
     q = _lsh_scan(emb.where(query_pred), planes, n_tables, dim, id_col).crossJoin(

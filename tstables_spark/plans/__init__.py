@@ -30,89 +30,100 @@ def _load_all() -> None:
         llm,
     )
 
-    # ROUND-16 verification window (first 50 = the harness's
+    # ROUND-17 verification window (first 50 = the harness's
     # correctness window). Priority per the STANDING ROTATION POLICY
     # (below):
     # (a) the reference-identity pair, pinned permanently;
-    # (b) NEW queries: none this round (coverage is complete; r16 is
-    #     the two perf threads + machinery wear-in);
-    # (c) re-check slots for r16 behavioral changes, per module:
-    #     - operators/dedup.py: _pair_overlap's posting lists now
-    #       carry (doc_id, n_sh) PACKED into one long (the measured
-    #       1.7x pair-expansion win; output bit-identical by design,
-    #       so these re-checks are the proof) -> dedup_near,
-    #       dedup_near_maxdf, dedup_substring, dedup_clusters,
-    #       dedup_cluster_sizes (+ dedup_containment, already in the
-    #       r8 cohort below);
-    #     - plans/analytics.py: graph_degree_dist runs on a
-    #       conf-scoped twin with flat initialPartitionNum (the r15
-    #       'unattributed residual', bisected to the r13 global AQE
-    #       x8 and fixed) -> graph_degree_dist;
-    #     - plans/_staging.py: stream_pin gained the concurrent-stage
-    #       winner re-check and in-use refcounts (hold_stream_pins,
-    #       bracketing every registry query) -> dedup_minhash
-    #       (big-path pins), graph_pagerank (bucketed pin),
-    #       graph_triangles_approx (edge pins);
-    #     - streaming/replay.py: VersionedPathFold gained the
-    #       restart guard + superseded-attempt GC -> stream_theta;
-    #     - operators/asof.py: _resolve_epoch_of validates named
-    #       granularities against the persisted property ->
-    #       ts_epoch_lifecycle, ts_epoch_recovery;
-    # (d) the ENTIRE 17-query r8 cohort named by the r15 verdict
-    #     (oldest evidence; list in the policy note below);
-    # (e) next-oldest backfill to the 50 cut: nineteen r9-latest
-    #     entries (alphabetical head of the r9 cohort); the r9
-    #     remainder (join_semi, multimodal_frames, pareto_frontier,
-    #     set_intersect, set_union, sim_matryoshka, sim_range_search,
-    #     sort_limit, token_ngram_novelty, topk_per_group,
-    #     vocab_growth) heads the r17 queue.
+    # (b) NEW queries: none (coverage complete since r14);
+    # (c) re-check slots for r17 behavioral changes, per module:
+    #     - session.py/_staging.py: the AQE initialPartitionNum trade
+    #       INVERTED (global flat; census rides the x8 twin) -> every
+    #       former flat-twin rider (dedup_near, dedup_near_maxdf,
+    #       dedup_containment, dedup_substring, dedup_clusters,
+    #       dedup_cluster_sizes, graph_degree_dist, graph_jaccard)
+    #       and the new twin riders (graph_triangles,
+    #       graph_triangles_approx, graph_triangles_gate);
+    #     - plans/analytics.py: cooccurrence_edges rebuilt as ONE
+    #       groupBy-bucket aggregate + posexplode suffix generation
+    #       (the _pair_overlap discipline; the window+self-join and
+    #       the membership checkpoint are gone) -> every edge
+    #       consumer: the graph_* eight above + graph_pagerank,
+    #       graph_kcore;
+    #     - operators/components.py: the symmetric edge list persists
+    #       once hash-partitioned, rounds build SHUFFLE_HASH on the
+    #       labels side -> dedup_clusters, dedup_cluster_sizes,
+    #       dedup_embed_clusters;
+    #     - operators/dedup.py: _pack_doc_nsh forced to long
+    #       arithmetic (ADVICE) -> dedup_minhash (+ the _pair_overlap
+    #       consumers above);
+    #     - operators/packing.py: the cumsum offsets became an
+    #       element_at array literal (the Python-local-relation tax,
+    #       36.7 of ts_robust_zscore's 41.7 s task) ->
+    #       ts_robust_zscore, drift_ks_test, agg_winsorize,
+    #       agg_qsketch_quantiles, win_distribution, pack_sequences,
+    #       vocab_coverage_curve (+ graph_kcore above);
+    #     - _local.py (new): driver-built relations as JVM
+    #       LocalRelations -> ts_catalog, agg_kll_gate,
+    #       stream_kll_gate, agg_heavy_hitters, stream_heavy_hitters,
+    #       bpe_train_merges, bpe_encode, sim_recall, embed_pca_power
+    #       (sim_range_search's LSH probes ride (d) below; the
+    #       sim_ivf*/ivfpq/nsw centroid/LUT/probe relations are
+    #       rows-only by design, gated by sim_recall here);
+    #     - streaming/replay.py: failed-attempt dir GC on retry
+    #       (ADVICE) -> stream_theta;
+    #     - registry.py/_staging.py: pin refcounts transfer to the
+    #       returned frame's lifetime -> dedup_minhash (big-path
+    #       pins), graph_pagerank (bucketed pin) above;
+    # (d) the ENTIRE 11-query r9 cohort (oldest evidence, promised to
+    #     head this window by the r16 note): join_semi,
+    #     multimodal_frames, pareto_frontier, set_intersect,
+    #     set_union, sim_matryoshka, sim_range_search, sort_limit,
+    #     token_ngram_novelty, topk_per_group, vocab_growth;
+    # (e) next-oldest backfill to the 50 cut: five r10-latest entries
+    #     (forecast_naive_eval, agg_linear_regression, agg_qsketch,
+    #     join_bucketed, sink_orc_roundtrip). After this window the
+    #     oldest oracle-backed driver evidence is r10.
     #
     # STANDING ROTATION POLICY (r10+): window = pinned pair + any
     # never-checked new queries + re-check slots for every query whose
     # implementing module OR consumed helper changed since its last
     # green row (check `git log -- <module>` against round markers —
-    # including helper modules like _staging/_staged_interchange, the
-    # r10 blind spot), then backfill with oldest-evidence queries.
-    # After this window the oldest remaining oracle-backed evidence is
-    # r9 (11 queries) — verified against the CORRECTNESS_r* ledger
-    # this round. The r8 cohort in (d): dedup_containment, doc_bm25,
-    # doc_dup_inflation, drift_ks_test, embed_pca_power,
-    # embed_spectral_outlier, fn_date, fn_math, fn_string,
-    # mix_temperature, pack_sequences, stream_bloom, ts_pattern_match,
-    # ts_robust_zscore, ts_rollup_hier, vocab_coverage_curve,
-    # win_distribution. The 7 permanently
-    # rows-only-by-design queries are sim_ivf, sim_ivf_centroid,
-    # sim_ivf_kmeans, sim_nsw, sim_nsw_staged, sim_ivfpq,
-    # ts_downsample_lttb — each indirectly gated by a hash-checked
-    # contract query (sim_recall r13 / ts_lttb_gate r14). Everything
-    # displaced from this window is hash-green in a prior round with
-    # an unchanged implementation and covered by repo-local parity
-    # tests (tests/test_parity.py runs the full oracle differential
-    # every suite run).
+    # including helper modules like _staging/_local, the r10 blind
+    # spot), then backfill with oldest-evidence queries. The 7
+    # permanently rows-only-by-design queries are sim_ivf,
+    # sim_ivf_centroid, sim_ivf_kmeans, sim_nsw, sim_nsw_staged,
+    # sim_ivfpq, ts_downsample_lttb — each indirectly gated by a
+    # hash-checked contract query (sim_recall r13/r17, ts_lttb_gate
+    # r14). Everything displaced from this window is hash-green in a
+    # prior round with an unchanged implementation and covered by
+    # repo-local parity tests (tests/test_parity.py runs the full
+    # oracle differential every suite run).
     registry.prioritize(
         [
             # (a) reference identity, pinned
             "ts_range_scan", "ts_min_max",
-            # (c) r16 behavioral-change re-checks (see policy note)
-            "dedup_near", "dedup_near_maxdf", "dedup_substring",
-            "dedup_clusters", "dedup_cluster_sizes", "dedup_minhash",
-            "graph_degree_dist", "graph_pagerank",
-            "graph_triangles_approx", "stream_theta",
-            "ts_epoch_lifecycle", "ts_epoch_recovery",
-            # (d) the full r8 cohort (oldest evidence, x17)
-            "dedup_containment", "doc_bm25", "doc_dup_inflation",
-            "drift_ks_test", "embed_pca_power", "embed_spectral_outlier",
-            "fn_date", "fn_math", "fn_string", "mix_temperature",
-            "pack_sequences", "stream_bloom", "ts_pattern_match",
-            "ts_robust_zscore", "ts_rollup_hier", "vocab_coverage_curve",
-            "win_distribution",
-            # (e) r9 backfill to the cut
-            "agg_cube", "agg_distinct", "agg_grouping_sets",
-            "agg_kll_gate", "agg_percentiles", "agg_pivot",
-            "agg_pricing_summary", "agg_rollup", "agg_winsorize",
-            "dedup_embed", "join_anti", "join_asof", "join_asof_forward",
-            "join_asof_multi", "join_asof_nearest", "join_asof_tolerance",
-            "join_full", "join_left", "join_multi",
+            # (c) r17 behavioral-change re-checks (see policy note)
+            "dedup_near", "dedup_near_maxdf", "dedup_containment",
+            "dedup_substring", "dedup_clusters", "dedup_cluster_sizes",
+            "dedup_minhash", "dedup_embed_clusters",
+            "graph_degree_dist", "graph_jaccard", "graph_triangles",
+            "graph_triangles_approx", "graph_triangles_gate",
+            "graph_pagerank", "graph_kcore",
+            "ts_robust_zscore", "drift_ks_test", "agg_winsorize",
+            "agg_qsketch_quantiles", "win_distribution",
+            "pack_sequences", "vocab_coverage_curve",
+            "ts_catalog", "agg_kll_gate", "stream_kll_gate",
+            "agg_heavy_hitters", "stream_heavy_hitters",
+            "bpe_train_merges", "bpe_encode", "sim_recall",
+            "embed_pca_power", "stream_theta",
+            # (d) the full r9 cohort (oldest evidence, x11)
+            "join_semi", "multimodal_frames", "pareto_frontier",
+            "set_intersect", "set_union", "sim_matryoshka",
+            "sim_range_search", "sort_limit", "token_ngram_novelty",
+            "topk_per_group", "vocab_growth",
+            # (e) r10 backfill to the cut
+            "forecast_naive_eval", "agg_linear_regression",
+            "agg_qsketch", "join_bucketed", "sink_orc_roundtrip",
         ]
     )
 

@@ -245,8 +245,11 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = pairs(make())
         recall = len(exact & approx) / len(exact)
         rows.append((name, n_queries, 0.8, recall >= 0.8))
-    return spark.createDataFrame(
-        rows, "variant string, n_queries long, recall_floor double, recall_ok boolean"
+    from tstables_spark._local import local_df
+
+    return local_df(
+        spark, rows,
+        "variant string, n_queries long, recall_floor double, recall_ok boolean",
     )
 
 
@@ -626,8 +629,11 @@ def _pca_power_fixed(emb: DataFrame, rounds: int, dims: int) -> DataFrame:
     it with a planted-spectrum corpus (the fixture's random embeddings
     have a near-flat spectrum where 3 rounds cannot converge)."""
     z, v = _pca_power_state(emb, rounds, dims)
-    return emb.sparkSession.createDataFrame(
-        [(d, int(v[d])) for d in range(dims)], "dim int, component long"
+    from tstables_spark._local import local_df
+
+    return local_df(
+        emb.sparkSession, [(d, int(v[d])) for d in range(dims)],
+        "dim int, component long",
     )
 
 

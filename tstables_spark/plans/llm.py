@@ -1888,6 +1888,8 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(est <= r["c"] and r["c"] - est <= bound),
             )
         )
-    return spark.createDataFrame(
-        out, "token string, exact_cnt long, in_summary boolean, err_ok boolean"
+    from tstables_spark._local import local_df
+
+    return local_df(
+        spark, out, "token string, exact_cnt long, in_summary boolean, err_ok boolean"
     )

@@ -1821,8 +1821,10 @@ def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     cents = li.selectExpr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v")
     n = cents.agg(F.count("*").alias("n"))
-    qs = spark.createDataFrame(
-        [(500000,), (900000,), (990000,), (999000,)], "q_ppm long"
+    from tstables_spark._local import local_df
+
+    qs = local_df(
+        spark, [(500000,), (900000,), (990000,), (999000,)], "q_ppm long"
     )
     ranks = qs.join(F.broadcast(n)).selectExpr(
         "q_ppm", "n", "(n * q_ppm + 999999) DIV 1000000 AS k"

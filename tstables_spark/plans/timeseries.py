@@ -2321,8 +2321,11 @@ def ts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = t.min_dt().astimezone(timezone.utc).replace(tzinfo=None)
         hi = t.max_dt().astimezone(timezone.utc).replace(tzinfo=None)
         rows.append((name, n, len(t._partition_dates()), lo, hi))
-    return spark.createDataFrame(
-        rows, "series string, n_rows long, n_days long, min_ts timestamp, max_ts timestamp"
+    from tstables_spark._local import local_df
+
+    return local_df(
+        spark, rows,
+        "series string, n_rows long, n_days long, min_ts timestamp, max_ts timestamp",
     )
 
 
