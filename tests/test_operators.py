@@ -1040,14 +1040,16 @@ def test_asof_multi_presorted_matches_chained(spark, tmp_path):
     assert len(re.findall(r"\bWindow \[", final)) == 1, plan
 
 
-def test_cumsum_offsets_broadcast_join_not_case_chain(spark):
-    """The per-partition offsets must reach rows through an O(P)-row
-    BROADCAST JOIN, not a P-branch coalesce(when(__pid==k)) literal
-    CASE (ADVICE r7): at cluster parallelism the CASE chain evaluates
-    O(P) predicates per row and risks the 64 KB codegen method limit,
-    silently dropping to interpreted evaluation. Guards both
-    distributed_cumsum and pack_sequences at a P large enough that a
-    regression to the literal chain would be visible as CASE WHEN."""
+def test_cumsum_offsets_array_literal_not_case_chain_not_python(spark):
+    """The per-partition offsets must reach rows through a constant
+    pid-indexed ARRAY LITERAL (element_at — O(1) per row, one JVM
+    constant), NOT a P-branch coalesce(when(__pid==k)) CASE chain
+    (ADVICE r7: O(P) predicates per row + the 64 KB codegen limit) and
+    NOT the pre-r17 O(P)-row createDataFrame relation (a Python-RDD-
+    backed scan whose broadcast build paid defaultParallelism
+    Python-worker roundtrips — SCALE.md r17). Guards both
+    distributed_cumsum and pack_sequences at a P large enough that
+    either regression would be visible."""
     from tstables_spark.operators.packing import distributed_cumsum, pack_sequences
 
     df = spark.createDataFrame(
@@ -1058,8 +1060,13 @@ def test_cumsum_offsets_broadcast_join_not_case_chain(spark):
         pack_sequences(df, "k", "w", budget=16, num_partitions=64),
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan, plan
+        assert "element_at" in plan, plan
         assert "CASE WHEN" not in plan, plan
+        # no join and no Python-backed local relation in the offsets path
+        assert "BroadcastHashJoin" not in plan, plan
+        # int offsets fold into the projection — exactly one scan (the
+        # materialized range partitioning), nothing else
+        assert plan.count("Scan ExistingRDD") == 1, plan
 
 
 def test_editdist_candidate_budget_guard(spark):

@@ -876,3 +876,26 @@ def test_cc_round_join_zero_exchange_zero_sort_on_edges(spark):
         assert "ShuffledHashJoin" in plan, plan
     finally:
         sym.unpersist()
+
+
+def test_cc_big_path_same_fixpoint(spark, monkeypatch):
+    """The size-adaptive edge layout (r17) must not change results:
+    forcing the big path (relayout threshold 0) on a chain+clique graph
+    lands on the identical fixpoint as the small path."""
+    from pyspark.sql import functions as F
+
+    import tstables_spark.operators.components as C
+
+    e = spark.range(300).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    ).union(
+        spark.range(50).select(
+            (F.col("id") % 7 + 1000).alias("doc_a"),
+            ((F.col("id") + 3) % 7 + 1000).alias("doc_b"),
+        )
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    small = {tuple(r) for r in C.connected_components(e).collect()}
+    monkeypatch.setattr(C, "_SYM_RELAYOUT_ROWS", 0)
+    big = {tuple(r) for r in C.connected_components(e).collect()}
+    assert small == big
+    assert {r[1] for r in small if r[0] < 301} == {0}

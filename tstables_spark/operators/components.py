@@ -13,17 +13,21 @@ but sf0.1 produced a chain deeper than 20 hops and diameter-bound
 propagation timed out. Each round is ONE job (r13: the joins, the min
 aggregate AND the O(1) convergence sum all ride the round's checkpoint
 materialization via observe()); the driver only sees the single
-label-sum per round, never data. Since r17 the per-round EDGE cost is a
-pure columnar-cache scan: the symmetric edge list persists once,
-hash-partitioned on the join key (InMemoryRelation preserves
-outputPartitioning; localCheckpoint's LogicalRDD does not — probed),
-and the neighbor join builds on the O(V) labels side via SHUFFLE_HASH,
-so no round shuffles OR sorts the O(E) relation — the term that
-dominates per-round cost when the pair list is billions of rows.
-(Measured honestly at the 100x fixture the rounds were NEVER the
-dedup_clusters floor: pairs 36.7 s vs CC 3.7 s even before this change
-— SCALE.md r17; the change buys the asymptotic shape and a ~1-2 s
-fixed-cost tail.)
+label-sum per round, never data. Since r17 the per-round EDGE cost is
+SIZE-ADAPTIVE, decided from the materialized edge count (a free count
+on the checkpoint): small graphs keep the r16 shape — plain per-round
+joins whose shuffles AQE coalesces to a task or two (a fixed 32-wide
+layout here was measured costing dedup_embed_clusters 55x in summed
+task time: 18 rounds x dozens of near-empty tasks, SCALE.md r17) —
+while big graphs re-layout the symmetric edge list ONCE into a
+hash-partitioned columnar cache (InMemoryRelation preserves
+outputPartitioning; localCheckpoint's LogicalRDD does not — probed)
+and build each round's neighbor join on the O(V) labels side via
+SHUFFLE_HASH, so no round shuffles OR sorts the O(E) relation — the
+term that dominates per-round cost when the pair list is billions of
+rows. (AQE-coalesced repartition(col) was probed as a one-size
+alternative and rejected: coalescing breaks strict HashPartitioning,
+so the join re-shuffles both sides anyway.)
 
 Determinism: min() over labels is order-independent, so the fixpoint is
 unique regardless of partitioning — safe for exact oracle comparison
@@ -35,6 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+# Edge count above which the per-round O(E) shuffle+sort is worth one
+# extra O(E) re-layout into a hash-partitioned cache (see module
+# docstring). Below it the r16 plain-join rounds win outright: AQE
+# coalesces their tiny shuffles, while a fixed-width cached layout
+# charges dozens of near-empty tasks per round (the measured 55x
+# dedup_embed_clusters task regression, SCALE.md r17).
+_SYM_RELAYOUT_ROWS = 4_000_000
 
 
 def connected_components(
@@ -61,16 +73,13 @@ def connected_components(
     # undirected: propagate both ways — both orientations explode from
     # ONE scan of the upstream (r17: the former union's two legs each
     # evaluated the possibly-expensive pair derivation inside the
-    # materialization job). Materialize ONCE, HASH-PARTITIONED on the
-    # join key and PERSISTED (not localCheckpoint): InMemoryRelation
-    # preserves outputPartitioning where LogicalRDD does not (probed
-    # r17), so every round's neighbor join streams the edge relation
-    # straight out of the columnar cache with ZERO per-round Exchange
-    # or Sort on it — the O(E)-per-round shuffle term is gone; only
-    # the O(V) labels relation moves each round. Columnar cache blocks
-    # are compressed (the serialized-pin discipline by construction)
-    # and spill cleanly.
-    P = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # materialization job). Materialize ONCE with the serialized
+    # checkpoint (the r12 pin discipline), then pick the per-round
+    # EDGE layout from the now-free edge count (see module docstring):
+    # small graphs iterate straight over the checkpoint (per-round
+    # shuffles are tiny and AQE-coalesced); big graphs re-layout once
+    # into a hash-partitioned columnar cache so no round shuffles or
+    # sorts the O(E) relation again.
     sym = (
         e.select(
             F.explode(
@@ -81,9 +90,16 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .repartition(P, "a")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    big = sym.count() > _SYM_RELAYOUT_ROWS  # count on the checkpoint: free
+    pinned_sym = None
+    if big:
+        P = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pinned_sym = sym.repartition(P, "a").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sym = pinned_sym
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -114,14 +130,15 @@ def connected_components(
     labels, prev_sum = _pin_with_sum(labels)
     for i in range(max_iter):
         # each node's candidate = min(own label, neighbors' labels).
-        # SHUFFLE_HASH hint on the labels side (r17): labels is the
-        # O(V) build side; without the hint SMJ would SORT the cached
-        # O(E) stream side every round — the hint keeps the per-round
-        # edge cost to a pure cache scan (no Exchange: sym's persisted
-        # HashPartitioning(a) satisfies the join; no Sort: SHJ needs
-        # none).
+        # Big path: SHUFFLE_HASH hint on the labels side — labels is
+        # the O(V) build side; without the hint SMJ would SORT the
+        # cached O(E) stream side every round (the hint keeps the
+        # per-round edge cost to a pure cache scan: no Exchange —
+        # sym's persisted HashPartitioning(a) satisfies the join — and
+        # no Sort). Small path: the plain r16 join, AQE-coalesced.
+        lab_side = labels.hint("shuffle_hash") if big else labels
         nbr = (
-            sym.join(labels.hint("shuffle_hash"), sym.a == labels.node)
+            sym.join(lab_side, sym.a == lab_side.node)
             .select(F.col("b").alias("node"), "component")
         )
         cand = labels.select("node", "component").union(nbr)
@@ -159,10 +176,12 @@ def connected_components(
         # consistency; the convergence sum rides the same job.
         labels, s = _pin_with_sum(new_labels)
         if s == prev_sum:
-            sym.unpersist()
+            if pinned_sym is not None:
+                pinned_sym.unpersist()
             return labels
         prev_sum = s
-    sym.unpersist()
+    if pinned_sym is not None:
+        pinned_sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(label sum still decreasing): graph diameter exceeds "
