@@ -899,3 +899,75 @@ def test_cc_big_path_same_fixpoint(spark, monkeypatch):
     big = {tuple(r) for r in C.connected_components(e).collect()}
     assert small == big
     assert {r[1] for r in small if r[0] < 301} == {0}
+
+def test_cc_small_path_broadcast_rounds_one_exchange(spark):
+    """r17 (opt round): below _ROUND_BCAST_ROWS the small path's
+    per-round label relation is explicitly broadcast into both join
+    legs, so a round's plan carries ONE ENSURE_REQUIREMENTS Exchange
+    (the min aggregate) and two BroadcastHashJoins — not four
+    AQE-coalesced exchanges. Replicates the exact round shape
+    components.py builds in its bcast_rounds branch."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(2000).select(
+        (F.col("id") % 100).alias("a"), ((F.col("id") + 3) % 99).alias("b")
+    )
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    nbr = sym.join(F.broadcast(labels), sym.a == labels.node).select(
+        F.col("b").alias("node"), "component"
+    )
+    jump = (
+        labels.alias("l1")
+        .join(
+            F.broadcast(labels.alias("l2")),
+            F.col("l1.component") == F.col("l2.node"),
+        )
+        .select(
+            F.col("l1.node").alias("node"),
+            F.col("l2.component").alias("component"),
+        )
+    )
+    cand = labels.select("node", "component").union(nbr).union(jump)
+    new_labels = cand.groupBy("node").agg(F.min("component").alias("component"))
+    plan = new_labels._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_cc_mid_path_same_fixpoint(spark, monkeypatch):
+    """The broadcast-round small path (r17 opt round) must not change
+    results: forcing the plain AQE rounds (broadcast threshold 0) on a
+    chain+clique graph lands on the identical fixpoint."""
+    from pyspark.sql import functions as F
+
+    import tstables_spark.operators.components as C
+
+    e = spark.range(300).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    ).union(
+        spark.range(50).select(
+            (F.col("id") % 7 + 1000).alias("doc_a"),
+            ((F.col("id") + 3) % 7 + 1000).alias("doc_b"),
+        )
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    bcast = {tuple(r) for r in C.connected_components(e).collect()}
+    monkeypatch.setattr(C, "_ROUND_BCAST_ROWS", 0)
+    plain = {tuple(r) for r in C.connected_components(e).collect()}
+    assert bcast == plain

@@ -48,6 +48,13 @@ from pyspark.storagelevel import StorageLevel
 # dedup_embed_clusters task regression, SCALE.md r17).
 _SYM_RELAYOUT_ROWS = 4_000_000
 
+# Edge count under which the small path's per-round label relation is
+# explicitly BROADCAST into both join legs (labels rows <= distinct
+# endpoints <= sym rows; two longs/row keeps the build side ~16 MB at
+# the bound). Between this and _SYM_RELAYOUT_ROWS the r16 plain
+# AQE-coalesced rounds remain.
+_ROUND_BCAST_ROWS = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -92,7 +99,18 @@ def connected_components(
         .select("p.a", "p.b")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    big = sym.count() > _SYM_RELAYOUT_ROWS  # count on the checkpoint: free
+    n_sym = sym.count()  # count on the checkpoint: free
+    big = n_sym > _SYM_RELAYOUT_ROWS
+    # Below the broadcast bound the labels relation (<= distinct
+    # endpoints <= n_sym rows of two longs) rides every round's two
+    # join legs as an explicit BROADCAST: the small path's per-round
+    # job then has ONE exchange (the min aggregate) instead of four
+    # (labels, sym, jump x2 — AQE coalesced them to near-empty tasks
+    # but each is still a sequential stage barrier, and the round
+    # count is the wall cost at bench scale: 18 rounds x ~4 barriers
+    # was most of dedup_embed_clusters' 4 s wall, SCALE.md r17). The
+    # candidate multiset is unchanged, so the min fixpoint is too.
+    bcast_rounds = not big and n_sym <= _ROUND_BCAST_ROWS
     pinned_sym = None
     if big:
         P = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -136,7 +154,12 @@ def connected_components(
         # per-round edge cost to a pure cache scan: no Exchange —
         # sym's persisted HashPartitioning(a) satisfies the join — and
         # no Sort). Small path: the plain r16 join, AQE-coalesced.
-        lab_side = labels.hint("shuffle_hash") if big else labels
+        if big:
+            lab_side = labels.hint("shuffle_hash")
+        elif bcast_rounds:
+            lab_side = F.broadcast(labels)
+        else:
+            lab_side = labels
         nbr = (
             sym.join(lab_side, sym.a == lab_side.node)
             .select(F.col("b").alias("node"), "component")
@@ -161,9 +184,14 @@ def connected_components(
         # checkpoint does not cure it), dwarfing the halved round
         # count. The 2-way shape is planning-flat through 18+ rounds.
         if i > 0:
+            l2 = (
+                F.broadcast(labels.alias("l2"))
+                if bcast_rounds
+                else labels.alias("l2")
+            )
             jump = (
                 labels.alias("l1")
-                .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+                .join(l2, F.col("l1.component") == F.col("l2.node"))
                 .select(
                     F.col("l1.node").alias("node"),
                     F.col("l2.component").alias("component"),
