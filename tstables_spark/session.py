@@ -58,6 +58,21 @@ def get_spark(
         # it. Inverted: flat is the default for everyone, and the
         # census family rides the x8 twin
         # (_staging.wide_initial_partitions).
+        # Never take the bypass-merge shuffle writer (default
+        # threshold 200): with the flat initialPartitionNum above,
+        # every SQL exchange writes <= |cores| reduce partitions, and
+        # the bypass writer opens one FILE per reduce partition per
+        # map task — measured r17 on this box's FS at ~200-300 ms of
+        # per-task shuffle-write time for ~33 KB of output (the
+        # dedup_minhash x1.5 task regression the round's flag diff
+        # caught; forcing the serialized Tungsten writer recovered it:
+        # run_ms 17.5-19.1k -> 12.8k, SCALE.md r17). The serialized
+        # writer buffers in memory and writes ONE file regardless of
+        # partition count — strictly better at any scale for SQL
+        # shuffles; at production partition counts (>200) the
+        # threshold never bound anyway. Env-tunable like the rest of
+        # the engine conf (extra_conf overrides win).
+        .config("spark.shuffle.sort.bypassMergeThreshold", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Fixture parquet stores ts as timestamp[us] with no timezone;
