@@ -58,13 +58,31 @@ def distributed_cumsum(
     (peak) running value instead of a row-by-row scan. Every current
     caller orders by the output key of a prior groupBy, which is unique
     by construction. Result is independent of P and of where the range
-    boundaries land.
+    boundaries land — which is what lets AQE pick P from the observed
+    shuffle size (r17) instead of a constant tuned for either local
+    mode or the cluster.
     """
-    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(P, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Partition count: explicit when the caller passes one, else LET AQE
+    # COALESCE the range shuffle by observed size (repartitionByRange
+    # with no count is AQE-rebalanceable; a bare count pins it). The
+    # r17 profile showed why a constant is wrong at BOTH ends: every
+    # cumsum consumer fed a post-aggregation histogram (49k rows at
+    # sf0.1) through a fixed defaultParallelism=32 layout, so each of
+    # the ~6 downstream scans (window, totals collect, consumers)
+    # launched 32 near-empty tasks — ~8 of ts_robust_zscore's 10 s of
+    # summed task time was this per-task overhead, not work. AQE picks
+    # 1 partition there and grows with the histogram (advisory 64 MB)
+    # at the 100x envelope / cluster scale. Correctness is untouched:
+    # the result is P-independent (see below), and __pid is frozen by
+    # the eager checkpoint before the offsets job reads it.
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    parts = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
     )
     local = W.partitionBy("__pid").orderBy(*order_cols)
     out = parts
@@ -202,7 +220,6 @@ def pack_sequences(
     themselves plus overflow — matching the window-SQL semantics
     exactly (see the oracle twin), not truncating.
     """
-    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # MATERIALIZE the range partitioning before anything reads __pid:
     # two separate jobs (the totals collect below and the caller's final
     # action) each re-run an un-materialized repartitionByRange, and
@@ -212,10 +229,16 @@ def pack_sequences(
     # silently corrupting running/pack_id at scale (ADVICE r2, high).
     # localCheckpoint pins one boundary set both jobs read (the same
     # pattern components.py uses for its iterated edge list).
-    parts = (
-        df.repartitionByRange(P, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Partition count: explicit when passed, else AQE-coalesced by
+    # observed shuffle size — same scale-adaptive rationale as
+    # distributed_cumsum (r17); the result is P-independent.
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(order_col))
+    )
+    parts = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
     )
     local = W.partitionBy("__pid").orderBy(order_col)
     with_local = parts.withColumn(
