@@ -454,6 +454,36 @@ def test_r12_big_graph_paths_identical(spark, sf_dir, monkeypatch):
     } == tri_small
 
 
+def test_r17_census_big_path_broadcast_gate(spark, sf_dir, monkeypatch):
+    """r17: on the big path the census gates an explicit broadcast of
+    both join build sides on the pinned edge relation's MEASURED count
+    (the 100x probe put 95% of the doulion census in the wedge
+    shuffle+SMJ that broadcast removes). Under the bound the optimized
+    plan must carry the broadcast strategy hints and the answer must
+    equal the small path's; with the bound forced to 0 the hints must
+    NOT appear (the sort-merge fallback for a sample that outgrows a
+    broadcast)."""
+    import tstables_spark.plans.analytics as A
+
+    small = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
+    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    df = A.graph_triangles_approx(spark, sf_dir)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    # the query's 1-row ns crossJoin carries its own broadcast hint;
+    # the census gate adds TWO more (wedge build + closure build)
+    assert lp.count("strategy=broadcast") >= 3, lp
+    assert {tuple(r) for r in df.collect()} == small
+
+    monkeypatch.setattr(A, "_CENSUS_BROADCAST_EDGES_MAX", 0)
+    lp0 = (
+        A.graph_triangles_approx(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert lp0.count("strategy=broadcast") == 1, lp0
+
+
 def test_r13_doulion_cut_validation_and_pin_cache(spark, sf_dir, monkeypatch):
     """Round-13 ADVICE fixes: (a) a malformed DOULION cut fails loudly
     instead of silently mis-sampling — only 2-char lowercase hex is a

@@ -1028,6 +1028,20 @@ _PR_BROADCAST_NODES_MAX = 2_000_000
 # relation.
 _EDGE_PIN_PAIRS_MAX = 50_000_000
 
+# Census-join broadcast bound (r17): below this MEASURED oriented-edge
+# count the big-path census broadcasts both build sides so the wedge
+# stream (the only corpus-scale relation in the census) is generated
+# and consumed in one pipelined stage — no exchange, no sort, no
+# shuffle files (the 100x probe put 95% of the census's 27k
+# task-seconds in exactly that wedge shuffle+SMJ). Sizing: the edge
+# relation is built into TWO hashed relations (src-keyed for the wedge
+# probe, (src,dst)-keyed for the closure), ~55 B/row each with map
+# overhead -> 20M rows ≈ 2.2 GB total, comfortable inside the default
+# 8g executor envelope and an order under the 512M-row/8 GB broadcast
+# hard cap. Above it the sort-merge path stands (a billion-edge sample
+# at true scale outgrows any broadcast).
+_CENSUS_BROADCAST_EDGES_MAX = 20_000_000
+
 # ECONOMICS bound, distinct from the OOM bound above: for a
 # multiply-consumed edge relation cached per (app, sf, cut), the
 # streamed bucketed scratch table is the amortizing steady state well
@@ -1523,7 +1537,27 @@ def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = 
     graph_triangles). Shared by the exact census and the DOULION
     estimator, which runs it on a sampled edge subset. ``big`` routes
     the internal oriented-edge pin through ``_edge_pin``'s streamed
-    scratch table instead of a checkpoint."""
+    scratch table instead of a checkpoint.
+
+    r17 big-path join strategy (guide §3.1/§8 — use what we know that
+    the 10 MB auto-broadcast estimate does not): the WEDGE STREAM is
+    the only thing here that is ever corpus-scale (Σ outdeg² rows; the
+    100x doulion probe measured the wedge shuffle+SMJ at 12.5 GB
+    written + 12.7 GB read = 95% of the query's 27k task-seconds,
+    SCALE.md "r17 census decomposition"), while the ORIENTED EDGE
+    relation it joins against is p·|E| rows — 18.8M at the 100x p=1/16
+    row, a few hundred MB hashed. So on the big path the pinned edge
+    relation's exact count (one parquet count-star over the staged
+    table, aggregate-pushdown fast) gates an explicit broadcast of
+    both census build sides: under the bound the wedge stream is
+    GENERATED AND CONSUMED IN ONE PIPELINED STAGE (scan -> probe ->
+    probe -> partial count) and never touches an exchange, sort, or
+    shuffle file. Above the bound the sort-merge path stands (at true
+    100 TB scale a billion-edge sample outgrows any broadcast; the x8
+    twin keeps its per-task sort state bounded — the r12 envelope).
+    The small path is untouched: sub-threshold relations already
+    auto-broadcast (the committed sf0.1 plan), and adding hints there
+    would only churn plans the bench pins."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1545,7 +1579,12 @@ def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = 
         )
     )
     oe = _edge_pin(oe, big, "census_oe", cache_key=cache_key)
-    a, b = oe.alias("a"), oe.alias("b")
+    a, b, c = oe.alias("a"), oe.alias("b"), oe.alias("c")
+    if big and oe.count() <= _CENSUS_BROADCAST_EDGES_MAX:
+        # the count is a parquet count-star over the staged pin
+        # (aggregate pushdown; one sub-second job) — a MEASURED gate,
+        # not an estimate, per the r12 two-collected-statistics rule
+        b, c = F.broadcast(b), F.broadcast(c)
     wed = a.join(
         b,
         (F.col("a.src") == F.col("b.src"))
@@ -1554,7 +1593,6 @@ def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = 
             | ((F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst")))
         ),
     ).select(F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
-    c = oe.alias("c")
     tri = wed.join(
         c, (F.col("c.src") == F.col("y")) & (F.col("c.dst") == F.col("z"))
     ).agg(F.count(F.lit(1)).alias("t"))
