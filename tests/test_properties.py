@@ -187,6 +187,45 @@ def test_degree_dist_hot_bucket_guard(spark):
     assert out == {(255, 256), (3, 4)}
 
 
+def test_funnel_signal_kernel_edges(spark, tmp_path):
+    """r17: pipeline_corpus_funnel's per-doc signals moved into an Arrow
+    kernel — pin the edge semantics the kernel must mirror from the JVM
+    expressions it replaced: null text (size(null) = -1, never kept),
+    empty and single-token docs (keep_q guard), the all-duplicate-bigram
+    doc (dup_frac > 0.1 drops it), stopword ratio, exact-dup collapse to
+    the min-doc_id representative, and the language gate."""
+    docs = [
+        (1, None, "en"),                      # null text -> not kept
+        (2, "", "en"),                        # 1 empty token -> guard
+        (3, "the quick brown fox jumps over lazy dog one two three "
+            "four five six seven eight nine ten eleven twelve", "en"),
+        (4, "the quick brown fox jumps over lazy dog one two three "
+            "four five six seven eight nine ten eleven twelve", "en"),
+        # 30x 'the': 29 identical bigrams -> dup_frac = 1 - 1/29
+        (5, " ".join(["the"] * 30), "en"),
+        (6, "and alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau", "de"),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(path)
+
+    from tstables_spark.plans.registry import QUERIES
+
+    rows = {
+        (r["stage"], r["stage_name"], r["n_docs"])
+        for r in QUERIES["pipeline_corpus_funnel"](spark, str(tmp_path)).collect()
+    }
+    # raw 6; reps: null-h, "", doc3(=doc4), doc5, doc6 -> 5;
+    # quality: doc3 (20 tokens, distinct bigrams, 'the' 1/20) + doc6
+    # ('and' 1/20) -> 2; english: doc3 only.
+    assert rows == {
+        (1, "raw", 6),
+        (2, "exact_dedup", 5),
+        (3, "quality", 2),
+        (4, "english", 1),
+    }
+
+
 def test_chunker_covers_every_word(spark, sf_dir):
     """Every document position must land in at least one chunk, chunks
     must start on the stride grid, and the last chunk must end exactly

@@ -71,6 +71,16 @@ def _load_all() -> None:
     #       rows-only by design, gated by sim_recall here);
     #     - streaming/replay.py: failed-attempt dir GC on retry
     #       (ADVICE) -> stream_theta;
+    #     - plans/pipeline.py (late-r17): pipeline_corpus_funnel's
+    #       per-doc bigram/stopword signals moved into an Arrow
+    #       mapInPandas kernel (measured 1.20x at the 100x envelope;
+    #       lower()/md5/keep_q arithmetic stay JVM-side) ->
+    #       pipeline_corpus_funnel, displacing sink_orc_roundtrip
+    #       from the (e) backfill (its evidence stays r10, so the
+    #       "oldest >= r10" outcome is unchanged; changed-query
+    #       re-checks take precedence over backfill per the policy);
+    #       graph_triangles_approx's big-path census broadcast gate
+    #       (late-r17) already holds a (c) slot above;
     #     - registry.py/_staging.py: pin refcounts transfer to the
     #       returned frame's lifetime -> dedup_minhash (big-path
     #       pins), graph_pagerank (bucketed pin) above;
@@ -115,15 +125,16 @@ def _load_all() -> None:
             "ts_catalog", "agg_kll_gate", "stream_kll_gate",
             "agg_heavy_hitters", "stream_heavy_hitters",
             "bpe_train_merges", "bpe_encode", "sim_recall",
-            "embed_pca_power", "stream_theta",
+            "embed_pca_power", "stream_theta", "pipeline_corpus_funnel",
             # (d) the full r9 cohort (oldest evidence, x11)
             "join_semi", "multimodal_frames", "pareto_frontier",
             "set_intersect", "set_union", "sim_matryoshka",
             "sim_range_search", "sort_limit", "token_ngram_novelty",
             "topk_per_group", "vocab_growth",
-            # (e) r10 backfill to the cut
+            # (e) r10 backfill to the cut (sink_orc_roundtrip displaced
+            # by the late-r17 funnel re-check; see the policy note)
             "forecast_naive_eval", "agg_linear_regression",
-            "agg_qsketch", "join_bucketed", "sink_orc_roundtrip",
+            "agg_qsketch", "join_bucketed",
         ]
     )
 
