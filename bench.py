@@ -141,6 +141,39 @@ def _load1() -> float | None:
 # task/cpu TOTALS plus a pointer.
 TASKTIME_OUT = os.path.join(REPO, "BENCH_TASKTIME.json")
 
+# Era canary (r17 verdict #2): this box's effective CPU speed drifts
+# 1.5-5x between sessions ("box eras" — SCALE.md r17 era adjudications),
+# so wall-seconds from different rounds are not directly comparable and
+# every cross-round wall regression costs a manual adjudication. The
+# canary is a FIXED, JVM-only, data-independent calibration job — a
+# codegen'd aggregate over spark.range, no I/O, no shuffle beyond the
+# 1-row final agg, no Python — timed per run (1 warm + best-of-3) and
+# recorded in the artifact. Dividing two rounds' wall numbers by their
+# canaries normalizes out the box era; the canary never gates or alters
+# the timed loop (additions-only; the JSON contract is unchanged).
+# Sized for ~1-1.5 s on the quiet 2026-08-17 box (sub-second timings
+# ride scheduler noise; the canary must be long enough that the era
+# factor, not task launch, dominates).
+_CANARY_ROWS = 1_600_000_000
+
+
+def _era_canary(spark) -> float:
+    import time as _t
+
+    def one() -> float:
+        t0 = _t.perf_counter()
+        (
+            spark.range(0, _CANARY_ROWS, 1, 32)
+            .selectExpr("sum(id % 1000007) AS s", "count(1) AS n")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return _t.perf_counter() - t0
+
+    one()  # codegen/JIT warm-up
+    return round(min(one() for _ in range(3)), 3)
+
 
 def _rest_fetch(base: str, app_id: str, path: str):
     import urllib.request
@@ -235,6 +268,17 @@ def main() -> None:
         },
     )
     names = [n for n in HEADLINE if n in QUERIES]
+
+    # Era canary BEFORE the warm pass (fresh JVM, box still idle from
+    # the load gate's perspective) — see _era_canary.
+    sc0 = spark.sparkContext
+    sc0.setJobGroup("bench:canary", "era_canary")
+    try:
+        era_canary = _era_canary(spark)
+    except Exception:
+        era_canary = None  # never a bench failure
+    finally:
+        sc0.setLocalProperty("spark.jobGroup.id", None)
 
     # Warm pass: JVM/codegen warm-up plus any one-time staging a query
     # amortizes by design (bucketed-table writes, streaming source
@@ -332,6 +376,7 @@ def main() -> None:
                         "retried": retried,
                         "load_at_loop": loads,
                     },
+                    "era_canary_sec": era_canary,
                     "task_flags": task_flags,
                     "prev_task_sec": {
                         n: prev_tasks.get(n) for n in sorted(tasktimes)
@@ -383,6 +428,10 @@ def main() -> None:
                 # quiet box, 1 if the timed loop re-ran after running
                 # loaded]. Per-pass start/end loads: BENCH_TASKTIME.json
                 "load_gate": [LOAD_GATE, waited, 1 if retried else 0],
+                # box-era calibration: a fixed JVM-only range-aggregate
+                # timed per run (see _era_canary). Divide two rounds'
+                # walls by their canaries to normalize box-era drift.
+                "era_canary_sec": era_canary,
             }
         )
     )
