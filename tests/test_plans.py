@@ -514,6 +514,34 @@ def test_r13_doulion_cut_validation_and_pin_cache(spark, sf_dir, monkeypatch):
     } == staged_after_first  # reused, not re-staged
 
 
+def test_r18_census_key_pack_gate(spark, sf_dir, monkeypatch):
+    """r18: on the big path the oriented pin packs (ddeg, dst) into one
+    long and the closure join keys on pk = src<<32 | dst WHEN the
+    measured id range fits [0, 2^31); out-of-range ids keep the
+    lexicographic three-column layout (the snowflake-id guard from
+    graph_triangles' docstring, now a measured branch). Both layouts
+    must produce the identical estimate — the packing is injective.
+    (Runs AFTER test_r13_doulion_cut_validation_and_pin_cache: the
+    forced fallback stages a third scratch pin for this cut, which
+    that test's ==2 staged-entries assertion must not see.)"""
+    import tstables_spark.plans.analytics as A
+
+    small = {tuple(r) for r in A.graph_triangles_approx(spark, sf_dir).collect()}
+    monkeypatch.setattr(A, "_EDGE_PIN_PAIRS_MAX", 1)
+    df = A.graph_triangles_approx(spark, sf_dir)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "shiftleft" in lp, lp  # packed: fixture ids fit 31 bits
+    assert {tuple(r) for r in df.collect()} == small
+
+    # forced fallback: the pack gate rejects, the lexicographic
+    # (src, dst, ddeg) layout stands, answer unchanged
+    monkeypatch.setattr(A, "_CENSUS_PACK_ID_MAX", 0)
+    df0 = A.graph_triangles_approx(spark, sf_dir)
+    lp0 = df0._jdf.queryExecution().optimizedPlan().toString()
+    assert "shiftleft" not in lp0, lp0
+    assert {tuple(r) for r in df0.collect()} == small
+
+
 def test_r13_minhash_big_path_identical(spark, sf_dir, monkeypatch):
     """The minhash big-corpus strategy (streamed scratch-table pins for
     the fingerprint and signature relations, forced by dropping the

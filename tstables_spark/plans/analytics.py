@@ -1042,6 +1042,15 @@ _EDGE_PIN_PAIRS_MAX = 50_000_000
 # at true scale outgrows any broadcast).
 _CENSUS_BROADCAST_EDGES_MAX = 20_000_000
 
+# Census key-pack id bound (r18): on the big path the oriented pin is
+# stored as (src, ddeg<<32 | dst) — two longs instead of three — and
+# the closure join keys on one packed long, WHEN the measured id range
+# fits [0, 2^31) (the gate also guarantees ddeg <= n_nodes - 1 < 2^31,
+# so neither pack can overflow int64). Snowflake-scale ids fall back
+# to the lexicographic layout, exactly as graph_triangles' docstring
+# documents. Module constant so tests can force the fallback.
+_CENSUS_PACK_ID_MAX = 1 << 31
+
 # ECONOMICS bound, distinct from the OOM bound above: for a
 # multiply-consumed edge relation cached per (app, sf, cut), the
 # streamed bucketed scratch table is the amortizing steady state well
@@ -1557,7 +1566,30 @@ def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = 
     twin keeps its per-task sort state bounded — the r12 envelope).
     The small path is untouched: sub-threshold relations already
     auto-broadcast (the committed sf0.1 plan), and adding hints there
-    would only churn plans the bench pins."""
+    would only churn plans the bench pins.
+
+    r18 big-path key packing (guide §2.3 "narrower types" / §3.1;
+    r17 verdict #1): graph_triangles' docstring rejects a composite
+    degree*K + id ORDER scalar because snowflake-scale ids overflow
+    int64 — but that is a data property, not a law, so the big path
+    MEASURES it (min/max over both id columns of the pinned half-edge
+    relation, one aggregate-pushdown job over the staged parquet) and,
+    when every id fits 31 bits, stores the oriented pin as TWO longs
+    instead of three: (src, ord = ddeg<<32 | dst). Effects, all on the
+    census's hot loop: the wedge tie-break becomes ONE long compare
+    (was a 2-level lexicographic (ddeg, dst) compare per probed row —
+    Σ outdeg² of them); the closure join keys on ONE packed long
+    pk = src<<32 | dst instead of a two-column key, which on the
+    broadcast path builds a LongHashedRelation (Spark's dense
+    long-keyed map — no UnsafeRow key allocation per probe) and above
+    the broadcast bound halves the wedge stream's shuffle/sort bytes
+    (one long per wedge, was two). Degrees cannot overflow the pack:
+    ddeg <= n_nodes - 1 < 2^31 whenever max id < 2^31. Ids out of
+    [0, 2^31) keep the lexicographic layout (correct at snowflake
+    scale, exactly as documented). The small path and the returned
+    ``deg`` relation are untouched either way, and the packing is
+    injective, so the census count — and the DOULION estimate — are
+    bit-identical by construction."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1569,14 +1601,58 @@ def _oriented_census(e: DataFrame, big: bool = False, cache_key: tuple | None = 
     fwd = (F.col("degu") < F.col("degv")) | (
         (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
     )
+    src = F.when(fwd, F.col("u")).otherwise(F.col("v"))
+    dst = F.when(fwd, F.col("v")).otherwise(F.col("u"))
+    ddeg = F.when(fwd, F.col("degv")).otherwise(F.col("degu"))
+    packed = False
+    if big:
+        # measured pack gate: one min/max aggregate over the staged
+        # half-edge parquet (footer pushdown; sub-second) — a MEASURED
+        # branch, not an estimate, per the r12 collected-statistics rule
+        r = e.agg(
+            F.min("u"), F.max("u"), F.min("v"), F.max("v")
+        ).collect()[0]  # 1-row contract-bounded collect
+        packed = (
+            r[0] is not None
+            and min(r[0], r[2]) >= 0
+            and max(r[1], r[3]) < _CENSUS_PACK_ID_MAX
+        )
+    if packed:
+        lo32 = F.lit(0xFFFFFFFF)  # LongType literal (> int32 max)
+        oe = (
+            e.join(du, "u")
+            .join(dv, "v")
+            .select(
+                src.cast("long").alias("src"),
+                F.shiftleft(ddeg.cast("long"), 32)
+                .bitwiseOR(dst.cast("long"))
+                .alias("ord"),
+            )
+        )
+        oe = _edge_pin(oe, big, "census_oe_pk", cache_key=cache_key)
+        a, b = oe.alias("a"), oe.alias("b")
+        c = oe.select(
+            F.shiftleft(F.col("src"), 32)
+            .bitwiseOR(F.col("ord").bitwiseAND(lo32))
+            .alias("pk")
+        )
+        if oe.count() <= _CENSUS_BROADCAST_EDGES_MAX:
+            b, c = F.broadcast(b), F.broadcast(c)
+        wed = a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.ord") < F.col("b.ord")),
+        ).select(
+            F.shiftleft(F.col("a.ord").bitwiseAND(lo32), 32)
+            .bitwiseOR(F.col("b.ord").bitwiseAND(lo32))
+            .alias("pk")
+        )
+        tri = wed.join(c, "pk").agg(F.count(F.lit(1)).alias("t"))
+        return tri, deg
     oe = (
         e.join(du, "u")
         .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("degv")).otherwise(F.col("degu")).alias("ddeg"),
-        )
+        .select(src.alias("src"), dst.alias("dst"), ddeg.alias("ddeg"))
     )
     oe = _edge_pin(oe, big, "census_oe", cache_key=cache_key)
     a, b, c = oe.alias("a"), oe.alias("b"), oe.alias("c")
@@ -2245,23 +2321,38 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture reweighting). All three metrics are exact floored-ppm
     integers, so both engines hash-match bit-for-bit.
 
-    Scale shape: basket building is one broadcast join (part is the
-    small dim) + a distinct; pair generation is a SELF-JOIN ON THE
-    BASKET KEY, whose cost is sum of per-basket item-count squared —
-    bounded here because TPC-H baskets hold <= 7 items, and bounded in
-    production by capping basket size before the join (the same
-    pre-join budget discipline as dedup_editdist). Item and basket
-    counts re-enter by broadcast (25 brands, 1 count row); the output
-    domain is at most #brands^2 / 2 pairs regardless of fact size.
-    lift is DEFINED as conf_ppm * n // cons_cnt (confidence over the
-    consequent's base rate, floored once more): the triple-product
-    form pair*n*1e6 overflows BIGINT already at ~1e7 baskets for a
-    popular pair (pair_cnt = O(n) in a 25-item domain), while this
-    form's intermediate is bounded by 1e6 * n — safe through ~9e12
-    baskets, and exactly identical on both engines. The basket
-    relation feeds four consumers (n, item counts, both join legs), so
-    it is pinned with an eager checkpoint — the multi-leg reuse
-    discipline of graph_triangles."""
+    Scale shape (r18 rework — the cooccurrence_edges discipline,
+    guide §2.3/§2.4, r17 verdict #5 applied here): basket building is
+    one broadcast join (part is the small dim) feeding ONE
+    groupBy(basket) aggregate — ``sort_array(collect_set(item))``
+    dedups repeat (order, brand) rows map-side IN the same shuffle the
+    old plan spent on DISTINCT alone — and pair generation is a
+    suffix-slice GENERATE from each sorted basket list (posexplode +
+    slice: the strict upper triangle x.item < y.item byte-for-byte,
+    items being distinct and ascending). The former shape paid THREE
+    fact-sized exchanges (the distinct, then both legs of a
+    basket-key SELF-JOIN re-shuffling the pinned relation) plus two
+    sorts; now exactly one fact-sized exchange exists in the whole
+    plan, the pair aggregate partial-aggregates to <= #brands²/2 rows
+    map-side, and the pair-generation cost — Σ per-basket items² —
+    is unchanged (<= 7 items per TPC-H basket; capped in production
+    by slicing the basket list, the same pre-join budget discipline
+    as dedup_editdist). Item and basket counts derive from the SAME
+    pinned basket-list relation (explode for items, count-star for
+    baskets) and re-enter by broadcast (25 brands, 1 count row); the
+    output domain is at most #brands^2 / 2 pairs regardless of fact
+    size. lift is DEFINED as conf_ppm * n // cons_cnt (confidence
+    over the consequent's base rate, floored once more): the
+    triple-product form pair*n*1e6 overflows BIGINT already at ~1e7
+    baskets for a popular pair (pair_cnt = O(n) in a 25-item domain),
+    while this form's intermediate is bounded by 1e6 * n — safe
+    through ~9e12 baskets, and exactly identical on both engines.
+    The basket-list relation feeds three consumers (n, item counts,
+    pair generation), so it is pinned with an eager checkpoint — the
+    multi-leg reuse discipline of graph_triangles; the pin now holds
+    one array row per ORDER (sorted, distinct brands) instead of one
+    row per (order, brand) — strictly fewer bytes than the relation
+    it replaces."""
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
     # Serialized pin (not the deserialized default): the basket
@@ -2270,23 +2361,33 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Serialized rows cost ~4x less heap and spill gracefully, the
     # same sizing fix measured on minhash's fingerprint pin
     # (operators/dedup.py, SCALE.md r11).
-    b = (
+    baskets = (
         li.join(
             F.broadcast(pt.select("p_partkey", "p_brand")),
             li["l_partkey"] == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    n = b.agg(F.countDistinct("ok").alias("n_baskets"))
-    ic = b.groupBy("item").agg(F.count("*").alias("c"))
-    x, y = b.alias("x"), b.alias("y")
+    # every basket has >= 1 item by construction (inner join), so
+    # count-star over basket rows == the old countDistinct(ok)
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    ic = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("c"))
+    )
     pairs = (
-        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.item") < F.col("y.item")))
-        .groupBy(
-            F.col("x.item").alias("antecedent"), F.col("y.item").alias("consequent")
+        baskets.select(F.posexplode("items").alias("i", "antecedent"), "items")
+        .select(
+            "antecedent",
+            F.explode(F.expr("slice(items, i+2, size(items))")).alias(
+                "consequent"
+            ),
         )
+        .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 20)
     )

@@ -108,6 +108,14 @@ def get_spark(
         # at submit time (driver JVM already running) — pass it via
         # spark-submit --driver-memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # BroadcastExchange first collects task results to the DRIVER,
+        # bounded by maxResultSize (default 1g) — the census broadcast
+        # gate sizes its bound against executor heap (~2.2 GB hashed at
+        # 20M edges), so near the bound a default-1g driver aborts the
+        # query even though executors have room (ADVICE r17). 4g keeps
+        # the documented gate headroom; on a cluster pass it at submit
+        # time alongside --driver-memory.
+        .config("spark.driver.maxResultSize", "4g")
         # G1 + Tungsten's default 64 MB memory pages = every execution
         # page is a G1 "humongous" allocation (region size at an 8g
         # heap is 4 MB; anything over half a region allocates
