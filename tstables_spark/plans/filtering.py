@@ -490,6 +490,15 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this estimated bigram-occurrence count lm_kn_score's two pins
+# (occurrences, bigram types) stream into scratch tables instead of
+# localCheckpoints — same bound rationale as _MINHASH_PIN_ROWS_MAX
+# (operators/dedup.py): the checkpoint holds one serialized per-task
+# block in heap simultaneously, which the 8g envelope tolerates only
+# below ~low-tens-of-millions of rows.
+_KN_PIN_ROWS_MAX = 8_000_000
+
+
 @query(
     "lm_kn_score",
     oracle="""
@@ -562,7 +571,27 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences) plus a 1-row type count; scoring re-joins occurrences
     to the p12 relation on the bigram key — the only occurrence-sized
     shuffles are the type aggregate and this scoring join, both
-    map-side combined. Nothing vocabulary-sized reaches the driver."""
+    map-side combined. Nothing vocabulary-sized reaches the driver.
+
+    r18 (guide §2.4 — the committed r17 plan paid FIVE corpus scans):
+    the occurrence stream feeds two consumers (the type aggregate and
+    the scoring join) and the type relation feeds four (cw1, cw2, nb,
+    the p join), but join-pushed isnotnull filters make every branch's
+    subtree canonically distinct, so ReuseExchange never fired — the
+    committed before-plan tokenizes and explodes the corpus five
+    times and runs the occurrence-sized type aggregate four times.
+    Both relations are now pinned ONCE (the minhash
+    persist-the-tokenization trade): one corpus scan, one type
+    aggregate, and the model/scoring branches read materialized rows.
+    Under the measured row bound the pins are serialized
+    localCheckpoints; above it they stream into scratch tables
+    (constant-memory; the _MINHASH_PIN_ROWS_MAX discipline — at
+    100 TB an occurrence-sized checkpoint is exactly the r12 heap
+    shape the streamed pin exists for). Accurate post-pin stats also
+    let the planner size the cw1/cw2/nb broadcasts from real bytes
+    instead of post-aggregate guesses (§3.1)."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
@@ -572,10 +601,32 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
         ),
     )
-    big = base.select("doc_id", F.explode(grams).alias("g")).select(
+    big0 = base.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
-    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Physical-strategy knob BEFORE the data-sized materialization
+    # (the minhash discipline): Σ max(tokens-1, 0) upper-bounds the
+    # occurrence rows with one codegen'd scan aggregate.
+    rows_est = d.agg(
+        F.sum(
+            F.greatest(F.size(F.split(F.lower("text"), " ")) - 1, F.lit(0))
+        ).alias("s")
+    ).collect()[0]["s"]  # 1-row contract-bounded collect
+    big_corpus = (rows_est or 0) > _KN_PIN_ROWS_MAX
+
+    def _pin(df: DataFrame, prefix: str) -> DataFrame:
+        if not big_corpus:
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        from tstables_spark.plans._staging import stream_pin
+
+        return stream_pin(df, prefix, cache_key=(sf_dir,))
+
+    big = _pin(big0, "kn_occ")
+    bg = _pin(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")), "kn_bg"
+    )
     cw1 = bg.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
