@@ -603,6 +603,19 @@ def test_r13_kn_score_matches_python_reference(spark):
     assert got == {d: (n, s) for d, (n, s) in want.items()}
 
 
+def test_r18_kn_score_stream_pin_path_identical(spark, monkeypatch):
+    """lm_kn_score's compressed-bytes scale knob: the big path
+    stream-pins the bigram-type relation; forcing it must produce
+    bit-identical rows to the small (in-plan) path."""
+    import tstables_spark.plans.filtering as FL
+
+    sf = "/root/testdata/sf0.001"
+    small = sorted(tuple(r) for r in QUERIES["lm_kn_score"](spark, sf).collect())
+    monkeypatch.setattr(FL, "_KN_PIN_BYTES_MIN", 0)
+    big = sorted(tuple(r) for r in QUERIES["lm_kn_score"](spark, sf).collect())
+    assert big == small
+
+
 def test_r13_theta_sketch_exact_when_sets_small(spark):
     """KMV contract: when both day-audiences hold fewer than k hashes
     the sketch IS the set, so the intersection estimate must equal the

@@ -490,13 +490,18 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Above this estimated bigram-occurrence count lm_kn_score's two pins
-# (occurrences, bigram types) stream into scratch tables instead of
-# localCheckpoints — same bound rationale as _MINHASH_PIN_ROWS_MAX
-# (operators/dedup.py): the checkpoint holds one serialized per-task
-# block in heap simultaneously, which the 8g envelope tolerates only
-# below ~low-tens-of-millions of rows.
-_KN_PIN_ROWS_MAX = 8_000_000
+# Above this SCAN-ESTIMATED corpus size (compressed parquet bytes from
+# the file index — a driver-side statistic, NO job) lm_kn_score
+# stream-pins its bigram-type relation into a scratch table so the
+# model branches read materialized rows instead of re-deriving the
+# type aggregate (a corpus scan each). Below it the aggregate stays
+# in-plan. BOTH paths are constant-memory (no localCheckpoint
+# anywhere), so a misclassification costs one corpus scan, never an
+# OOM — which is why a free compressed-bytes heuristic is enough where
+# the checkpoint-safety gates (_MINHASH_PIN_ROWS_MAX) must pay a
+# counting scan. 64 MB compressed ~ a few hundred MB of text ~
+# tens of millions of bigram occurrences.
+_KN_PIN_BYTES_MIN = 64 * 1024 * 1024
 
 
 @query(
@@ -580,17 +585,29 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree canonically distinct, so ReuseExchange never fired — the
     committed before-plan tokenizes and explodes the corpus five
     times and runs the occurrence-sized type aggregate four times.
-    Both relations are now pinned ONCE (the minhash
-    persist-the-tokenization trade): one corpus scan, one type
-    aggregate, and the model/scoring branches read materialized rows.
-    Under the measured row bound the pins are serialized
-    localCheckpoints; above it they stream into scratch tables
-    (constant-memory; the _MINHASH_PIN_ROWS_MAX discipline — at
-    100 TB an occurrence-sized checkpoint is exactly the r12 heap
-    shape the streamed pin exists for). Accurate post-pin stats also
-    let the planner size the cw1/cw2/nb broadcasts from real bytes
-    instead of post-aggregate guesses (§3.1)."""
-    from pyspark import StorageLevel
+    Fix, measured against two rejected alternatives (SCALE.md r18):
+    the per-w1 totals (c1, n1f) and per-w2 total (n1b) are WINDOW
+    functions over the type relation — sum/count over
+    partitionBy(w1), count over partitionBy(w2), both keyed
+    partitions, never a global window — so the four model branches
+    collapse into ONE chain over ONE type-aggregate subtree, and only
+    nb (a 1-row partial-agg'd count) re-derives it. Five corpus scans
+    become three, one action, no materialization barrier. The first
+    r18 attempt instead pinned BOTH relations behind a counting-scan
+    gate (occurrence + type localCheckpoints): task fell 2.98 ->
+    1.06 s but WALL rose 1.28 -> 1.50 s at sf0.1 — the gate job, two
+    eager checkpoint barriers, and four broadcast-build jobs cost
+    more serial latency than the re-scans they saved; a lazy-persist
+    variant (cache blocking) read 1.45 s. Windows: 1.41 s wall,
+    task ~1.1 s, strictly fewer jobs.
+
+    Scale knob (§3.1): above _KN_PIN_BYTES_MIN of compressed corpus
+    (a FREE driver-side file-index statistic — no gate job) the type
+    relation stream-pins into a scratch table, cutting the nb branch's
+    corpus re-scan and giving the windows/scoring join real stats;
+    both paths are constant-memory, so the cheap heuristic can only
+    miss perf, not memory."""
+    from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
@@ -601,40 +618,24 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
         ),
     )
-    big0 = base.select("doc_id", F.explode(grams).alias("g")).select(
+    big = base.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
-    # Physical-strategy knob BEFORE the data-sized materialization
-    # (the minhash discipline): Σ max(tokens-1, 0) upper-bounds the
-    # occurrence rows with one codegen'd scan aggregate.
-    rows_est = d.agg(
-        F.sum(
-            F.greatest(F.size(F.split(F.lower("text"), " ")) - 1, F.lit(0))
-        ).alias("s")
-    ).collect()[0]["s"]  # 1-row contract-bounded collect
-    big_corpus = (rows_est or 0) > _KN_PIN_ROWS_MAX
-
-    def _pin(df: DataFrame, prefix: str) -> DataFrame:
-        if not big_corpus:
-            return df.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+    corpus_bytes = int(
+        d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if corpus_bytes > _KN_PIN_BYTES_MIN:
         from tstables_spark.plans._staging import stream_pin
 
-        return stream_pin(df, prefix, cache_key=(sf_dir,))
-
-    big = _pin(big0, "kn_occ")
-    bg = _pin(
-        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")), "kn_bg"
-    )
-    cw1 = bg.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
-    )
-    cw2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+        bg = stream_pin(bg, "kn_bg", cache_key=(sf_dir,))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
     nb = bg.agg(F.count(F.lit(1)).alias("nb"))
     p = (
-        bg.join(cw1, "w1")
-        .join(cw2, "w2")
+        bg.withColumn("c1", F.sum("c12").over(w1w))
+        .withColumn("n1f", F.count(F.lit(1)).over(w1w))
+        .withColumn("n1b", F.count(F.lit(1)).over(w2w))
         .crossJoin(F.broadcast(nb))
         .select(
             "w1",
