@@ -1257,10 +1257,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             if big_nodes
             else StorageLevel.MEMORY_AND_DISK,
         )
-        rkj = rk.hint("shuffle_hash") if big_nodes else F.broadcast(rk)
-        contrib = de.join(rkj, de["src"] == rkj["node"]).select(
-            "dst", F.expr("pr12 * 1000000L div degree").alias("c18")
-        )
+        # Per-SRC contribution precompute (r18, §2.3): pr12·10⁶ div
+        # degree depends only on the src node, so evaluate it ONCE per
+        # node on the O(nodes) side instead of once per directed edge
+        # (2|E| 64-bit mul+divs per iteration at 100x), and ship the
+        # narrower (node, c18) relation into the join — same integer
+        # per edge row, bit-identical sums.
+        rks = rk.select("node", F.expr("pr12 * 1000000L div degree").alias("c18"))
+        rkj = rks.hint("shuffle_hash") if big_nodes else F.broadcast(rks)
+        contrib = de.join(rkj, de["src"] == rkj["node"]).select("dst", "c18")
         s = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c18").alias("s18")
         )
